@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock seconds across the headline queries
+(excluding Spark session startup and the warm-up run). Each query is
+fully materialized via collect() — results are small (aggregates /
+top-k), so collect measures compute, not driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from visual_asset_management_system_spark.queries import QUERIES  # noqa: E402
+from visual_asset_management_system_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: the headline set: relational core, search surface, scale extensions
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q_window_running_total",
+    "q_events_sessionize",
+    "q_vams_simple_search",
+    "q_vams_text_search",
+    "q_vams_facets",
+    "q_vams_metadata_pivot",
+    "q_doc_stats",
+    "q_dedup_exact",
+    "q_knn_cosine",
+    "q_minhash_pairs",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="spark-vams-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM/codegen/file-listing costs paid once, not billed to q1
+    QUERIES["q01_pricing_summary"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = None
+    tail = os.path.basename(SF_DIR.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Plan-quality inspector: prints formatted physical plans for the
+headline queries and greps for the scale-critical properties —
+PushedFilters reaching the parquet scan, broadcast joins on small dims,
+whole-stage codegen coverage, absence of cartesian products.
+
+Usage: python scripts/explain_plans.py [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from visual_asset_management_system_spark.queries import QUERIES  # noqa: E402
+from visual_asset_management_system_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+DEFAULT = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q_vams_simple_search",
+    "q_vams_facets",
+    "q_knn_cosine",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark(app_name="explain", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        df = QUERIES[name](spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
+        print(plan)
+        checks = {
+            "pushed_filters": "PushedFilters: [" in plan
+            and not all(
+                seg.strip().startswith("[]")
+                for seg in plan.split("PushedFilters:")[1:]
+            ),
+            "broadcast_join": "BroadcastHashJoin" in plan
+            or "BroadcastNestedLoopJoin" in plan,
+            "wholestage_codegen": "WholeStageCodegen" in plan,
+            "no_cartesian": "CartesianProduct" not in plan,
+        }
+        print("CHECKS:", checks)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import pytest
+
+from visual_asset_management_system_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_CORRECTNESS = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="spark-vams-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+    )
+    yield s
+    s.stop()

@@ -1,0 +1,182 @@
+"""Unit tests: graph traversal, EAV, versions, dedup, similarity,
+normalization functions, workflow runner, keyset pagination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from visual_asset_management_system_spark.functions.normalize import (
+    coerce_boolean,
+    coerce_number,
+    file_extension,
+    is_folder,
+    sanitize_field_name,
+)
+from visual_asset_management_system_spark.operators.dedup import (
+    minhash_dedup,
+    simhash_near_duplicates,
+)
+from visual_asset_management_system_spark.operators.graph import descendants, one_hop
+from visual_asset_management_system_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+from visual_asset_management_system_spark.plans.pagination import keyset_page
+from visual_asset_management_system_spark.plans.workflow import Pipeline, Workflow
+from visual_asset_management_system_spark.queries import tables
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- graph ------------------------------------------------------------------
+
+def test_descendants_cycle_terminates(spark):
+    """The parentChild chain 48→42→…→6→48 is a cycle; BFS must terminate
+    and never revisit the root."""
+    links = tables(spark, SF)["asset_links"]
+    out = descendants(links, "db_8", "asset_48").collect()
+    ids = {r["asset_id"] for r in out}
+    assert "asset_48" not in ids
+    assert ids == {f"asset_{k}" for k in (42, 36, 30, 24, 18, 12, 6)}
+    depths = {r["asset_id"]: r["depth"] for r in out}
+    assert depths["asset_42"] == 1 and depths["asset_6"] == 7
+
+
+def test_descendants_depth_cap(spark):
+    links = tables(spark, SF)["asset_links"]
+    out = descendants(links, "db_8", "asset_48", max_depth=3).collect()
+    assert {r["depth"] for r in out} == {1, 2, 3}
+
+
+def test_one_hop_classification(spark):
+    links = tables(spark, SF)["asset_links"]
+    rows = one_hop(links, "db_2", "asset_42").collect()
+    rels = {(r["neighbor_asset_id"], r["relationship"]) for r in rows}
+    assert ("asset_36", "child") in rels
+    assert ("asset_48", "parent") in rels
+
+
+# -- dedup / similarity -----------------------------------------------------
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = tables(spark, SF)["documents"].select("doc_id", "text").limit(100)
+    toks = F.split(F.trim("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
+        ).alias("text"),
+    )
+    pairs = minhash_dedup(
+        docs.unionByName(mutated), threshold=0.4
+    ).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] == r["id_a"] + 1000000}
+    # most planted pairs (doc vs doc-minus-3-words) must be found
+    assert len(planted) > 50
+    for r in pairs:
+        assert r["jaccard"] >= 0.4
+
+
+def test_simhash_hamming_bounds(spark):
+    docs = tables(spark, SF)["documents"].select("doc_id", "text").limit(60)
+    dup = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    pairs = simhash_near_duplicates(
+        docs.unionByName(dup), max_hamming=0
+    ).collect()
+    exact = {(r["id_a"], r["id_b"]) for r in pairs}
+    # identical docs have identical simhash → all 60 planted pairs found
+    assert all((i, i + 1000000) in exact for i in range(60))
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    from visual_asset_management_system_spark.queries import _query_vector
+
+    emb = tables(spark, SF)["embeddings"]
+    qv = _query_vector(SF)
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(emb, qv, k=10).collect()]
+    assert exact[0] == 0  # the query vector itself is its own nearest
+    assert 0 in approx
+    # LSH with multiprobe should keep decent overlap with exact top-10
+    assert len(set(exact) & set(approx)) >= 3
+
+
+# -- scalar functions -------------------------------------------------------
+
+def test_sanitize_field_name():
+    assert sanitize_field_name("My Field!") == "my_field"
+    assert sanitize_field_name("_private") == "private"
+    assert sanitize_field_name("9lives") == "field_9lives"
+    assert sanitize_field_name("") == "field_"
+    assert len(sanitize_field_name("x" * 400)) == 255
+
+
+def test_coercions_and_path_ops(spark):
+    df = spark.createDataFrame(
+        [("TRUE", "42", "/a/b/model.GLB"), ("no", "3.5", "/a/dir/")],
+        "b string, n string, k string",
+    )
+    rows = df.select(
+        coerce_boolean(F.col("b")).alias("b"),
+        coerce_number(F.col("n")).alias("n"),
+        file_extension(F.col("k")).alias("ext"),
+        is_folder(F.col("k")).alias("folder"),
+    ).collect()
+    assert rows[0]["b"] is True and rows[0]["n"] == 42.0
+    assert rows[0]["ext"] == "glb" and rows[0]["folder"] is False
+    assert rows[1]["b"] is False and rows[1]["n"] == 3.5
+    assert rows[1]["folder"] is True
+
+
+# -- workflow runner --------------------------------------------------------
+
+def test_workflow_composition_and_retry(spark):
+    df = spark.range(10)
+    attempts = {"n": 0}
+
+    def flaky(d, ctx):
+        attempts["n"] += 1
+        if attempts["n"] < 2:
+            raise RuntimeError("transient")
+        return d.withColumn("doubled", F.col("id") * 2)
+
+    wf = Workflow(
+        "test",
+        [
+            Pipeline("filter", lambda d, c: d.filter(F.col("id") < 5)),
+            Pipeline("flaky_double", flaky, max_retries=2),
+        ],
+    )
+    out = wf.run(df)
+    assert out.count() == 5
+    ex = wf.executions[-1]
+    assert ex.status == "SUCCEEDED"
+    assert ex.stages[1]["attempts"] == 2
+
+
+def test_workflow_failure_surfaces(spark):
+    wf = Workflow(
+        "fail",
+        [Pipeline("boom", lambda d, c: (_ for _ in ()).throw(RuntimeError("x")), max_retries=0)],
+    )
+    with pytest.raises(RuntimeError):
+        wf.run(spark.range(1))
+    assert wf.executions[-1].status == "FAILED"
+
+
+# -- keyset pagination ------------------------------------------------------
+
+def test_keyset_pagination_walks_whole_table(spark):
+    orders = tables(spark, SF)["orders"]
+    seen = []
+    token = None
+    for _ in range(100):
+        rows, token = keyset_page(
+            orders.select("o_orderkey"), ["o_orderkey"], page_size=400, token=token
+        )
+        seen.extend(r["o_orderkey"] for r in rows)
+        if token is None:
+            break
+    assert len(seen) == orders.count()
+    assert seen == sorted(seen)

@@ -1,0 +1,145 @@
+"""Unit tests for the search request compiler — the request→plan style
+the reference tests with query-builder units (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from visual_asset_management_system_spark.models.search import (
+    SearchFilter,
+    SearchRequest,
+    SortSpec,
+)
+from visual_asset_management_system_spark.plans.compiler import SearchCompiler
+from visual_asset_management_system_spark.plans.metadata_query import (
+    MetadataQueryError,
+    compile_metadata_query,
+)
+from visual_asset_management_system_spark.queries import tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def compiler(spark):
+    t = tables(spark, SF)
+    return SearchCompiler(
+        {"asset": t["search_assets"], "file": t["search_files"]}
+    )
+
+
+def test_request_validation():
+    with pytest.raises(ValueError):
+        SearchRequest(size=0)
+    with pytest.raises(ValueError):
+        SearchRequest(size=2001)
+    with pytest.raises(ValueError):
+        SearchRequest(offset=9500, size=1000)  # from+size > 10000
+    with pytest.raises(ValueError):
+        SearchRequest(entity_types=("asset", "nope"))
+    with pytest.raises(ValueError):
+        SearchFilter("f", "unknown_op", 1)
+
+
+def test_archived_excluded_by_default(compiler):
+    hits = compiler.hits(SearchRequest(entity_types=("asset",), size=2000))
+    assert hits.filter(F.col("is_archived")).count() == 0
+    with_archived = compiler.hits(
+        SearchRequest(entity_types=("asset",), size=2000, include_archived=True)
+    )
+    assert with_archived.count() > hits.count()
+
+
+def test_filter_on_missing_field_yields_no_hits(compiler):
+    req = SearchRequest(
+        entity_types=("asset",),
+        filters=[SearchFilter("file_ext", "eq", "glb")],  # file-only field
+    )
+    assert compiler.hits(req).count() == 0
+
+
+def test_dual_entity_union_tags_rectype(compiler):
+    req = SearchRequest(size=2000)
+    recs = {r["rectype"] for r in compiler.hits(req).select("rectype").distinct().collect()}
+    assert recs == {"asset", "file"}
+
+
+def test_wildcard_and_prefix_filters(compiler):
+    req = SearchRequest(
+        entity_types=("file",),
+        filters=[SearchFilter("file_key", "wildcard", "/f/1*_?.glb")],
+        size=2000,
+    )
+    rows = compiler.hits(req).select("file_key").collect()
+    assert rows, "wildcard should match something"
+    for r in rows:
+        assert r["file_key"].startswith("/f/1") and r["file_key"].endswith(".glb")
+
+
+def test_should_is_or_semantics(compiler):
+    req = SearchRequest(
+        entity_types=("asset",),
+        should=[
+            SearchFilter("asset_type", "eq", "glb"),
+            SearchFilter("asset_type", "eq", "ifc"),
+        ],
+        size=2000,
+    )
+    types = {
+        r["asset_type"]
+        for r in compiler.hits(req).select("asset_type").distinct().collect()
+    }
+    assert types == {"glb", "ifc"}
+
+
+def test_text_score_ranks_name_matches_higher(compiler):
+    req = SearchRequest(query="red", entity_types=("asset",), size=2000)
+    rows = compiler.hits(req).select("asset_name", "description", "score").collect()
+    assert rows
+    for r in rows:
+        expected = 0.0
+        if "red" in r["asset_name"].lower():
+            expected += 2.0
+        if "red" in r["description"].lower():
+            expected += 1.0
+        assert r["score"] == expected
+
+
+def test_total_and_pagination_consistency(compiler):
+    req = SearchRequest(entity_types=("asset",), size=10)
+    total = compiler.total(req)
+    page1 = compiler.hits(req).collect()
+    page2 = compiler.hits(
+        SearchRequest(entity_types=("asset",), size=10, offset=10)
+    ).collect()
+    assert len(page1) == 10 and len(page2) == 10
+    ids1 = {r["asset_id"] for r in page1}
+    ids2 = {r["asset_id"] for r in page2}
+    assert not ids1 & ids2
+    assert total > 20
+
+
+def test_sort_spec_ordering(compiler):
+    req = SearchRequest(
+        entity_types=("file",),
+        sort=[SortSpec("file_size", descending=True)],
+        size=50,
+    )
+    sizes = [r["file_size"] for r in compiler.hits(req).collect()]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_highlight_wraps_matches(compiler):
+    req = SearchRequest(query="red", entity_types=("asset",), size=20)
+    df = compiler.highlight(compiler.hits(req), req)
+    row = df.filter(F.col("highlight_asset_name").isNotNull()).first()
+    assert row is not None and "<em>red</em>" in row["highlight_asset_name"]
+
+
+def test_metadata_query_single_operator_rule():
+    with pytest.raises(MetadataQueryError):
+        compile_metadata_query("a:1 AND b:2 OR c:3")
+    with pytest.raises(MetadataQueryError):
+        compile_metadata_query("not-a-pair-without-colon ")
+    compile_metadata_query('k:"exact value"')  # quoted exact parses

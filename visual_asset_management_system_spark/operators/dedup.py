@@ -1,0 +1,368 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline dedup at 100 TB scale. Design:
+
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle,
+  map-side combinable.
+- **MinHash + LSH**: shingle → k minhashes → b bands → groupBy band
+  bucket → within-bucket pair join → Jaccard verification. Candidate
+  generation never compares all pairs: cost is O(Σ bucket²) which stays
+  bounded because banding spreads non-duplicates across buckets. All
+  hashing is `xxhash64` with literal seeds — JVM-side, deterministic
+  across runs/engines, no Python.
+- **SimHash**: 32-bit signature via per-bit weighted sums; near-dup =
+  signatures within Hamming distance d (compared within LSH-style
+  chunks of the signature).
+- **n-gram Jaccard**: exact verification metric on candidate pairs.
+
+Every step is a DataFrame op (explode/groupBy/join) — the shapes that
+shuffle on keys and scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (normalized-text md5 collisions):
+    (fingerprint, dup_count, doc_ids sorted). Only groups with >1 doc."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative of each fingerprint group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles / minhash
+# --------------------------------------------------------------------------
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles as an array<string> column."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingled = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(shingled)
+
+
+#: Mersenne prime 2^31−1 — same modulus family as MLlib's MinHashLSH;
+#: keeps a*h+b inside int64 (a, h < 2^31 → product < 2^62).
+_MINHASH_PRIME = 2147483647
+
+
+def _perm_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) for the affine hash family h_i = (a·h + b) mod p."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MINHASH_PRIME), rnd.randrange(0, _MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) minhash signature per document.
+
+    Scale shape: explode shingles → ONE xxhash64 per shingle → k cheap
+    affine permutations aggregated with ``min`` under partial (map-side)
+    aggregation. The shuffle carries k longs per doc, independent of
+    document length. Never materializes the k× duplicated shingle
+    expression tree (which is quadratic in codegen and was the naive
+    formulation's bottleneck).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).select(
+        "id", F.pmod(F.xxhash64("s"), F.lit(_MINHASH_PRIME)).alias("h")
+    )
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME))).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
+    ]
+    return hashed.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    rows = bands/num_hashes per the standard S-curve; defaults (64, 16)
+    target ~0.5+ Jaccard. The band bucket join is the scale path: a
+    shuffle on (band, band_hash), never an all-pairs product.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = _banded(sig, bands, rows_per_band)
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _banded(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, band_hash) — one row per band per doc."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.band_hash")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard ≥ threshold.
+
+    Joins the (small) candidate set back to the shingle arrays; the
+    intersect/union runs as array expressions per pair.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    return (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    verify: str = "estimate",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup pairs (id_a, id_b, jaccard ≥ threshold).
+
+    ``verify="estimate"`` (default, the 100 TB path): Jaccard estimated
+    as the fraction of equal signature components — one plan computes
+    signatures once, bands them for candidates, and joins signatures
+    back for verification; documents are shingled exactly once.
+    ``verify="exact"`` re-shingles both sides of every candidate pair
+    and computes true set Jaccard (2 extra corpus passes — use when the
+    estimate's ±1/√k error matters).
+    """
+    if verify == "exact":
+        cands = minhash_lsh_candidates(
+            df, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        return ngram_jaccard_pairs(
+            df, cands, text_col, id_col, shingle_n, threshold
+        )
+    rows_per_band = num_hashes // bands
+    # the signature relation feeds three plan branches (banding + both
+    # verification sides); persist it so the corpus is shingled/hashed
+    # exactly once. k longs per doc — tiny relative to the corpus.
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+    banded = _banded(sig, bands, rows_per_band)
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "jaccard", F.round(matches / F.lit(num_hashes), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# simhash
+# --------------------------------------------------------------------------
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, sig) SimHash signatures over whitespace tokens.
+
+    bit_j(sig) = 1 iff Σ_tokens (±1 by bit j of xxhash64(token)) > 0.
+    Scale shape: explode tokens → one xxhash64 per token → ``bits``
+    conditional sums under partial aggregation (shuffle carries ``bits``
+    longs per doc). Token multiplicity counts, matching classic SimHash.
+    Documents with zero tokens are dropped (no signal to hash).
+    """
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+    ).select("id", F.xxhash64("t").alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_bit = hashed.groupBy("id").agg(*bit_aggs)
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sig = sig + F.when(
+            F.col(f"b{j}") > 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0))
+    return per_bit.select("id", sig.alias("sig"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole LSH: split the signature into ``chunks`` pieces; any pair
+    within distance < chunks shares at least one exact piece → join per
+    piece, then verify with bit_count(xor). Scale shape: shuffle on
+    (chunk_idx, chunk_value), no all-pairs.
+    """
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    pieces = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sig", c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("piece"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select("id", "sig", "p.chunk", "p.piece")
+    l, r = pieces.alias("l"), pieces.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.piece") == F.col("r.piece"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.sig").bitwiseXOR(F.col("r.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

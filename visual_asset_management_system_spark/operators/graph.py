@@ -1,0 +1,116 @@
+"""Asset-link graph operators.
+
+Reference semantics (assetLinksService.py:207-405):
+- 1-hop: edges out ∪ edges in, endpoint attributes joined, classified
+  related / parent / child by direction+type;
+- descendants: recursive DFS over parentChild edges with per-branch
+  cycle detection, authorization at each node.
+
+Spark re-expression: the 1-hop is two filtered self-joins + when();
+descendants is an iterative frontier-expansion BFS with an accumulated
+visited set (Spark has no native recursion — SURVEY §7 "Hard parts"),
+depth-capped (default 25). Each iteration is one join; the visited
+anti-join provides cycle safety. At 100 TB the frontier stays small
+relative to the edge table, so the per-level join broadcasts the
+frontier — and the loop materializes the frontier per level via
+localCheckpoint to cut lineage growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def one_hop(
+    asset_links: DataFrame, database_id: str, asset_id: str
+) -> DataFrame:
+    """All neighbors of one asset, classified (related/parent/child).
+
+    Child  = parentChild edge out of the asset;
+    Parent = parentChild edge into the asset;
+    Related = `related` edge either direction.
+    """
+    frm = (F.col("from_database_id") == database_id) & (
+        F.col("from_asset_id") == asset_id
+    )
+    to = (F.col("to_database_id") == database_id) & (
+        F.col("to_asset_id") == asset_id
+    )
+    is_pc = F.col("relationship_type") == "parentChild"
+
+    out_rows = asset_links.filter(frm).select(
+        F.col("asset_link_id"),
+        F.col("to_database_id").alias("neighbor_database_id"),
+        F.col("to_asset_id").alias("neighbor_asset_id"),
+        F.when(is_pc, F.lit("child")).otherwise(F.lit("related")).alias(
+            "relationship"
+        ),
+    )
+    in_rows = asset_links.filter(to).select(
+        F.col("asset_link_id"),
+        F.col("from_database_id").alias("neighbor_database_id"),
+        F.col("from_asset_id").alias("neighbor_asset_id"),
+        F.when(is_pc, F.lit("parent")).otherwise(F.lit("related")).alias(
+            "relationship"
+        ),
+    )
+    return out_rows.unionByName(in_rows)
+
+
+def descendants(
+    asset_links: DataFrame,
+    database_id: str,
+    asset_id: str,
+    max_depth: int = 25,
+    use_checkpoint: bool = True,
+) -> DataFrame:
+    """Descendant set over parentChild edges: (database_id, asset_id,
+    depth) with shortest-depth semantics and cycle safety.
+
+    BFS with an accumulated visited set; a node re-reached through a
+    cycle or a diamond is anti-joined away, so each node appears once at
+    its minimum depth. Divergence from the reference's unbounded DFS is
+    the documented depth cap.
+    """
+    edges = asset_links.filter(
+        F.col("relationship_type") == "parentChild"
+    ).select(
+        F.col("from_database_id").alias("src_db"),
+        F.col("from_asset_id").alias("src_id"),
+        F.col("to_database_id").alias("dst_db"),
+        F.col("to_asset_id").alias("dst_id"),
+    )
+    spark = asset_links.sparkSession
+    frontier = spark.createDataFrame(
+        [(database_id, asset_id, 0)], "database_id string, asset_id string, depth int"
+    )
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            F.broadcast(frontier)
+            .join(
+                edges,
+                (frontier["database_id"] == edges["src_db"])
+                & (frontier["asset_id"] == edges["src_id"]),
+            )
+            .select(
+                F.col("dst_db").alias("database_id"),
+                F.col("dst_id").alias("asset_id"),
+                F.lit(depth).alias("depth"),
+            )
+            .dropDuplicates(["database_id", "asset_id"])
+            .join(
+                visited.select("database_id", "asset_id"),
+                ["database_id", "asset_id"],
+                "left_anti",
+            )
+        )
+        if use_checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    # exclude the root itself (the reference returns the subtree below it)
+    return visited.filter(F.col("depth") > 0)

@@ -1,0 +1,126 @@
+"""Text-analysis operators over document corpora.
+
+These are the training-data-pipeline primitives (BASELINE.json north
+star) on top of the ``documents`` table: tokenization, token counting,
+quality scoring, language-ID, and fingerprinting. Everything is a pure
+Column expression (whole-stage-codegen eligible; no Python in the hot
+path) and each has an exact ANSI-SQL mirror for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# whitespace tokenizer; a BPE-ish token estimate adds punctuation splits
+_TOKEN_SPLIT = r"\s+"
+_BPE_SPLIT = r"[\s\.,;:!\?\(\)\[\]\{\}\"']+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties removed."""
+    return F.filter(F.split(F.trim(text), _TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """BPE-ish token-count estimate: punctuation-aware word count plus a
+    length/4 correction for long words (the classic chars/4 heuristic)."""
+    words = F.filter(F.split(F.trim(text), _BPE_SPLIT), lambda t: t != "")
+    # explicit floor(): Spark truncates double→int casts while other
+    # engines round, so the rounding step must be spelled out
+    long_extra = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.when(
+            F.length(w) > 4, F.floor(F.length(w) / 4).cast("bigint") - 1
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return (F.size(words) + long_extra).alias("bpe_tokens")
+
+
+# stopword list used by the quality score (language-agnostic core English
+# function words — the fixture corpus is synthetic English-ish text)
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "by", "at", "from",
+)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic document-quality score in [0, 1].
+
+    Combines the standard cheap heuristics (length band, alphabetic
+    ratio, stopword presence, mean word length band) used by
+    web-scale corpus filters. Weights documented here are the spec.
+    """
+    n = F.length(text)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    alpha_ratio = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / F.greatest(n, F.lit(1))
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    )
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
+    mean_word_len = n / F.greatest(n_tok, F.lit(1))
+    length_ok = F.when((n >= 50) & (n <= 100000), 1.0).otherwise(0.0)
+    word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.0)
+    score = (
+        0.25 * length_ok
+        + 0.25 * alpha_ratio
+        + 0.25 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+        + 0.25 * word_len_ok
+    )
+    return F.round(score, 4)
+
+
+#: language marker words — a tiny deterministic n-gram/stopword detector.
+#: Accuracy on real text is secondary; the contract is determinism and a
+#: documented rule (the fixture corpus is synthetic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def _marker_filter(markers: tuple[str, ...]):
+    # factory closure: HOF lambdas must be single-parameter — a second
+    # parameter (even defaulted) is bound to the array *index* by Spark
+    def pred(t: Column) -> Column:
+        return t.isin(*markers)
+
+    return pred
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID: the language with the most marker hits,
+    ties broken by language code order, 'und' when no marker hits."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    hit_counts = {
+        lang: F.size(F.filter(toks, _marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_count = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # deterministic tie-break
+        c = hit_counts[lang]
+        is_better = c > best_count
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_count = F.when(is_better, c).otherwise(best_count)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+    (A rolling/winnowing fingerprint can slot in later; md5-of-normalized
+    is the exact-dedup key and is reproducible in any engine.)"""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)

@@ -1,0 +1,239 @@
+"""Search request → DataFrame compiler (the primary read path).
+
+Re-expresses the reference's DualIndexQueryBuilder + response processing
+pipeline (search.py:949-1776) as ONE declarative Spark plan:
+
+    request
+      → per-entity predicate tree (filter context — non-scoring AND)
+      → optional text score column (deterministic match-count)
+      → authorization filter  *before* the limit
+      → dual-entity unionByName (asset ∪ file hits, `_rectype` tag)
+      → global sort → offset/limit
+
+Key semantic cleanups over the reference, per SURVEY.md §4:
+- the ×2 over-fetch buffer + in-memory re-pagination (search.py:967-996,
+  1739-1748) disappears: the auth filter is part of the plan, so
+  Catalyst filters before the limit;
+- the disabled post-merge re-sort (search.py:283-291) becomes a real
+  global orderBy after the union — strictly more correct.
+
+At scale: filters compile to pushable predicates (Parquet row-group
+skipping), the union is a no-shuffle concatenation, and sort+limit is
+a TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scoring import field_matches, text_match_score, wildcard_to_like
+from ..models.search import SearchFilter, SearchRequest
+from .metadata_query import compile_metadata_query
+
+#: text fields searched per entity type, with boost weights — the Spark
+#: analog of the reference's field lists (search.py:456-467, 888-900).
+DEFAULT_TEXT_FIELDS: dict[str, dict[str, float]] = {
+    "asset": {"asset_name": 2.0, "description": 1.0, "asset_type": 1.0},
+    "file": {"file_key": 2.0, "file_ext": 1.0},
+}
+
+MIN_SCORE = 0.01  # min_score pruning for text queries (search.py:993-995)
+
+
+def _filter_to_column(flt: SearchFilter) -> Column:
+    col = F.col(flt.field)
+    op = flt.operator
+    if op == "eq":
+        pred = col == F.lit(flt.value)
+    elif op == "neq":
+        pred = col != F.lit(flt.value)
+    elif op == "contains":
+        pred = F.lower(col).contains(str(flt.value).lower())
+    elif op == "wildcard":
+        pred = F.lower(col).like(wildcard_to_like(str(flt.value).lower()))
+    elif op == "prefix":
+        pred = col.startswith(str(flt.value))
+    elif op == "exists":
+        pred = col.isNotNull()
+    elif op == "in":
+        pred = col.isin(*list(flt.value))
+    elif op == "gte":
+        pred = col >= F.lit(flt.value)
+    elif op == "lte":
+        pred = col <= F.lit(flt.value)
+    elif op == "gt":
+        pred = col > F.lit(flt.value)
+    elif op == "lt":
+        pred = col < F.lit(flt.value)
+    else:  # pragma: no cover — guarded by SearchFilter.__post_init__
+        raise ValueError(op)
+    return ~pred if flt.negate else pred
+
+
+class SearchCompiler:
+    """Compile SearchRequests over the denormalized search tables.
+
+    ``search_tables`` maps entity type ("asset"/"file") to its search
+    DataFrame (built by operators.search_tables — the engine's analog of
+    the reference's OpenSearch indexes).  ``auth_predicate`` is an
+    optional Column applied per entity *inside* the plan (row-level ABAC,
+    search.py:1711-1737 made pre-limit).
+    """
+
+    def __init__(
+        self,
+        search_tables: dict[str, DataFrame],
+        text_fields: dict[str, dict[str, float]] | None = None,
+        auth_predicate: Column | None = None,
+    ) -> None:
+        self.search_tables = search_tables
+        self.text_fields = text_fields or DEFAULT_TEXT_FIELDS
+        self.auth_predicate = auth_predicate
+
+    # -- single-entity plan ------------------------------------------------
+    def _entity_plan(self, entity: str, req: SearchRequest) -> DataFrame:
+        df = self.search_tables[entity]
+        cols = set(df.columns)
+
+        if not req.include_archived and "is_archived" in cols:
+            # must_not bool_archived (search.py:649-651)
+            df = df.filter(~F.coalesce(F.col("is_archived"), F.lit(False)))
+
+        if req.databases is not None and "database_id" in cols:
+            df = df.filter(F.col("database_id").isin(req.databases))
+
+        for flt in req.filters:
+            if flt.field in cols:
+                df = df.filter(_filter_to_column(flt))
+            else:
+                # filter on a field this entity doesn't have → no hits,
+                # matching OpenSearch missing-field semantics
+                df = df.filter(F.lit(False))
+
+        if req.should:
+            applicable = [f for f in req.should if f.field in cols]
+            if applicable:
+                pred = _filter_to_column(applicable[0])
+                for f2 in applicable[1:]:
+                    pred = pred | _filter_to_column(f2)
+                df = df.filter(pred)
+            else:
+                df = df.filter(F.lit(False))
+
+        if req.metadata_query and "metadata" in cols:
+            df = df.filter(
+                compile_metadata_query(
+                    req.metadata_query, "metadata", req.metadata_search_mode
+                )
+            )
+        elif req.metadata_query:
+            df = df.filter(F.lit(False))
+
+        if req.query:
+            fields = {
+                k: w for k, w in self.text_fields[entity].items() if k in cols
+            }
+            df = df.withColumn("score", text_match_score(req.query, fields))
+            df = df.filter(F.col("score") > MIN_SCORE)
+        else:
+            df = df.withColumn("score", F.lit(0.0))
+
+        if self.auth_predicate is not None:
+            df = df.filter(self.auth_predicate)
+
+        return df.withColumn("rectype", F.lit(entity))
+
+    # -- public surface ----------------------------------------------------
+    def hits(self, req: SearchRequest) -> DataFrame:
+        """The merged, sorted, paginated hit DataFrame."""
+        plans = [self._entity_plan(e, req) for e in req.entity_types]
+        df = plans[0]
+        for p in plans[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+
+        order: list[Column] = []
+        for s in req.sort:
+            c = F.col(s.field)
+            order.append(c.desc() if s.descending else c.asc())
+        if not order:
+            order = [F.col("score").desc()]
+        # deterministic global order: entity id is the final tiebreak
+        for tiebreak in ("database_id", "asset_id", "file_key"):
+            if all(tiebreak in p.columns for p in plans):
+                order.append(F.col(tiebreak).asc())
+
+        df = df.orderBy(*order)
+        if req.offset:
+            df = df.offset(req.offset)
+        return df.limit(req.size)
+
+    def total(self, req: SearchRequest) -> int:
+        """track_total_hits equivalent: exact count across entities."""
+        plans = [self._entity_plan(e, req) for e in req.entity_types]
+        return sum(p.count() for p in plans)
+
+    def facets(self, req: SearchRequest, max_buckets: int = 1000) -> DataFrame:
+        """Terms aggregations: (rectype, field, value, doc_count).
+
+        Computed under the full predicate set minus pagination, matching
+        the reference's filtered aggregation (search.py:1392-1486;
+        bucket cap 1000).  Array-typed facet fields (tags) must be
+        exploded by the caller into scalar columns beforehand — the
+        search-table builder materializes ``tags`` as an array and this
+        method explodes it here.
+        """
+        outs: list[DataFrame] = []
+        for entity in req.entity_types:
+            plan = self._entity_plan(entity, req)
+            for fld in req.facets:
+                if fld == "tags" and "tags" in plan.columns:
+                    src = plan.select(
+                        F.explode("tags").alias("facet_value")
+                    )
+                elif fld in plan.columns:
+                    src = plan.select(F.col(fld).cast("string").alias("facet_value"))
+                else:
+                    continue
+                outs.append(
+                    src.groupBy("facet_value")
+                    .agg(F.count(F.lit(1)).alias("doc_count"))
+                    .withColumn("rectype", F.lit(entity))
+                    .withColumn("facet_field", F.lit(fld))
+                )
+        if not outs:
+            raise ValueError("no applicable facet fields")
+        df = outs[0]
+        for o in outs[1:]:
+            df = df.unionByName(o)
+        # cross-index bucket merge (search.py:258-277) = one more groupBy
+        return (
+            df.groupBy("facet_field", "facet_value")
+            .agg(F.sum("doc_count").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("facet_value").asc())
+            .limit(max_buckets)
+        )
+
+    def highlight(
+        self, df: DataFrame, req: SearchRequest, pre: str = "<em>", post: str = "</em>"
+    ) -> DataFrame:
+        """Append ``highlight_<field>`` columns wrapping query matches
+        (search.py:869-886) — regexp_replace on matching columns."""
+        if not req.query:
+            return df
+        import re as _re
+
+        q = _re.escape(req.query.lower())
+        for entity in req.entity_types:
+            for fld in self.text_fields[entity]:
+                if fld in df.columns:
+                    df = df.withColumn(
+                        f"highlight_{fld}",
+                        F.when(
+                            field_matches(F.col(fld), req.query),
+                            F.regexp_replace(
+                                F.col(fld), f"(?i)({q})", f"{pre}$1{post}"
+                            ),
+                        ),
+                    )
+        return df

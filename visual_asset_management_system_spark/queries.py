@@ -1,0 +1,1326 @@
+"""Query registry: every declared operator as (Spark callable, DuckDB oracle).
+
+Each entry is one operator/query from SURVEY.md §2 (or a BASELINE.json
+scale extension), expressed twice:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` — the engine path;
+- an ANSI-SQL oracle string DuckDB runs on the same parquet tables.
+
+Cross-engine determinism conventions (see also sources/vams.py):
+- double SUMs go through DECIMAL(38,10) accumulation then cast back to
+  double — exact, order-independent, identical in both engines;
+- float comparisons round to a fixed digit count *before* ordering;
+- every ORDER BY ends in a unique-key tiebreak when a LIMIT follows;
+- timestamps with sub-microsecond sources are compared as epoch micros.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .models.search import SearchFilter, SearchRequest, SortSpec
+from .operators.authz import Constraint, Criterion, compile_constraints
+from .operators.dedup import (
+    exact_duplicate_groups,
+    minhash_dedup,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from .operators.graph import descendants, one_hop
+from .operators.search_tables import build_search_assets, build_search_files
+from .operators.similarity import cosine_topk, lsh_topk, _hyperplanes
+from .operators.text import (
+    STOPWORDS,
+    bpe_token_estimate,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from .operators.versions import as_of, latest_versions
+from .operators.eav import pivot_metadata
+from .plans.compiler import SearchCompiler
+from .sources.tpch import load_tables
+from .sources.vams import VAMS_VIEW_SQL, oracle_with
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _dsum(col, alias: str):
+    """Order-independent exact sum of a double column (see module doc)."""
+    return F.sum(col.cast("decimal(38,10)")).cast("double").alias(alias)
+
+
+def _davg(col, alias: str):
+    return (
+        F.sum(col.cast("decimal(38,10)")).cast("double") / F.count(F.lit(1))
+    ).alias(alias)
+
+
+def O_SUM(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"
+
+
+def O_AVG(expr: str) -> str:
+    return f"({O_SUM(expr)} / COUNT(*))"
+
+
+_tables_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Base tables + VAMS derived views + denormalized search tables."""
+    key = (id(spark), sf_dir)
+    if key in _tables_cache:
+        return _tables_cache[key]
+    t = load_tables(spark, sf_dir)
+    for name, df in t.items():
+        df.createOrReplaceTempView(name)
+    for name, sql in VAMS_VIEW_SQL.items():
+        t[name] = spark.sql(sql)
+        t[name].createOrReplaceTempView(name)
+    t["search_assets"] = build_search_assets(
+        t["assets"], t["buckets"], t["metadata"], t["asset_links"]
+    )
+    t["search_files"] = build_search_files(t["files"], t["assets"])
+    _tables_cache[key] = t
+    return t
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> list[float]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    df = tbl.to_pandas()
+    row = df[df.vec_id == vec_id].iloc[0]
+    return [float(x) for x in row.embedding]
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.4/2.6 relational core on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {O_SUM('l_quantity')} AS sum_qty,
+           {O_SUM('l_extendedprice')} AS sum_base_price,
+           {O_SUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {O_SUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {O_AVG('l_quantity')} AS avg_qty,
+           {O_AVG('l_extendedprice')} AS avg_price,
+           {O_AVG('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    li = tables(spark, sf_dir)["lineitem"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc, "sum_disc_price"),
+            _dsum(disc * (1 + F.col("l_tax")), "sum_charge"),
+            _davg(F.col("l_quantity"), "avg_qty"),
+            _davg(F.col("l_extendedprice"), "avg_price"),
+            _davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q03_shipping_priority",
+    f"""
+    SELECT l_orderkey, o_orderdate,
+           {O_SUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q05_local_supplier_volume",
+    f"""
+    SELECT n_name, {O_SUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q05(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q_top_parts_revenue",
+    f"""
+    WITH rev AS (
+        SELECT l_partkey, {O_SUM('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY revenue DESC, l_partkey LIMIT 20
+    )
+    SELECT r.l_partkey, p.p_name, r.revenue
+    FROM rev r JOIN part p ON r.l_partkey = p.p_partkey
+    ORDER BY r.revenue DESC, r.l_partkey
+    """,
+)
+def q_top_parts(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    top = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "l_partkey")
+        .limit(20)
+    )
+    return (
+        top.join(F.broadcast(t["part"]), top["l_partkey"] == F.col("p_partkey"))
+        .select("l_partkey", "p_name", "revenue")
+        .orderBy(F.desc("revenue"), "l_partkey")
+    )
+
+
+@query(
+    "q_window_rank",
+    """
+    SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        t["customer"]
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@query(
+    "q_window_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders WHERE o_custkey <= 200
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def q_window_running(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .over(w)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "q_cube_returns",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           {O_SUM('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_cube(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_rollup_orders",
+    f"""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year, o_orderpriority,
+           COUNT(*) AS n_orders, {O_SUM('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (CAST(YEAR(o_orderdate) AS INT), o_orderpriority)
+    ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_rollup(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .rollup("order_year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_distinct_counts",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_distinct_counts(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_set_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    ORDER BY c_custkey
+    """,
+)
+def q_set_except(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    building = (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    big = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.subtract(big).orderBy("c_custkey")
+
+
+@query(
+    "q_set_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+    ORDER BY c_custkey
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    building = (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    big = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(big).orderBy("c_custkey")
+
+
+@query(
+    "q_theta_join",
+    f"""
+    SELECT p_brand, COUNT(*) AS n_rows, {O_SUM('l_quantity')} AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_theta_join(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            t["part"],
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_quantity") > F.col("p_size")),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q_range_band_join",
+    """
+    WITH bands AS (
+        SELECT r_regionkey AS band,
+               r_regionkey * 60000.0 AS lo, (r_regionkey + 1) * 60000.0 AS hi
+        FROM region
+    )
+    SELECT band, COUNT(*) AS n_orders
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band ORDER BY band
+    """,
+)
+def q_range_band_join(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    bands = t["region"].select(
+        F.col("r_regionkey").alias("band"),
+        (F.col("r_regionkey") * 60000.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 60000.0).alias("hi"),
+    )
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "q_offset_pagination",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 100
+    """,
+)
+def q_offset_pagination(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(100)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9-adjacent event-time queries on the events table (batch form of the
+# streaming operators: tumbling window, sessionization, as-of enrichment)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_events_tumbling",
+    f"""
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) / 1000000 AS BIGINT) AS hour_s,
+           event_type, COUNT(*) AS n_events, {O_SUM('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY hour_s, event_type
+    """,
+)
+def q_events_tumbling(spark, sf_dir):
+    # events.ts arrives as bigint nanos (nanosAsLong): pure integer
+    # truncation — ns values exceed double's exact range, so no floats
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.expr("(ts div 3600000000000) * 3600").alias("hour_s"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("hour_s", "event_type")
+    )
+
+
+@query(
+    "q_events_sessionize",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+           {O_SUM('value')} AS sum_value
+    FROM sessions GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > 1800000000, 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", F.col("session_idx").cast("bigint").alias("session_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@query(
+    "q_events_asof",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), enriched AS (
+        SELECT *, LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts_us END
+                             IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_signup_us
+        FROM e
+    )
+    SELECT event_id, user_id, ts_us, last_signup_us
+    FROM enriched WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def q_events_asof(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn(
+            "last_signup_us",
+            F.last(
+                F.when(F.col("event_type") == "signup", F.col("ts_us")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts_us", "last_signup_us")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# VAMS domain surface (search compiler, EAV, graph, versions, authz) over
+# the derived views — SURVEY §2.1-2.3, §2.6, §2.11
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_vams_simple_search",
+    oracle_with("files")
+    + """
+    SELECT database_id, asset_id, file_key, file_size FROM files
+    WHERE NOT is_archived AND file_ext = 'glb' AND file_size >= 50000
+      AND database_id IN ('db_1', 'db_3', 'db_5')
+    ORDER BY file_size DESC, database_id, asset_id, file_key
+    LIMIT 100
+    """,
+)
+def q_vams_simple_search(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"file": t["search_files"], "asset": t["search_assets"]})
+    req = SearchRequest(
+        entity_types=("file",),
+        filters=[
+            SearchFilter("file_ext", "eq", "glb"),
+            SearchFilter("file_size", "gte", 50000),
+        ],
+        databases=["db_1", "db_3", "db_5"],
+        sort=[SortSpec("file_size", descending=True)],
+        size=100,
+    )
+    return sc.hits(req).select("database_id", "asset_id", "file_key", "file_size")
+
+
+@query(
+    "q_vams_text_search",
+    oracle_with("assets")
+    + """
+    SELECT * FROM (
+        SELECT database_id, asset_id, asset_name,
+               CAST(CASE WHEN contains(lower(asset_name), 'red') THEN 2.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(description), 'red') THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(asset_type), 'red') THEN 1.0 ELSE 0.0 END
+                    AS DOUBLE) AS score
+        FROM assets WHERE NOT is_archived
+    ) WHERE score > 0.01
+    ORDER BY score DESC, database_id, asset_id
+    LIMIT 500
+    """,
+)
+def q_vams_text_search(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(
+        query="red", entity_types=("asset",), size=500
+    )
+    return sc.hits(req).select("database_id", "asset_id", "asset_name", "score")
+
+
+@query(
+    "q_vams_facets",
+    oracle_with("assets")
+    + """
+    SELECT facet_field, facet_value, COUNT(*) AS doc_count FROM (
+        SELECT 'asset_type' AS facet_field, asset_type AS facet_value
+        FROM assets WHERE NOT is_archived
+        UNION ALL
+        SELECT 'tags', tag1 FROM assets WHERE NOT is_archived
+        UNION ALL
+        SELECT 'tags', tag2 FROM assets WHERE NOT is_archived
+    )
+    GROUP BY facet_field, facet_value
+    ORDER BY doc_count DESC, facet_value
+    LIMIT 1000
+    """,
+)
+def q_vams_facets(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(
+        entity_types=("asset",), facets=["asset_type", "tags"], size=1
+    )
+    return sc.facets(req)
+
+
+@query(
+    "q_vams_metadata_pivot",
+    oracle_with("metadata")
+    + """
+    SELECT database_id, asset_id,
+           MAX(CASE WHEN metadata_key = 'status' THEN metadata_value END) AS status,
+           MAX(CASE WHEN metadata_key = 'priority' THEN metadata_value END) AS priority,
+           MAX(CASE WHEN metadata_key = 'price_tier' THEN metadata_value END) AS price_tier,
+           MAX(CASE WHEN metadata_key = 'order_date' THEN metadata_value END) AS order_date
+    FROM metadata GROUP BY database_id, asset_id
+    ORDER BY database_id, asset_id
+    """,
+)
+def q_vams_metadata_pivot(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return pivot_metadata(
+        t["metadata"], keys=["status", "priority", "price_tier", "order_date"]
+    ).orderBy("database_id", "asset_id")
+
+
+@query(
+    "q_vams_metadata_query",
+    oracle_with("assets", "metadata")
+    + """
+    SELECT a.database_id, a.asset_id, a.asset_name
+    FROM assets a JOIN (
+        SELECT database_id, asset_id,
+               MAX(CASE WHEN metadata_key = 'status' THEN metadata_value END) AS status,
+               MAX(CASE WHEN metadata_key = 'price_tier' THEN metadata_value END) AS price_tier
+        FROM metadata GROUP BY database_id, asset_id
+    ) m ON a.database_id = m.database_id AND a.asset_id = m.asset_id
+    WHERE NOT a.is_archived
+      AND contains(lower(m.status), 'f')
+      AND contains(lower(m.price_tier), 'high')
+    ORDER BY a.database_id, a.asset_id
+    """,
+)
+def q_vams_metadata_query(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(
+        entity_types=("asset",),
+        metadata_query="status:F AND price_tier:high",
+        size=2000,
+    )
+    return sc.hits(req).select("database_id", "asset_id", "asset_name")
+
+
+@query(
+    "q_vams_metadata_exists",
+    oracle_with("assets", "metadata")
+    + """
+    SELECT a.database_id, a.asset_id
+    FROM assets a
+    WHERE NOT a.is_archived AND EXISTS (
+        SELECT 1 FROM metadata m
+        WHERE m.database_id = a.database_id AND m.asset_id = a.asset_id
+          AND m.metadata_key = 'priority'
+    )
+    ORDER BY a.database_id, a.asset_id
+    """,
+)
+def q_vams_metadata_exists(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(
+        entity_types=("asset",),
+        metadata_query="priority:any",
+        metadata_search_mode="key",
+        size=2000,
+    )
+    return sc.hits(req).select("database_id", "asset_id")
+
+
+@query(
+    "q_vams_one_hop",
+    oracle_with("asset_links")
+    + """
+    SELECT asset_link_id, to_database_id AS neighbor_database_id,
+           to_asset_id AS neighbor_asset_id,
+           CASE WHEN relationship_type = 'parentChild'
+                THEN 'child' ELSE 'related' END AS relationship
+    FROM asset_links
+    WHERE from_database_id = 'db_2' AND from_asset_id = 'asset_42'
+    UNION ALL
+    SELECT asset_link_id, from_database_id, from_asset_id,
+           CASE WHEN relationship_type = 'parentChild'
+                THEN 'parent' ELSE 'related' END
+    FROM asset_links
+    WHERE to_database_id = 'db_2' AND to_asset_id = 'asset_42'
+    ORDER BY asset_link_id
+    """,
+)
+def q_vams_one_hop(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return one_hop(t["asset_links"], "db_2", "asset_42").orderBy("asset_link_id")
+
+
+@query(
+    "q_vams_descendants",
+    "WITH RECURSIVE asset_links AS ({links_sql}), walk AS (\n"
+    "    SELECT 'db_8' AS database_id, 'asset_48' AS asset_id, 0 AS depth\n"
+    "    UNION\n"
+    "    SELECT l.to_database_id, l.to_asset_id, w.depth + 1\n"
+    "    FROM walk w JOIN asset_links l\n"
+    "      ON l.from_database_id = w.database_id AND l.from_asset_id = w.asset_id\n"
+    "     AND l.relationship_type = 'parentChild'\n"
+    "    WHERE w.depth < 25\n"
+    ")\n"
+    "SELECT database_id, asset_id, CAST(MIN(depth) AS INT) AS depth FROM walk\n"
+    "GROUP BY database_id, asset_id HAVING MIN(depth) > 0\n"
+    "ORDER BY depth, database_id, asset_id\n".format(
+        links_sql=VAMS_VIEW_SQL["asset_links"]
+    ),
+)
+def q_vams_descendants(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return descendants(t["asset_links"], "db_8", "asset_48").orderBy(
+        "depth", "database_id", "asset_id"
+    )
+
+
+@query(
+    "q_vams_latest_versions",
+    oracle_with("asset_versions")
+    + """
+    SELECT database_id, asset_id, asset_version_id, date_created FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY database_id, asset_id
+                   ORDER BY date_created DESC, asset_version_id DESC) AS rn
+        FROM asset_versions WHERE database_id = 'db_7'
+    ) WHERE rn = 1
+    ORDER BY database_id, asset_id
+    """,
+)
+def q_vams_latest_versions(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        latest_versions(t["asset_versions"].filter(F.col("database_id") == "db_7"))
+        .select("database_id", "asset_id", "asset_version_id", "date_created")
+        .orderBy("database_id", "asset_id")
+    )
+
+
+@query(
+    "q_vams_version_asof",
+    oracle_with("asset_versions")
+    + """
+    SELECT database_id, asset_id, asset_version_id, date_created FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY database_id, asset_id
+                   ORDER BY date_created DESC, asset_version_id DESC) AS rn
+        FROM asset_versions
+        WHERE database_id = 'db_7' AND date_created <= TIMESTAMP '1997-01-01'
+    ) WHERE rn = 1
+    ORDER BY database_id, asset_id
+    """,
+)
+def q_vams_version_asof(spark, sf_dir):
+    import datetime
+
+    t = tables(spark, sf_dir)
+    return (
+        as_of(
+            t["asset_versions"].filter(F.col("database_id") == "db_7"),
+            datetime.datetime(1997, 1, 1),
+        )
+        .select("database_id", "asset_id", "asset_version_id", "date_created")
+        .orderBy("database_id", "asset_id")
+    )
+
+
+@query(
+    "q_vams_file_asset_join",
+    oracle_with("files", "assets")
+    + """
+    SELECT f.database_id, f.asset_id, f.file_key, f.file_size, a.asset_name
+    FROM files f LEFT JOIN assets a
+      ON f.database_id = a.database_id AND f.asset_id = a.asset_id
+    WHERE f.database_id = 'db_7'
+    ORDER BY f.file_key LIMIT 300
+    """,
+)
+def q_vams_file_asset_join(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["search_files"]
+        .filter(F.col("database_id") == "db_7")
+        .select("database_id", "asset_id", "file_key", "file_size", "asset_name")
+        .orderBy("file_key")
+        .limit(300)
+    )
+
+
+@query(
+    "q_vams_orphans",
+    oracle_with("assets", "files")
+    + """
+    SELECT a.database_id, a.asset_id FROM assets a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM files f
+        WHERE f.database_id = a.database_id AND f.asset_id = a.asset_id
+          AND f.file_ext = 'glb' AND NOT f.is_archived
+    )
+    ORDER BY a.database_id, a.asset_id
+    """,
+)
+def q_vams_orphans(spark, sf_dir):
+    """Reconciliation diff (sqsBucketSync semantics): catalog assets with
+    no live primary-format file — an anti-join between catalog and file
+    listing (SURVEY §2.7 'needed for reconciliation diff')."""
+    t = tables(spark, sf_dir)
+    live_glb = (
+        t["files"]
+        .filter((F.col("file_ext") == "glb") & ~F.col("is_archived"))
+        .select("database_id", "asset_id")
+        .distinct()
+    )
+    return (
+        t["assets"]
+        .join(live_glb, ["database_id", "asset_id"], "left_anti")
+        .select("database_id", "asset_id")
+        .orderBy("database_id", "asset_id")
+    )
+
+
+@query(
+    "q_vams_authz",
+    oracle_with("assets")
+    + """
+    SELECT database_id, asset_id FROM assets
+    WHERE ((database_id IN ('db_1', 'db_2', 'db_3') AND asset_type = 'glb')
+           OR database_id = 'db_4')
+      AND NOT (tag1 = 'large' OR tag2 = 'large')
+    ORDER BY database_id, asset_id
+    """,
+)
+def q_vams_authz(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    constraints = [
+        Constraint(
+            effect="allow",
+            action="GET",
+            criteria=(
+                Criterion("database_id", "is_in", ("db_1", "db_2", "db_3")),
+                Criterion("asset_type", "equals", "glb"),
+            ),
+        ),
+        Constraint(
+            effect="allow",
+            action="GET",
+            criteria=(Criterion("database_id", "equals", "db_4"),),
+        ),
+        Constraint(
+            effect="deny",
+            action="GET",
+            criteria=(Criterion("tags", "contains", "large"),),
+        ),
+    ]
+    pred = compile_constraints(constraints, "GET")
+    return (
+        t["search_assets"]
+        .filter(pred)
+        .select("database_id", "asset_id")
+        .orderBy("database_id", "asset_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: text analysis, dedup, similarity search
+# (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+# DuckDB mirrors of the operators.text building blocks
+_O_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+_O_BPE_WORDS = (
+    "list_filter(string_split_regex(trim(text), "
+    r"'[\s\.,;:!\?\(\)\[\]\{\}\"'']+'), t -> t <> '')"
+)
+_O_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
+_O_FP = r"md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"
+
+
+@query(
+    "q_doc_stats",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text, {_O_TOKS} AS toks, {_O_BPE_WORDS} AS words
+        FROM documents
+    )
+    SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(words) + COALESCE(list_sum(list_transform(words,
+             w -> CASE WHEN length(w) > 4
+                       THEN CAST(FLOOR(length(w) / 4) AS BIGINT) - 1
+                       ELSE 0 END)), 0) AS BIGINT) AS bpe_tokens,
+        ROUND(
+            0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 100000
+                         THEN 1.0 ELSE 0.0 END)
+          + 0.25 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / GREATEST(length(text), 1))
+          + 0.25 * LEAST((len(list_filter(toks, t -> lower(t) IN ({_O_STOPS})))
+                          / GREATEST(len(toks), 1)) * 4.0, 1.0)
+          + 0.25 * (CASE WHEN length(text) / GREATEST(len(toks), 1) >= 3
+                          AND length(text) / GREATEST(len(toks), 1) <= 12
+                         THEN 1.0 ELSE 0.0 END), 4) AS quality
+    FROM base ORDER BY doc_id
+    """,
+)
+def q_doc_stats(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    txt = F.col("text")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            token_count(txt).cast("bigint").alias("n_tokens"),
+            bpe_token_estimate(txt).cast("bigint").alias("bpe_tokens"),
+            quality_score(txt).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _o_lang_count(markers: tuple[str, ...]) -> str:
+    lits = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(toks, t -> lower(t) IN ({lits})))"
+
+
+@query(
+    "q_doc_lang",
+    f"""
+    WITH base AS (SELECT doc_id, {_O_TOKS} AS toks FROM documents),
+    counts AS (
+        SELECT doc_id,
+            {_o_lang_count(("der", "die", "und"))} AS c_de,
+            {_o_lang_count(("the", "and", "of"))} AS c_en,
+            {_o_lang_count(("el", "los", "que"))} AS c_es,
+            {_o_lang_count(("le", "la", "et"))} AS c_fr
+        FROM base
+    )
+    SELECT doc_id,
+        CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+             WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr) THEN 'de'
+             WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr) THEN 'en'
+             WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+    FROM counts ORDER BY doc_id
+    """,
+)
+def q_doc_lang(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    f"SELECT doc_id, {_O_FP} AS fp FROM documents ORDER BY doc_id",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_dedup_exact",
+    f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), fps AS (SELECT doc_id, {_O_FP} AS fp FROM all_docs)
+    SELECT fp, COUNT(*) AS dup_count, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM fps GROUP BY fp HAVING COUNT(*) > 1
+    ORDER BY fp
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return (
+        exact_duplicate_groups(doubled)
+        .select(
+            "fp",
+            "dup_count",
+            F.array_min("doc_ids").alias("min_id"),
+            F.array_max("doc_ids").alias("max_id"),
+        )
+        .orderBy("fp")
+    )
+
+
+@query(
+    "q_ngram_jaccard_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, lang, source,
+               list_distinct(list_transform(
+                   range(0, GREATEST(len(toks) - 3, 0) + 1),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+               )) AS sh
+        FROM toks
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def q_ngram_jaccard_topk(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    sh = t["documents"].select(
+        "doc_id", "lang", "source", word_shingles(F.col("text"), 3).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+# -- similarity search ------------------------------------------------------
+
+_EMB_DIM = 64
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness SF
+
+
+def _o_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _o_cosine(a: str, b: str) -> str:
+    return (
+        f"({_o_dot(a, b)} / "
+        f"(sqrt({_o_dot(a, a)}) * sqrt({_o_dot(b, b)})))"
+    )
+
+
+@query(
+    "q_knn_cosine",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_o_cosine('e.embedding', 'q.qv')}, 6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_knn_cosine(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return cosine_topk(t["embeddings"], _query_vector(sf_dir), k=10)
+
+
+def _lsh_oracle() -> str:
+    """Generated oracle for the LSH ANN query: inlines the deterministic
+    hyperplanes and the probe-bucket list computed from the correctness-SF
+    query vector (the Spark path derives both identically from seed 42)."""
+    planes = _hyperplanes(_EMB_DIM, 8, seed=42)
+    qv = np.asarray(_query_vector(_ORACLE_SF_DIR), dtype=np.float64)
+    signs = (planes @ qv) > 0
+    qbucket = int(sum(1 << i for i, s in enumerate(signs) if s))
+    probe = sorted({qbucket} | {qbucket ^ (1 << i) for i in range(8)})
+    probe_sql = ", ".join(str(p) for p in probe)
+
+    def plane_lit(i: int) -> str:
+        vals = ", ".join(repr(float(v)) for v in planes[i])
+        return f"([{vals}]::DOUBLE[])"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {_o_dot('embedding', plane_lit(i))} > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+    WITH cand AS (
+        SELECT vec_id, embedding, CAST({bucket_terms} AS BIGINT) AS bucket
+        FROM embeddings
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT c.vec_id, ROUND({_o_cosine('c.embedding', 'q.qv')}, 6) AS cosine_sim
+    FROM cand c, q WHERE c.bucket IN ({probe_sql})
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("q_lsh_ann", _lsh_oracle() if os.path.isdir(_ORACLE_SF_DIR) else None)
+def q_lsh_ann(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return lsh_topk(
+        t["embeddings"], _query_vector(sf_dir), k=10, n_planes=8,
+        multiprobe_hamming=1, seed=42,
+    )
+
+
+# -- no-oracle entries (non-SQL-expressible; driver records rows-only) ------
+
+@query("q_minhash_pairs")
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs over documents ∪ a mutated copy (drop
+    the last 5 words) so true near-duplicates exist at every SF."""
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    return minhash_dedup(
+        docs.unionByName(mutated), threshold=0.4, num_hashes=64, bands=16
+    ).orderBy("id_a", "id_b")
+
+
+@query("q_simhash_pairs")
+def q_simhash_pairs(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    return simhash_near_duplicates(
+        docs.unionByName(mutated), bits=32, max_hamming=3, chunks=4
+    ).orderBy("id_a", "id_b")

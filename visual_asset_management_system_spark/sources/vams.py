@@ -1,0 +1,160 @@
+"""VAMS-shaped derived views over the driver's TPC-H-ish tables.
+
+The reference's domain tables (assets / files / metadata / asset_links /
+asset_versions — FIXTURES.md §1-3) don't exist in the driver's fixture
+set, so we *derive* them deterministically from the TPC-H-ish tables
+using the mapping in FIXTURES.md §7 (part → assets, lineitem → files,
+orders → metadata EAV, part self-edges → asset_links).
+
+Every derivation below is a single ANSI-SQL SELECT that parses and
+evaluates identically in Spark SQL and DuckDB.  Spark registers them as
+temp views; the DuckDB oracle inlines them as CTEs (``oracle_with``).
+That shared-SQL trick is what makes the VAMS-domain operators (search
+compiler, EAV pivot, graph traversal, version as-of) differentially
+testable against the oracle even though the fixture tables are synthetic.
+
+Reference data model being emulated:
+- assets:      AssetStorageTable item shape
+  (/root/reference/infra/lib/nestedStacks/storage/storageBuilder-nestedStack.ts:711-746)
+- files:       FileDocumentModel (/root/reference/backend/backend/models/indexing.py:125-192)
+- metadata:    AssetFileMetadataStorageTableV2 EAV rows
+  (/root/reference/backend/backend/handlers/metadata/metadataService.py:1460-1479)
+- asset_links: models/assetLinks.py:16-49
+- asset_versions: AssetVersionsStorageTableV2 (storageBuilder:1229-1239)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .tpch import DEFAULT_SF_DIR, register_views
+
+# Tags are modeled as two scalar columns (tag1/tag2) because array
+# literals are not dialect-portable; engine code builds array(tag1, tag2)
+# where the reference has `list_tags`.
+VAMS_VIEW_SQL: dict[str, str] = {
+    # part -> assets. Keys are stable across scale factors (p_partkey is
+    # dense 1..N); database assignment is a deterministic hash-mod so the
+    # table is partitionable by database_id exactly as SURVEY §1.1 says.
+    "assets": """
+        SELECT
+            'db_' || CAST(p_partkey % 20 AS STRING)          AS database_id,
+            'asset_' || CAST(p_partkey AS STRING)            AS asset_id,
+            p_name                                           AS asset_name,
+            p_type                                           AS description,
+            CASE p_partkey % 5 WHEN 0 THEN 'glb' WHEN 1 THEN 'gltf'
+                 WHEN 2 THEN 'ifc' WHEN 3 THEN 'obj' ELSE 'las' END
+                                                             AS asset_type,
+            p_brand                                          AS tag1,
+            CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS tag2,
+            (p_partkey % 3 = 0)                              AS is_distributable,
+            (p_partkey % 13 = 0)                             AS is_archived,
+            'bucket_' || CAST(p_partkey % 5 AS STRING)       AS bucket_id,
+            p_retailprice                                    AS asset_size
+        FROM part
+    """,
+    # buckets dimension (tiny -> always broadcast).
+    "buckets": """
+        SELECT DISTINCT
+            'bucket_' || CAST(p_partkey % 5 AS STRING)       AS bucket_id,
+            'vams-bucket-' || CAST(p_partkey % 5 AS STRING)  AS bucket_name,
+            'assets/'                                        AS base_assets_prefix
+        FROM part
+    """,
+    # lineitem -> files (l_extendedprice -> file_size, l_shipdate ->
+    # last_modified per FIXTURES.md §7). etag collides on purpose so the
+    # exact-dedup operator has work to do.
+    "files": """
+        SELECT
+            'db_' || CAST(l_partkey % 20 AS STRING)          AS database_id,
+            'asset_' || CAST(l_partkey AS STRING)            AS asset_id,
+            '/f/' || CAST(l_orderkey AS STRING) || '_'
+                  || CAST(l_linenumber AS STRING) || '.'
+                  || CASE l_linenumber % 5 WHEN 0 THEN 'glb' WHEN 1 THEN 'gltf'
+                          WHEN 2 THEN 'png' WHEN 3 THEN 'ifc' ELSE 'obj' END
+                                                             AS file_key,
+            CASE l_linenumber % 5 WHEN 0 THEN 'glb' WHEN 1 THEN 'gltf'
+                 WHEN 2 THEN 'png' WHEN 3 THEN 'ifc' ELSE 'obj' END
+                                                             AS file_ext,
+            CAST(FLOOR(l_extendedprice) AS BIGINT)           AS file_size,
+            l_shipdate                                       AS last_modified,
+            'etag_' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) % 1000 AS STRING)
+                                                             AS etag,
+            (l_orderkey % 17 = 0)                            AS is_archived
+        FROM lineitem
+    """,
+    # orders -> metadata EAV rows attached to a stable asset-key range.
+    # The asset modulus (199, odd) is coprime with the key-selector modulus
+    # (4) so every asset accumulates all four metadata keys. Multiple
+    # writers per (entity, key) are possible, like the reference's
+    # last-write-wins stream; readers aggregate with max() (documented).
+    "metadata": """
+        SELECT
+            'db_' || CAST((o_orderkey % 199 + 1) % 20 AS STRING) AS database_id,
+            'asset_' || CAST(o_orderkey % 199 + 1 AS STRING)     AS asset_id,
+            '/'                                                  AS file_path,
+            CASE o_orderkey % 4 WHEN 0 THEN 'status' WHEN 1 THEN 'priority'
+                 WHEN 2 THEN 'price_tier' ELSE 'order_date' END  AS metadata_key,
+            CASE o_orderkey % 4
+                 WHEN 0 THEN o_orderstatus
+                 WHEN 1 THEN o_orderpriority
+                 WHEN 2 THEN CASE WHEN o_totalprice > 100000
+                                  THEN 'high' ELSE 'low' END
+                 ELSE CAST(CAST(o_orderdate AS DATE) AS STRING) END
+                                                                 AS metadata_value,
+            CASE o_orderkey % 4 WHEN 3 THEN 'date' ELSE 'string' END
+                                                                 AS metadata_value_type
+        FROM orders
+    """,
+    # part -> asset_links: deterministic edges. parentChild edges form a
+    # descending chain 48→42→…→12→6 plus the closing edge 6→48 — a real
+    # cycle, exercising the cycle detection the reference does in
+    # assetLinksService.py:337-405. `related` edges are short-range links.
+    "asset_links": """
+        SELECT
+            'link_' || CAST(p_partkey AS STRING)             AS asset_link_id,
+            'db_' || CAST(p_partkey % 20 AS STRING)          AS from_database_id,
+            'asset_' || CAST(p_partkey AS STRING)            AS from_asset_id,
+            'db_' || CAST(
+                (CASE WHEN p_partkey % 6 = 0
+                      THEN (CASE WHEN p_partkey = 6 THEN 48 ELSE p_partkey - 6 END)
+                      ELSE p_partkey % 50 + 1 END) % 20 AS STRING)
+                                                             AS to_database_id,
+            'asset_' || CAST(
+                CASE WHEN p_partkey % 6 = 0
+                     THEN (CASE WHEN p_partkey = 6 THEN 48 ELSE p_partkey - 6 END)
+                     ELSE p_partkey % 50 + 1 END AS STRING)  AS to_asset_id,
+            CASE WHEN p_partkey % 6 = 0 THEN 'parentChild' ELSE 'related' END
+                                                             AS relationship_type
+        FROM part
+        WHERE p_partkey % 2 = 0 AND p_partkey <> p_partkey % 50 + 1
+    """,
+    # lineitem -> asset_versions: one version row per (part, order); the
+    # current version is the latest ship date (row_number pick, SURVEY §2.5).
+    "asset_versions": """
+        SELECT
+            'db_' || CAST(l_partkey % 20 AS STRING)          AS database_id,
+            'asset_' || CAST(l_partkey AS STRING)            AS asset_id,
+            'v_' || CAST(l_orderkey AS STRING) || '_'
+                 || CAST(l_linenumber AS STRING)             AS asset_version_id,
+            l_shipdate                                       AS date_created,
+            CAST(FLOOR(l_quantity) AS BIGINT)                AS file_count
+        FROM lineitem
+    """,
+}
+
+
+def register_vams_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register base tables + derived VAMS views as Spark temp views."""
+    register_views(spark, sf_dir)
+    for name, sql in VAMS_VIEW_SQL.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {sql}")
+
+
+def oracle_with(*views: str) -> str:
+    """Build the ``WITH`` prefix that inlines the named derived views for
+    a DuckDB oracle query (base tables are pre-registered by the driver)."""
+    if not views:
+        return ""
+    parts = [f"{name} AS ({VAMS_VIEW_SQL[name]})" for name in views]
+    return "WITH " + ", ".join(parts) + "\n"
