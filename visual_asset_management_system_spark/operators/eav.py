@@ -43,6 +43,51 @@ def metadata_map(
     )
 
 
+def validate_metadata(
+    metadata: DataFrame,
+    schemas: DataFrame,
+    entity_keys: list[str] = ("database_id", "asset_id"),
+) -> DataFrame:
+    """Schema-validation operator: metadata vs declared schemas →
+    violation rows (database_id, asset_id, metadata_key, violation).
+
+    Mirrors common/metadataSchemaValidation.py semantics declaratively:
+    - ``not_in_controlled_list`` — value outside the schema's allowed set
+      (comma-delimited list; membership via delimiter-wrapped contains);
+    - ``bad_type`` — declared ``date`` value that fails to parse;
+    - ``missing_required`` — entity lacks a required key entirely.
+
+    Scale shape: schemas is a tiny dimension (broadcast); the latest-
+    value dedup shuffles once on the entity key; missing-required is a
+    broadcast cross join of distinct entities × required keys followed
+    by an anti-join — O(entities × required_keys), never O(metadata²).
+    """
+    keys = list(entity_keys)
+    latest = metadata.groupBy(*keys, "metadata_key").agg(
+        F.max("metadata_value").alias("metadata_value")
+    )
+    joined = latest.join(F.broadcast(schemas), "metadata_key")
+    wrapped = lambda c: F.concat(F.lit(","), c, F.lit(","))  # noqa: E731
+    not_allowed = joined.filter(
+        F.col("allowed_values").isNotNull()
+        & ~wrapped(F.col("allowed_values")).contains(
+            wrapped(F.col("metadata_value"))
+        )
+    ).select(*keys, "metadata_key", F.lit("not_in_controlled_list").alias("violation"))
+    bad_type = joined.filter(
+        (F.col("value_type") == "date")
+        & F.col("metadata_value").try_cast("date").isNull()
+    ).select(*keys, "metadata_key", F.lit("bad_type").alias("violation"))
+    entities = metadata.select(*keys).distinct()
+    required = schemas.filter(F.col("required")).select("metadata_key")
+    missing = (
+        entities.crossJoin(F.broadcast(required))
+        .join(latest.select(*keys, "metadata_key"), [*keys, "metadata_key"], "left_anti")
+        .select(*keys, "metadata_key", F.lit("missing_required").alias("violation"))
+    )
+    return not_allowed.unionByName(bad_type).unionByName(missing)
+
+
 def pivot_metadata(
     metadata: DataFrame,
     keys: list[str],

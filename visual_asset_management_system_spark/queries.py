@@ -31,8 +31,20 @@ from .operators.dedup import (
     simhash_near_duplicates,
     word_shingles,
 )
+from .functions.normalize import (
+    coerce_boolean,
+    coerce_number,
+    composite_key,
+    file_extension,
+    is_folder,
+    split_composite_key,
+)
 from .operators.graph import descendants, one_hop
-from .operators.search_tables import build_search_assets, build_search_files
+from .operators.search_tables import (
+    build_search_assets,
+    build_search_files,
+    relationship_flags,
+)
 from .operators.similarity import cosine_topk, lsh_topk, _hyperplanes
 from .operators.text import (
     STOPWORDS,
@@ -43,8 +55,9 @@ from .operators.text import (
     token_count,
 )
 from .operators.versions import as_of, latest_versions
-from .operators.eav import pivot_metadata
+from .operators.eav import pivot_metadata, validate_metadata
 from .plans.compiler import SearchCompiler
+from .plans.workflow import Pipeline, Workflow
 from .sources.tpch import load_tables
 from .sources.vams import VAMS_VIEW_SQL, oracle_with
 
@@ -792,8 +805,8 @@ def q_vams_metadata_pivot(spark, sf_dir):
         FROM metadata GROUP BY database_id, asset_id
     ) m ON a.database_id = m.database_id AND a.asset_id = m.asset_id
     WHERE NOT a.is_archived
-      AND contains(lower(m.status), 'f')
-      AND contains(lower(m.price_tier), 'high')
+      AND contains(lower(m.status), 'p')
+      AND contains(lower(m.price_tier), 'low')
     ORDER BY a.database_id, a.asset_id
     """,
 )
@@ -802,7 +815,7 @@ def q_vams_metadata_query(spark, sf_dir):
     sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
     req = SearchRequest(
         entity_types=("asset",),
-        metadata_query="status:F AND price_tier:high",
+        metadata_query="status:P AND price_tier:low",
         size=2000,
     )
     return sc.hits(req).select("database_id", "asset_id", "asset_name")
@@ -1023,6 +1036,347 @@ def q_vams_authz(spark, sf_dir):
         .filter(pred)
         .select("database_id", "asset_id")
         .orderBy("database_id", "asset_id")
+    )
+
+
+@query(
+    "q_vams_point_lookup",
+    oracle_with("assets")
+    + """
+    SELECT database_id, asset_id, asset_name, asset_type, is_archived
+    FROM assets
+    WHERE database_id = 'db_3' AND asset_id = 'asset_123'
+    """,
+)
+def q_vams_point_lookup(spark, sf_dir):
+    """KV point lookup by full key (get_item, assetIndexer.py:320-337) —
+    a partition-pruned filter on (database_id, asset_id)."""
+    t = tables(spark, sf_dir)
+    return t["assets"].filter(
+        (F.col("database_id") == "db_3") & (F.col("asset_id") == "asset_123")
+    ).select("database_id", "asset_id", "asset_name", "asset_type", "is_archived")
+
+
+@query(
+    "q_vams_keyed_listing",
+    oracle_with("assets")
+    + """
+    SELECT database_id, asset_id, asset_name FROM assets
+    WHERE database_id = 'db_5' AND NOT is_archived
+    ORDER BY asset_id DESC LIMIT 25
+    """,
+)
+def q_vams_keyed_listing(spark, sf_dir):
+    """Key-condition scan: all rows for one partition key, ordered by
+    sort key descending, limited (assetService.py:747-806 /
+    ScanIndexForward=False)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["assets"]
+        .filter((F.col("database_id") == "db_5") & ~F.col("is_archived"))
+        .select("database_id", "asset_id", "asset_name")
+        .orderBy(F.desc("asset_id"))
+        .limit(25)
+    )
+
+
+@query(
+    "q_vams_dual_search",
+    oracle_with("assets", "files")
+    + """
+    SELECT * FROM (
+        SELECT 'asset' AS rectype, database_id, asset_id,
+               CAST(NULL AS STRING) AS file_key,
+               CAST(CASE WHEN contains(lower(asset_name), 'glb') THEN 2.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(description), 'glb') THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(asset_type), 'glb') THEN 1.0 ELSE 0.0 END
+                    AS DOUBLE) AS score
+        FROM assets WHERE NOT is_archived AND database_id = 'db_7'
+        UNION ALL
+        SELECT 'file', database_id, asset_id, file_key,
+               CAST(CASE WHEN contains(lower(file_key), 'glb') THEN 2.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(file_ext), 'glb') THEN 1.0 ELSE 0.0 END
+                    AS DOUBLE)
+        FROM files WHERE NOT is_archived AND database_id = 'db_7'
+    ) WHERE score > 0.01
+    ORDER BY score DESC, rectype, database_id, asset_id, file_key
+    """,
+)
+def q_vams_dual_search(spark, sf_dir):
+    """Dual-index search: one text query over both entity types, hits
+    unioned with a rectype tag (search.py:197-296)."""
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(
+        query="glb", entity_types=("asset", "file"), databases=["db_7"], size=2000
+    )
+    return (
+        sc.hits(req)
+        .select("rectype", "database_id", "asset_id", "file_key", "score")
+        .orderBy(
+            F.desc("score"), "rectype", "database_id", "asset_id", "file_key"
+        )
+    )
+
+
+@query(
+    "q_vams_highlight",
+    oracle_with("assets")
+    + r"""
+    SELECT database_id, asset_id, asset_name,
+           CASE WHEN contains(lower(asset_name), 'red')
+                THEN regexp_replace(asset_name, '(?i)(red)', '<em>\1</em>', 'g')
+                END AS highlight_asset_name,
+           CASE WHEN contains(lower(description), 'red')
+                THEN regexp_replace(description, '(?i)(red)', '<em>\1</em>', 'g')
+                END AS highlight_description
+    FROM assets
+    WHERE NOT is_archived
+      AND (contains(lower(asset_name), 'red') OR contains(lower(description), 'red'))
+    ORDER BY database_id, asset_id
+    """,
+)
+def q_vams_highlight(spark, sf_dir):
+    """Highlighting: per-field match fragments wrapped in pre/post tags
+    (search.py:869-886) as derived regexp_replace columns."""
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(query="red", entity_types=("asset",), size=2000)
+    hits = t["search_assets"].filter(
+        ~F.col("is_archived")
+        & (
+            F.lower("asset_name").contains("red")
+            | F.lower("description").contains("red")
+        )
+    )
+    return (
+        sc.highlight(hits, req)
+        .select(
+            "database_id",
+            "asset_id",
+            "asset_name",
+            "highlight_asset_name",
+            "highlight_description",
+        )
+        .orderBy("database_id", "asset_id")
+    )
+
+
+@query(
+    "q_vams_relationship_flags",
+    oracle_with("asset_links")
+    + """
+    , e AS (
+        SELECT from_database_id AS database_id, from_asset_id AS asset_id,
+               relationship_type, 'out' AS direction
+        FROM asset_links
+        UNION ALL
+        SELECT to_database_id, to_asset_id, relationship_type, 'in'
+        FROM asset_links
+    )
+    SELECT database_id, asset_id,
+           MAX(CASE WHEN relationship_type = 'parentChild' AND direction = 'out'
+                    THEN TRUE ELSE FALSE END) AS has_asset_children,
+           MAX(CASE WHEN relationship_type = 'parentChild' AND direction = 'in'
+                    THEN TRUE ELSE FALSE END) AS has_asset_parents,
+           MAX(CASE WHEN relationship_type <> 'parentChild'
+                    THEN TRUE ELSE FALSE END) AS has_assets_related
+    FROM e GROUP BY database_id, asset_id
+    ORDER BY database_id, asset_id
+    """,
+)
+def q_vams_relationship_flags(spark, sf_dir):
+    """Existence aggregates: bool_has_asset_children / parents / related
+    per asset (assetIndexer.py:405-454) — one pass over the edges."""
+    t = tables(spark, sf_dir)
+    return relationship_flags(t["asset_links"]).orderBy("database_id", "asset_id")
+
+
+@query(
+    "q_vams_schema_validation",
+    oracle_with("metadata", "metadata_schemas")
+    + """
+    , latest AS (
+        SELECT database_id, asset_id, metadata_key,
+               MAX(metadata_value) AS metadata_value
+        FROM metadata GROUP BY 1, 2, 3
+    ), joined AS (
+        SELECT l.*, s.value_type, s.required, s.allowed_values
+        FROM latest l JOIN metadata_schemas s USING (metadata_key)
+    )
+    SELECT * FROM (
+        SELECT database_id, asset_id, metadata_key,
+               'not_in_controlled_list' AS violation
+        FROM joined
+        WHERE allowed_values IS NOT NULL
+          AND NOT contains(',' || allowed_values || ',',
+                           ',' || metadata_value || ',')
+        UNION ALL
+        SELECT database_id, asset_id, metadata_key, 'bad_type'
+        FROM joined
+        WHERE value_type = 'date' AND TRY_CAST(metadata_value AS DATE) IS NULL
+        UNION ALL
+        SELECT e.database_id, e.asset_id, s.metadata_key, 'missing_required'
+        FROM (SELECT DISTINCT database_id, asset_id FROM metadata) e
+        CROSS JOIN metadata_schemas s
+        WHERE s.required AND NOT EXISTS (
+            SELECT 1 FROM latest l
+            WHERE l.database_id = e.database_id AND l.asset_id = e.asset_id
+              AND l.metadata_key = s.metadata_key)
+    )
+    ORDER BY database_id, asset_id, metadata_key, violation
+    """,
+)
+def q_vams_schema_validation(spark, sf_dir):
+    """Declared-schema validation: metadata joined against the schema
+    dimension, violations flagged (common/metadataSchemaValidation.py)."""
+    t = tables(spark, sf_dir)
+    return validate_metadata(t["metadata"], t["metadata_schemas"]).orderBy(
+        "database_id", "asset_id", "metadata_key", "violation"
+    )
+
+
+@query(
+    "q_vams_version_file_counts",
+    oracle_with("asset_versions")
+    + """
+    SELECT database_id, asset_id, COUNT(*) AS n_versions,
+           CAST(SUM(file_count) AS BIGINT) AS total_files,
+           CAST(MAX(file_count) AS BIGINT) AS max_files
+    FROM asset_versions
+    WHERE database_id = 'db_9'
+    GROUP BY database_id, asset_id
+    ORDER BY database_id, asset_id
+    """,
+)
+def q_vams_version_file_counts(spark, sf_dir):
+    """File-count per version manifest rollup (assetVersions.py:637-663)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["asset_versions"]
+        .filter(F.col("database_id") == "db_9")
+        .groupBy("database_id", "asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum("file_count").alias("total_files"),
+            F.max("file_count").alias("max_files"),
+        )
+        .orderBy("database_id", "asset_id")
+    )
+
+
+@query(
+    "q_vams_scalar_funcs",
+    oracle_with("files")
+    + r"""
+    SELECT database_id || ':' || asset_id || ':' || file_key AS ck,
+           list_extract(string_split(
+               database_id || ':' || asset_id || ':' || file_key, ':'), 2)
+             AS parsed_asset,
+           lower(list_extract(string_split(
+               list_extract(string_split(file_key, '/'), -1), '.'), -1)) AS ext,
+           (file_key LIKE '%/' OR NOT contains(
+               list_extract(string_split(file_key, '/'), -1), '.')) AS folder,
+           COALESCE(CAST(TRY_CAST(CAST(file_size AS STRING) AS BIGINT) AS DOUBLE),
+                    TRY_CAST(CAST(file_size AS STRING) AS DOUBLE)) AS as_number,
+           CASE WHEN lower(trim(CASE WHEN file_size % 2 = 0 THEN 'yes' ELSE 'off' END))
+                     IN ('true', '1', 'yes', 'on') THEN TRUE
+                WHEN lower(trim(CASE WHEN file_size % 2 = 0 THEN 'yes' ELSE 'off' END))
+                     IN ('false', '0', 'no', 'off') THEN FALSE END AS as_boolean
+    FROM files WHERE database_id = 'db_1'
+    ORDER BY ck
+    """,
+)
+def q_vams_scalar_funcs(spark, sf_dir):
+    """Scalar-function surface (SURVEY §2.8): composite key build/parse,
+    file-extension + folder detection, numeric and boolean coercion."""
+    t = tables(spark, sf_dir)
+    f = t["files"].filter(F.col("database_id") == "db_1")
+    ck = composite_key("database_id", "asset_id", "file_key")
+    bool_src = F.when(F.col("file_size") % 2 == 0, F.lit("yes")).otherwise("off")
+    return f.select(
+        ck.alias("ck"),
+        split_composite_key(ck, 3)[1].alias("parsed_asset"),
+        file_extension(F.col("file_key")).alias("ext"),
+        is_folder(F.col("file_key")).alias("folder"),
+        coerce_number(F.col("file_size").cast("string")).alias("as_number"),
+        coerce_boolean(bool_src).alias("as_boolean"),
+    ).orderBy("ck")
+
+
+@query(
+    "q_workflow_pipeline",
+    oracle_with("files")
+    + """
+    SELECT database_id, size_band, COUNT(*) AS n_files,
+           CAST(SUM(file_size) AS BIGINT) AS total_size
+    FROM (
+        SELECT database_id,
+               CASE WHEN file_size >= 50000 THEN 'big' ELSE 'small' END AS size_band,
+               file_size
+        FROM files WHERE NOT is_archived
+    )
+    GROUP BY database_id, size_band
+    ORDER BY database_id, size_band
+    """,
+)
+def q_workflow_pipeline(spark, sf_dir):
+    """Workflow runner (SURVEY §2.10): a linear two-pipeline composition
+    (classify stage → aggregate stage) with per-stage retry policy; the
+    stages stay lazy so Catalyst optimizes across pipeline boundaries."""
+    t = tables(spark, sf_dir)
+
+    def classify(df, ctx):
+        return df.filter(~F.col("is_archived")).withColumn(
+            "size_band",
+            F.when(F.col("file_size") >= 50000, "big").otherwise("small"),
+        )
+
+    def aggregate(df, ctx):
+        return df.groupBy("database_id", "size_band").agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("file_size").alias("total_size"),
+        )
+
+    wf = Workflow(
+        "size-bands", [Pipeline("classify", classify), Pipeline("aggregate", aggregate)]
+    )
+    return wf.run(t["files"]).orderBy("database_id", "size_band")
+
+
+@query(
+    "q_multimodal_bytes",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents ORDER BY media_id
+    """,
+)
+def q_multimodal_bytes(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column processed by an
+    Arrow-batched mapInPandas kernel (the decode-stub pattern of
+    operators/multimodal.py) — the oracle checks the byte accounting."""
+    import pandas as pd
+
+    t = tables(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                }
+            )
+
+    return media.mapInPandas(kernel, "media_id bigint, n_bytes bigint").orderBy(
+        "media_id"
     )
 
 

@@ -129,6 +129,24 @@ VAMS_VIEW_SQL: dict[str, str] = {
         FROM part
         WHERE p_partkey % 2 = 0 AND p_partkey <> p_partkey % 50 + 1
     """,
+    # declared metadata schemas (MetadataSchemaStorageTableV2,
+    # models/metadataSchema.py:19-93): field name, type, required,
+    # controlled list. allowed_values is comma-delimited (array literals
+    # are not dialect-portable). Drives the validation operator
+    # (common/metadataSchemaValidation.py semantics).
+    "metadata_schemas": """
+        SELECT * FROM (VALUES
+            ('status',     'assetMetadata', 'string', TRUE,
+             'F,O'),
+            ('priority',   'assetMetadata', 'string', TRUE,
+             '1-URGENT,2-HIGH,3-MEDIUM'),
+            ('price_tier', 'assetMetadata', 'string', TRUE,
+             'high,low'),
+            ('order_date', 'assetMetadata', 'date',   TRUE,
+             CAST(NULL AS STRING))
+        ) AS t(metadata_key, entity_type, value_type, required,
+               allowed_values)
+    """,
     # lineitem -> asset_versions: one version row per (part, order); the
     # current version is the latest ship date (row_number pick, SURVEY §2.5).
     "asset_versions": """
