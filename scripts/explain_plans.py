@@ -37,10 +37,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         df = QUERIES[name](spark, SF_DIR)
+        df.collect()  # materialize so AQE settles on the final plan
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
+        # codegen spans only show in simple mode (the `*(n)` prefixes),
+        # and only on the AQE *final* plan (hence the collect above)
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            df.explain()
+        simple = buf2.getvalue().split("== Initial Plan ==")[0]
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         print(plan)
         checks = {
@@ -51,7 +58,7 @@ def main() -> None:
             ),
             "broadcast_join": "BroadcastHashJoin" in plan
             or "BroadcastNestedLoopJoin" in plan,
-            "wholestage_codegen": "WholeStageCodegen" in plan,
+            "wholestage_codegen": "*(" in simple,
             "no_cartesian": "CartesianProduct" not in plan,
         }
         print("CHECKS:", checks)

@@ -119,3 +119,115 @@ def test_streaming_wrapper_available_now(spark, tmp_path):
     q2.awaitTermination(120)
     ids = {r["asset_id"] for r in spark.read.parquet(sink).collect()}
     assert ids == {"asset_5", "asset_7"}
+
+
+# ---------------------------------------------------------------------------
+# event-time streaming: watermarked windows + stateful sessionization
+# ---------------------------------------------------------------------------
+
+from visual_asset_management_system_spark.streaming.windows import (  # noqa: E402
+    read_events_stream,
+    run_stream_to_parquet,
+    sessionize_stateful,
+    windowed_event_counts,
+)
+
+
+def _write_events(path: str, rows: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, f"ev_{len(os.listdir(path))}.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ev(eid, uid, etype, value, ts):
+    return {
+        "event_id": eid,
+        "user_id": uid,
+        "event_type": etype,
+        "value": value,
+        "ts": ts,
+    }
+
+
+def test_windowed_counts_emit_on_watermark_and_drop_late(spark, tmp_path):
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "winsink")
+    ckpt = str(tmp_path / "winckpt")
+
+    # batch 1: two events in the 10:00 window; max ts 11:40 → watermark
+    # after this batch = 11:10, which passes 10:00-11:00's end
+    _write_events(
+        src,
+        [
+            _ev(1, 1, "click", 1.0, "2024-01-01T10:05:00Z"),
+            _ev(2, 1, "click", 2.0, "2024-01-01T10:20:00Z"),
+            _ev(3, 1, "click", 4.0, "2024-01-01T11:40:00Z"),
+        ],
+    )
+    q = run_stream_to_parquet(
+        windowed_event_counts(read_events_stream(spark, src)), sink, ckpt
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window_start"].isoformat(), r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert rows == {("2024-01-01T10:00:00", 2, 3.0)}
+
+    # batch 2: a LATE event for the already-closed 10:00 window (behind
+    # the 11:10 watermark → dropped) plus a 12:50 event that closes the
+    # 11:00 window (watermark moves to 12:20)
+    _write_events(
+        src,
+        [
+            _ev(4, 1, "click", 99.0, "2024-01-01T10:30:00Z"),
+            _ev(5, 1, "click", 8.0, "2024-01-01T12:50:00Z"),
+        ],
+    )
+    q2 = run_stream_to_parquet(
+        windowed_event_counts(read_events_stream(spark, src)), sink, ckpt
+    )
+    q2.awaitTermination(120)
+    rows = {
+        (r["window_start"].isoformat(), r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # late event 4 is absent; 11:00 window has only event 3
+    assert rows == {
+        ("2024-01-01T10:00:00", 2, 3.0),
+        ("2024-01-01T11:00:00", 1, 4.0),
+    }
+
+
+def test_stateful_sessionize_across_microbatches(spark, tmp_path):
+    src = str(tmp_path / "sess_events")
+    sink = str(tmp_path / "sesssink")
+    ckpt = str(tmp_path / "sessckpt")
+
+    # batch 1: one tight burst (a single open session) → nothing emitted
+    _write_events(
+        src,
+        [
+            _ev(1, 7, "click", 1.0, "2024-01-01T10:00:00Z"),
+            _ev(2, 7, "click", 2.0, "2024-01-01T10:10:00Z"),
+        ],
+    )
+    q = run_stream_to_parquet(
+        sessionize_stateful(read_events_stream(spark, src)), sink, ckpt
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 0
+
+    # batch 2: an event >30 min later closes the pending session
+    _write_events(src, [_ev(3, 7, "click", 4.0, "2024-01-01T11:30:00Z")])
+    q2 = run_stream_to_parquet(
+        sessionize_stateful(read_events_stream(spark, src)), sink, ckpt
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 7 and r["n_events"] == 2 and r["sum_value"] == 3.0
+    assert r["session_start"].isoformat() == "2024-01-01T10:00:00"
+    assert r["session_end"].isoformat() == "2024-01-01T10:10:00"

@@ -1,0 +1,167 @@
+"""Event-time streaming operators: watermarked windows + stateful sessions.
+
+The reference's streaming layer is stateless CDC (SURVEY §2.9 — no
+event-time semantics at all); these operators are the *additive*
+capabilities a training-data pipeline needs over the ``events`` stream:
+
+- ``windowed_event_counts`` — tumbling event-time aggregation with a
+  watermark: late rows beyond the watermark are dropped, in-flight
+  windows are held in state until the watermark passes their end.
+  At 100 TB-rate the state is bounded by (watermark horizon ×
+  distinct keys), not by stream length — that is the entire point of
+  declaring the watermark.
+- ``sessionize_stateful`` — custom stateful operator via
+  ``applyInPandasWithState``: per-user session assembly with explicit
+  state (the pending open session), emitting sessions as their closing
+  gap is observed. This is the engine's pattern for operators Spark's
+  built-in windowing can't express.
+
+Batch mirrors of both exist as oracle-backed queries
+(q_events_tumbling, q_events_sessionize) — the streaming forms reuse
+the same semantics so a kappa replay matches the batch result.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: schema of the events change stream (file/kafka source)
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, "
+    "value double, ts timestamp"
+)
+
+SESSION_GAP_S = 1800  # 30 min — matches the batch q_events_sessionize
+
+
+def read_events_stream(spark, events_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("json")
+        .load(events_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time counts with late-data handling.
+
+    Append-mode output: a window row is emitted exactly once, when the
+    watermark passes its end; rows later than the watermark are dropped
+    (the documented late-data contract, replacing the reference's
+    implicit last-writer-wins).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events int, sum_value double"
+)
+SESSION_STATE_SCHEMA = "ts array<double>, vals array<double>"
+
+
+def _sessionize_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user session assembly: merge pending events with the batch,
+    emit every session closed by a ≥gap silence, keep the trailing open
+    session in state. Timestamps ride as epoch-second doubles (state
+    schemas are Arrow-simple types)."""
+    (user_id,) = key
+    rows: list[tuple[float, float]] = []
+    if state.exists:
+        ts_list, val_list = state.get
+        rows.extend(zip(ts_list, val_list))
+    for pdf in pdfs:
+        secs = pdf["ts"].astype("int64") / 1e9
+        rows.extend(zip(secs.tolist(), pdf["value"].tolist()))
+    rows.sort()
+
+    sessions: list[list[tuple[float, float]]] = [[]]
+    for ts, val in rows:
+        if sessions[-1] and ts - sessions[-1][-1][0] > SESSION_GAP_S:
+            sessions.append([])
+        sessions[-1].append((ts, val))
+
+    closed, open_session = sessions[:-1], sessions[-1]
+    if open_session:
+        state.update(
+            ([t for t, _ in open_session], [v for _, v in open_session])
+        )
+    else:
+        state.remove()
+
+    out = [
+        {
+            "user_id": user_id,
+            "session_start": pd.Timestamp(s[0][0], unit="s"),
+            "session_end": pd.Timestamp(s[-1][0], unit="s"),
+            "n_events": len(s),
+            "sum_value": float(sum(v for _, v in s)),
+        }
+        for s in closed
+    ]
+    if out:
+        yield pd.DataFrame(out)
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user sessionization with an explicit pending-session state.
+
+    State size is O(open sessions), independent of stream length. The
+    trailing open session is only emitted once a later event closes it —
+    deterministic without relying on wall-clock timeouts.
+    """
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """availableNow run of any streaming DF into a parquet sink."""
+    return (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
