@@ -121,6 +121,191 @@ def test_streaming_wrapper_available_now(spark, tmp_path):
     assert ids == {"asset_5", "asset_7"}
 
 
+def _dir_snapshot(root: str) -> dict[str, tuple]:
+    """Map of every data file under root → (size, mtime_ns) — used to
+    prove untouched partition directories are untouched."""
+    snap = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            st = os.stat(p)
+            snap[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return snap
+
+
+def test_cdc_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    from visual_asset_management_system_spark.streaming.cdc import _partition_of
+
+    sink = str(tmp_path / "sink_partial")
+    recompute = _recompute_factory(spark)
+
+    schema = (
+        "seq long, event_name string, source string, database_id string, "
+        "asset_id string, new_image string, event_time timestamp"
+    )
+    batch1 = spark.createDataFrame(
+        [(i, "INSERT", "assets", "db_1", f"asset_{i}", None, None) for i in range(20)],
+        schema,
+    )
+    apply_cdc_batch(batch1, recompute, sink)
+
+    before = _dir_snapshot(sink)
+    batch2 = spark.createDataFrame(
+        [(100, "MODIFY", "assets", "db_1", "asset_3", None, None)], schema
+    )
+    apply_cdc_batch(batch2, recompute, sink)
+    after = _dir_snapshot(sink)
+
+    touched = {
+        r["_part"]
+        for r in _partition_of(
+            batch2.select("database_id", "asset_id"), ["database_id", "asset_id"]
+        ).collect()
+    }
+    assert len(touched) == 1
+    touched_dir = f"_part={touched.pop()}"
+    for path, sig in before.items():
+        if path.startswith("_part=") and not path.startswith(touched_dir):
+            assert after.get(path) == sig, f"untouched partition file changed: {path}"
+    # and the data is still a correct merge
+    rows = {r["asset_id"] for r in spark.read.parquet(sink).collect()}
+    assert rows == {f"asset_{i}" for i in range(20)}
+
+
+def test_cdc_remove_clears_emptied_partition(spark, tmp_path):
+    """A REMOVE that empties a hash partition must not leave stale rows."""
+    sink = str(tmp_path / "sink_empty")
+    recompute = _recompute_factory(spark)
+    schema = (
+        "seq long, event_name string, source string, database_id string, "
+        "asset_id string, new_image string, event_time timestamp"
+    )
+    batch1 = spark.createDataFrame(
+        [(1, "INSERT", "assets", "db_1", "asset_1", None, None)], schema
+    )
+    apply_cdc_batch(batch1, recompute, sink)
+    assert spark.read.parquet(sink).count() == 1
+
+    batch2 = spark.createDataFrame(
+        [(2, "REMOVE", "assets", "db_1", "asset_1", None, None)], schema
+    )
+    apply_cdc_batch(batch2, recompute, sink)
+    # the lone partition dir is gone (or empty) — no stale asset_1 row
+    remaining = [
+        d for d in os.listdir(sink) if d.startswith("_part=")
+        and os.listdir(os.path.join(sink, d))
+    ]
+    if remaining:
+        assert spark.read.parquet(sink).filter("asset_id = 'asset_1'").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# change routing, derived triggers, event filtering
+# ---------------------------------------------------------------------------
+
+from visual_asset_management_system_spark.streaming.cdc import (  # noqa: E402
+    ROUTED_CHANGE_LOG_SCHEMA,
+    apply_routed_cdc_batch,
+    filter_events,
+    route_changes,
+)
+
+
+def _routed_row(
+    seq, event, source, db, asset, file_path=None, to_db=None, to_asset=None
+):
+    return (seq, event, source, db, asset, None, None, file_path, to_db, to_asset)
+
+
+def test_route_changes_link_triggers_both_endpoints(spark):
+    batch = spark.createDataFrame(
+        [_routed_row(1, "INSERT", "asset_links", "db_1", "asset_1",
+                     to_db="db_2", to_asset="asset_9")],
+        ROUTED_CHANGE_LOG_SCHEMA,
+    )
+    routed = route_changes(batch).collect()
+    keys = {(r["target"], r["database_id"], r["asset_id"]) for r in routed}
+    # derived trigger: BOTH endpoint assets re-indexed (assetIndexer.py:921-996)
+    assert keys == {("asset", "db_1", "asset_1"), ("asset", "db_2", "asset_9")}
+    assert all(r["event_name"] == "MODIFY" for r in routed)
+
+
+def test_route_changes_metadata_dispatch_by_path(spark):
+    batch = spark.createDataFrame(
+        [
+            _routed_row(1, "MODIFY", "metadata", "db_1", "asset_1", file_path="/"),
+            _routed_row(2, "MODIFY", "metadata", "db_1", "asset_2",
+                        file_path="/f/1_1.glb"),
+        ],
+        ROUTED_CHANGE_LOG_SCHEMA,
+    )
+    routed = route_changes(batch).collect()
+    by_asset = {r["asset_id"]: r["target"] for r in routed}
+    # filePath '/' → asset-level metadata; else file-level (assetIndexer.py:892-900)
+    assert by_asset == {"asset_1": "asset", "asset_2": "file"}
+
+
+def test_filter_events_drops_folder_markers_and_excluded_prefixes(spark):
+    batch = spark.createDataFrame(
+        [
+            _routed_row(1, "INSERT", "s3", "db_1", "asset_1", file_path="a/folder/"),
+            _routed_row(2, "INSERT", "s3", "db_1", "asset_2",
+                        file_path="previews/a/thumb.png"),
+            _routed_row(3, "INSERT", "s3", "db_1", "asset_3",
+                        file_path="pipelines/tmp/out.bin"),
+            _routed_row(4, "INSERT", "s3", "db_1", "asset_4", file_path="a/real.glb"),
+            # non-S3 sources are never prefix-filtered
+            _routed_row(5, "MODIFY", "assets", "db_1", "asset_5"),
+        ],
+        ROUTED_CHANGE_LOG_SCHEMA,
+    )
+    kept = {r["asset_id"] for r in filter_events(batch).collect()}
+    assert kept == {"asset_4", "asset_5"}
+
+
+def test_apply_routed_cdc_batch_writes_both_sinks(spark, tmp_path):
+    asset_sink = str(tmp_path / "routed_assets")
+    file_sink = str(tmp_path / "routed_files")
+
+    asset_base = spark.createDataFrame(
+        [("db_1", f"asset_{i}", f"name {i}") for i in range(10)],
+        "database_id string, asset_id string, asset_name string",
+    )
+    file_base = spark.createDataFrame(
+        [("db_1", f"asset_{i}", f"/f/{i}.glb", i * 100) for i in range(10)],
+        "database_id string, asset_id string, file_path string, file_size long",
+    )
+
+    def recompute_assets(keys):
+        return asset_base.join(keys, ["database_id", "asset_id"], "left_semi")
+
+    def recompute_files(keys):
+        return file_base.join(
+            keys, ["database_id", "asset_id", "file_path"], "left_semi"
+        )
+
+    batch = spark.createDataFrame(
+        [
+            _routed_row(1, "INSERT", "assets", "db_1", "asset_1"),
+            _routed_row(2, "INSERT", "s3", "db_1", "asset_2", file_path="/f/2.glb"),
+            _routed_row(3, "INSERT", "s3", "db_1", "asset_3",
+                        file_path="previews/skip.png"),
+        ],
+        ROUTED_CHANGE_LOG_SCHEMA,
+    )
+    apply_routed_cdc_batch(
+        batch,
+        {"asset": recompute_assets, "file": recompute_files},
+        {"asset": asset_sink, "file": file_sink},
+    )
+    assert {r["asset_id"] for r in spark.read.parquet(asset_sink).collect()} == {
+        "asset_1"
+    }
+    assert {r["file_path"] for r in spark.read.parquet(file_sink).collect()} == {
+        "/f/2.glb"
+    }
+
+
 # ---------------------------------------------------------------------------
 # event-time streaming: watermarked windows + stateful sessionization
 # ---------------------------------------------------------------------------

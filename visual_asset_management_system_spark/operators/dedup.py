@@ -64,13 +64,20 @@ def drop_exact_duplicates(
 # shingles / minhash
 # --------------------------------------------------------------------------
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles as an array<string> column."""
+    """Distinct n-word shingles as an array<string> column.
+
+    Documents shorter than ``n`` tokens yield an EMPTY array (not a
+    single truncated/empty shingle): otherwise every empty doc shares
+    one identical ''-shingle signature, forming a jaccard=1.0 clique and
+    one giant skewed LSH bucket at scale."""
     toks = tokens(F.lower(text))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingled = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
-    return F.array_distinct(shingled)
+    return F.when(F.size(toks) >= n, F.array_distinct(shingled)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 #: Mersenne prime 2^31−1 — same modulus family as MLlib's MinHashLSH;
@@ -237,9 +244,13 @@ def minhash_dedup(
         )
     rows_per_band = num_hashes // bands
     # the signature relation feeds three plan branches (banding + both
-    # verification sides); persist it so the corpus is shingled/hashed
-    # exactly once. k longs per doc — tiny relative to the corpus.
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
+    # verification sides); eager localCheckpoint materializes it once
+    # (k longs per doc — tiny relative to the corpus) and, unlike a bare
+    # persist(), its blocks are released by the ContextCleaner when the
+    # result DataFrame is garbage-collected — no per-call cache leak.
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
     banded = _banded(sig, bands, rows_per_band)
     l, r = banded.alias("l"), banded.alias("r")
     cands = (

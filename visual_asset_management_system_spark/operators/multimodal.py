@@ -97,7 +97,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB image resize — raises for non-stub use, keeps the plumbing.
+    """STUB image resize — metadata-only (no pixel transform).
 
     Real codecs absent in this container (see module docstring). The
     returned plan updates the meta struct; content passes through

@@ -89,6 +89,29 @@ def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def probe_buckets(
+    query_vector: list[float],
+    planes: np.ndarray,
+    multiprobe_hamming: int = 1,
+) -> list[int]:
+    """The query's LSH bucket plus every bucket within ``multiprobe_hamming``
+    bit flips (all C(n_planes, d) combinations for d ≤ the requested
+    distance — not just single flips)."""
+    import itertools
+
+    n_planes = len(planes)
+    signs = (planes @ np.asarray(query_vector, dtype=np.float64)) > 0
+    qbucket = int(sum(1 << i for i, s in enumerate(signs) if s))
+    probe = {qbucket}
+    for d in range(1, multiprobe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), d):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe.add(qbucket ^ flip)
+    return sorted(probe)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vector: list[float],
@@ -98,38 +121,67 @@ def lsh_topk(
     n_planes: int = 8,
     multiprobe_hamming: int = 1,
     seed: int = 42,
+    bucket_col: str | None = None,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's LSH bucket (+ buckets within
-    ``multiprobe_hamming`` bit flips), exact cosine within the probe set.
+    """Approximate top-k: probe the query's LSH bucket (+ multiprobe
+    neighbors), exact cosine within the probe set.
 
-    The bucket predicate is an IN-list over a derivable column — with the
-    corpus written partitioned/clustered by bucket, the scan prunes to
-    the probed partitions; that is the 100 TB story.
+    If ``bucket_col`` names a pre-materialized bucket column (written by
+    :func:`write_bucketed_embeddings`, where it is the partition key),
+    the probe is a pure IN-list filter on it — Catalyst turns that into
+    partition pruning and the scan touches |probe|/2^n_planes of the
+    data. Without it the bucket is computed on the fly (a correctness/
+    fallback path that still scans the corpus — not the 100 TB path).
     """
     planes = _hyperplanes(len(query_vector), n_planes, seed)
-    signs = (planes @ np.asarray(query_vector, dtype=np.float64)) > 0
-    qbucket = int(sum(1 << i for i, s in enumerate(signs) if s))
-    probe = {qbucket}
-    if multiprobe_hamming >= 1:
-        probe |= {qbucket ^ (1 << i) for i in range(n_planes)}
-    bucketed = embeddings.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
-    candidates = bucketed.filter(F.col("_bucket").isin(*sorted(probe)))
+    probe = probe_buckets(query_vector, planes, multiprobe_hamming)
+    if bucket_col is not None:
+        candidates = embeddings.filter(F.col(bucket_col).isin(*probe))
+    else:
+        bucketed = embeddings.withColumn(
+            "_bucket", lsh_bucket(F.col(vec_col), planes)
+        )
+        candidates = bucketed.filter(F.col("_bucket").isin(*probe))
     return cosine_topk(candidates, query_vector, k, id_col, vec_col)
+
+
+def write_bucketed_embeddings(
+    embeddings: DataFrame,
+    out_dir: str,
+    dim: int,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> None:
+    """Materialize the corpus partitioned by LSH bucket — the ANN write
+    path. One pass computes the signature and writes parquet with
+    ``bucket`` as the partition directory key, so a probe reads only the
+    probed directories (PartitionFilters in the scan, no full scan).
+    At cluster scale the same layout is a Delta/Iceberg partition or
+    cluster key; 2^n_planes directories (256 for the default 8 planes)
+    keeps partitions coarse enough for large row groups."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    (
+        embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
 
 
 def pairwise_cosine_within_buckets(
     embeddings: DataFrame,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
     min_cosine: float = 0.8,
     seed: int = 42,
-    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: exact cosine within LSH buckets only —
-    the embedding-cosine variant of MinHash-LSH dedup."""
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+    the embedding-cosine variant of MinHash-LSH dedup. ``dim`` is the
+    embedding dimensionality, passed explicitly (a ``.first()`` sniff
+    would be a driver round-trip before every plan)."""
     planes = _hyperplanes(dim, n_planes, seed)
     b = embeddings.select(
         F.col(id_col).alias("id"),

@@ -7,6 +7,12 @@ The Spark-native re-expression is kappa-style:
 
     change_log (file/kafka stream of INSERT|MODIFY|REMOVE rows)
       → readStream → foreachBatch:
+          route        = dispatch each event to its target index(es)
+                         (assetIndexer.py:1002-1110), expanding derived
+                         triggers (a link change re-indexes BOTH endpoint
+                         assets, assetIndexer.py:921-996) and dropping
+                         filtered events (folder markers, excluded
+                         prefixes — fileIndexer.py:879-912)
           affected keys = distinct entity keys in the micro-batch
           recompute    = same joins as the batch rebuild, restricted to
                          those keys (semi-join — incremental, not full)
@@ -15,9 +21,12 @@ The Spark-native re-expression is kappa-style:
 Identical code does the full rebuild (crReindexer equivalent): the
 batch builders in operators.search_tables ARE the recompute step; this
 module adds the merge sink and the stream wrapper. With a Delta runtime
-the merge becomes ``MERGE INTO``; on plain parquet we rewrite only the
-hash-partition directories whose keys appear in the batch — bounded
-work per micro-batch, at-least-once + idempotent = effectively-once.
+the merge becomes ``MERGE INTO``; on plain parquet the merge rewrites
+ONLY the hash-partition directories whose keys appear in the batch —
+work per micro-batch is O(touched partitions), never O(table). The
+per-directory swap is the non-transactional analog of dynamic partition
+overwrite; a crash mid-swap leaves other partitions intact and the
+at-least-once replay + idempotent recompute repairs the touched one.
 """
 
 from __future__ import annotations
@@ -37,6 +46,17 @@ CHANGE_LOG_SCHEMA = (
     "database_id string, asset_id string, new_image string, event_time timestamp"
 )
 
+#: extended schema for the routed pipeline: file/metadata events carry a
+#: file_path, link events carry the second endpoint.
+ROUTED_CHANGE_LOG_SCHEMA = (
+    CHANGE_LOG_SCHEMA
+    + ", file_path string, to_database_id string, to_asset_id string"
+)
+
+#: S3-event exclusion rules (fileIndexer.py:879-912): folder markers and
+#: non-indexable prefixes (pipeline scratch, previews, temp uploads).
+EXCLUDED_KEY_PREFIXES = ("pipelines/", "previews/", "temp-uploads/")
+
 
 def _partition_of(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return df.withColumn(
@@ -55,40 +75,167 @@ def apply_cdc_batch(
     ``recompute(keys_df) -> DataFrame`` rebuilds the search rows for the
     given distinct keys (the streaming analog of the full rebuild,
     restricted by semi-join). REMOVE events drop their rows.
+
+    Partial rewrite: only the hash-partition directories whose keys
+    appear in the batch are read, merged, and swapped; untouched
+    directories are never opened. The ``collect()`` of touched partition
+    ids is bounded by N_SINK_PARTITIONS (≤32 rows).
     """
     spark = batch.sparkSession
     keys = batch.select(*key_cols).distinct()
     removes = (
         batch.filter(F.col("event_name") == "REMOVE").select(*key_cols).distinct()
     )
-    fresh = recompute(keys).join(removes, list(key_cols), "left_anti")
+    fresh = _partition_of(
+        recompute(keys).join(removes, list(key_cols), "left_anti"), list(key_cols)
+    )
 
     if not os.path.isdir(sink_dir) or not os.listdir(sink_dir):
-        _partition_of(fresh, list(key_cols)).write.partitionBy("_part").mode(
-            "overwrite"
-        ).parquet(sink_dir)
+        fresh.write.partitionBy("_part").mode("overwrite").parquet(sink_dir)
         return
 
-    existing = spark.read.parquet(sink_dir)
-    # merge = existing rows not touched by this batch + fresh rows,
-    # rewritten only for the hash partitions the batch touches
-    touched = [
+    touched = sorted(
         r["_part"]
         for r in _partition_of(keys, list(key_cols)).select("_part").distinct().collect()
-    ]
-    untouched_kept = existing.filter(~F.col("_part").isin(touched))
-    touched_kept = (
-        existing.filter(F.col("_part").isin(touched))
-        .join(keys, list(key_cols), "left_anti")
     )
-    merged = untouched_kept.unionByName(
-        touched_kept
-    ).unionByName(_partition_of(fresh, list(key_cols)))
+    existing_touched = spark.read.parquet(sink_dir).filter(
+        F.col("_part").isin(touched)
+    )
+    # merged = surviving old rows of touched partitions + fresh rows;
+    # fresh keys hash into touched partitions by construction.
+    merged = existing_touched.join(keys, list(key_cols), "left_anti").unionByName(
+        fresh
+    )
 
-    tmp = sink_dir.rstrip("/") + ".tmp"
-    merged.write.partitionBy("_part").mode("overwrite").parquet(tmp)
-    shutil.rmtree(sink_dir)
-    os.replace(tmp, sink_dir)
+    staging = sink_dir.rstrip("/") + ".staging"
+    merged.write.partitionBy("_part").mode("overwrite").parquet(staging)
+    try:
+        for p in touched:
+            src = os.path.join(staging, f"_part={p}")
+            dst = os.path.join(sink_dir, f"_part={p}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+            # else: every row of partition p was deleted → dir stays gone
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# change routing, derived triggers, event filtering
+# ---------------------------------------------------------------------------
+
+def filter_events(batch: DataFrame) -> DataFrame:
+    """Drop non-indexable events (fileIndexer.py:879-912): S3 folder
+    markers (keys ending '/') and excluded prefixes (pipeline outputs,
+    previews, temp uploads). Pure stream filter — runs before routing."""
+    path = F.coalesce(F.col("file_path"), F.lit(""))
+    rel = F.regexp_replace(path, r"^/", "")
+    is_s3 = F.col("source").isin("s3", "files")
+    is_folder_marker = path.endswith("/")
+    excluded = F.lit(False)
+    for p in EXCLUDED_KEY_PREFIXES:
+        excluded = excluded | rel.startswith(p)
+    return batch.filter(~(is_s3 & (is_folder_marker | excluded)))
+
+
+def route_changes(batch: DataFrame) -> DataFrame:
+    """Dispatch one change-log micro-batch to its target index(es).
+
+    Returns (target, event_name, database_id, asset_id, file_path) where
+    target ∈ {'asset', 'file'}:
+
+    - ``assets`` rows        → asset index for that asset;
+    - ``metadata`` rows      → asset index iff file_path == '/'
+      (assetIndexer.py:892-900), else file index for that file;
+    - ``asset_links`` rows   → derived trigger: BOTH endpoint assets
+      re-indexed (assetIndexer.py:921-996). A link INSERT/MODIFY/REMOVE
+      is always an upsert of the endpoints (their flag columns change,
+      the assets themselves still exist), so event_name maps to MODIFY;
+    - ``s3``/``files`` rows  → file index (after filter_events).
+    """
+    batch = filter_events(batch)
+    src = F.col("source")
+    path = F.coalesce(F.col("file_path"), F.lit("/"))
+
+    assets = batch.filter(src == "assets").select(
+        F.lit("asset").alias("target"),
+        F.col("event_name"),
+        F.col("database_id"),
+        F.col("asset_id"),
+        F.lit(None).cast("string").alias("file_path"),
+    )
+    md = batch.filter(src == "metadata")
+    md_asset = md.filter(path == "/").select(
+        F.lit("asset").alias("target"),
+        F.col("event_name"),
+        F.col("database_id"),
+        F.col("asset_id"),
+        F.lit(None).cast("string").alias("file_path"),
+    )
+    md_file = md.filter(path != "/").select(
+        F.lit("file").alias("target"),
+        F.col("event_name"),
+        F.col("database_id"),
+        F.col("asset_id"),
+        F.col("file_path"),
+    )
+    links = batch.filter(src == "asset_links")
+    link_from = links.select(
+        F.lit("asset").alias("target"),
+        F.lit("MODIFY").alias("event_name"),
+        F.col("database_id"),
+        F.col("asset_id"),
+        F.lit(None).cast("string").alias("file_path"),
+    )
+    link_to = links.select(
+        F.lit("asset").alias("target"),
+        F.lit("MODIFY").alias("event_name"),
+        F.col("to_database_id").alias("database_id"),
+        F.col("to_asset_id").alias("asset_id"),
+        F.lit(None).cast("string").alias("file_path"),
+    )
+    file_events = batch.filter(src.isin("s3", "files")).select(
+        F.lit("file").alias("target"),
+        F.col("event_name"),
+        F.col("database_id"),
+        F.col("asset_id"),
+        F.col("file_path"),
+    )
+    return (
+        assets.unionByName(md_asset)
+        .unionByName(md_file)
+        .unionByName(link_from)
+        .unionByName(link_to)
+        .unionByName(file_events)
+    )
+
+
+def apply_routed_cdc_batch(
+    batch: DataFrame,
+    recomputes: dict[str, object],
+    sink_dirs: dict[str, str],
+) -> None:
+    """Routed micro-batch: dispatch events per target index, then run the
+    partial-rewrite merge per target. ``recomputes``/``sink_dirs`` map
+    target ('asset' / 'file') → recompute fn / sink directory.
+
+    Asset-index keys are (database_id, asset_id); file-index keys add
+    file_path. File events whose path is unknown (NULL) re-index at the
+    asset grain on the file index recompute's discretion.
+    """
+    routed = route_changes(batch)
+    for target, key_cols in (
+        ("asset", ["database_id", "asset_id"]),
+        ("file", ["database_id", "asset_id", "file_path"]),
+    ):
+        if target not in sink_dirs:
+            continue
+        sub = routed.filter(F.col("target") == target)
+        if sub.isEmpty():
+            continue
+        apply_cdc_batch(sub, recomputes[target], sink_dirs[target], key_cols)
 
 
 def start_search_table_stream(
@@ -112,6 +259,35 @@ def start_search_table_stream(
         if batch.isEmpty():
             return
         apply_cdc_batch(batch, recompute, sink_dir, key_cols)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_routed_stream(
+    spark: SparkSession,
+    change_log_dir: str,
+    sink_dirs: dict[str, str],
+    recomputes: dict[str, object],
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Routed variant: one change-log stream feeding BOTH search tables
+    through route_changes (the full assetIndexer/fileIndexer dispatch)."""
+    stream = (
+        spark.readStream.schema(ROUTED_CHANGE_LOG_SCHEMA)
+        .format("json")
+        .load(change_log_dir)
+    )
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        apply_routed_cdc_batch(batch, recomputes, sink_dirs)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
