@@ -79,18 +79,42 @@ def build_search_assets(
     return df
 
 
-def build_search_files(files: DataFrame, assets: DataFrame) -> DataFrame:
+def build_search_files(
+    files: DataFrame,
+    assets: DataFrame,
+    file_metadata: DataFrame | None = None,
+    file_attributes: DataFrame | None = None,
+) -> DataFrame:
     """The file search document table: file rows enriched with the parent
-    asset's name and tags (fileIndexer.py:323-341, 613-665).
+    asset's name and tags (fileIndexer.py:323-341, 613-665), the file-level
+    metadata map (the ``MD_`` flat object — models/indexing.py:154-172,
+    file-path-keyed rows per assetIndexer.py:892-900) and the pipeline
+    attribute map (``AB_`` — models/indexing.py:174-192).
 
     N:1 equi-join on (database_id, asset_id); the asset side is the
     smaller dimension — at 100 TB both sides are big, so this is a sort-
     merge join on the co-partitioned key; with bucketed storage it's
-    shuffle-free."""
+    shuffle-free. The metadata/attribute map aggregations shuffle on the
+    same (database_id, asset_id, file_key) the join uses, so AQE reuses
+    the partitioning."""
     asset_dim = assets.select(
         "database_id",
         "asset_id",
         F.col("asset_name"),
         F.array("tag1", "tag2").alias("tags"),
     )
-    return files.join(asset_dim, ["database_id", "asset_id"], "left")
+    df = files.join(asset_dim, ["database_id", "asset_id"], "left")
+    file_keys = ["database_id", "asset_id", "file_key"]
+    if file_metadata is not None:
+        md = metadata_map(file_metadata, entity_keys=file_keys)
+        df = df.join(md, file_keys, "left")
+    if file_attributes is not None:
+        ab = metadata_map(
+            file_attributes,
+            entity_keys=file_keys,
+            key_col="attribute_key",
+            value_col="attribute_value",
+            out_col="attributes",
+        )
+        df = df.join(ab, file_keys, "left")
+    return df

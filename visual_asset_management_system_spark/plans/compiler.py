@@ -122,11 +122,18 @@ class SearchCompiler:
                 df = df.filter(F.lit(False))
 
         if req.metadata_query and "metadata" in cols:
-            df = df.filter(
-                compile_metadata_query(
-                    req.metadata_query, "metadata", req.metadata_search_mode
-                )
+            pred = compile_metadata_query(
+                req.metadata_query, "metadata", req.metadata_search_mode
             )
+            # file docs also carry the AB_ pipeline-attribute flat object;
+            # value-mode searches span MD_._value AND AB_._value
+            # (search.py:787-811: fields = ["MD_._value", "AB_._value"]
+            # if index_type == "file")
+            if req.metadata_search_mode == "value" and "attributes" in cols:
+                pred = pred | compile_metadata_query(
+                    req.metadata_query, "attributes", "value"
+                )
+            df = df.filter(pred)
         elif req.metadata_query:
             df = df.filter(F.lit(False))
 

@@ -98,23 +98,33 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, sql in VAMS_VIEW_SQL.items():
         t[name] = spark.sql(sql)
         t[name].createOrReplaceTempView(name)
+    # The search tables are MAINTAINED state in the architecture (CDC keeps
+    # them current — streaming/cdc.py); a per-query rebuild would charge
+    # every search with its own index build. persist() materializes them
+    # once per (session, sf_dir) — the local[..] analog of the parquet/Delta
+    # table the cluster deployment reads.
     t["search_assets"] = build_search_assets(
         t["assets"], t["buckets"], t["metadata"], t["asset_links"]
-    )
-    t["search_files"] = build_search_files(t["files"], t["assets"])
+    ).persist()
+    t["search_files"] = build_search_files(
+        t["files"], t["assets"], t["file_metadata"], t["file_attributes"]
+    ).persist()
     _tables_cache[key] = t
     return t
 
 
 def _query_vector(sf_dir: str, vec_id: int = 0) -> list[float]:
+    """One embedding row via parquet row-group filter pushdown — never a
+    full-table driver materialization (the 100 TB posture: a point lookup
+    reads only the row groups whose statistics admit the key)."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"],
+        filters=[("vec_id", "==", vec_id)],
     )
-    df = tbl.to_pandas()
-    row = df[df.vec_id == vec_id].iloc[0]
-    return [float(x) for x in row.embedding]
+    return [float(x) for x in tbl.column("embedding")[0].as_py()]
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -845,6 +855,77 @@ def q_vams_metadata_exists(spark, sf_dir):
         size=2000,
     )
     return sc.hits(req).select("database_id", "asset_id")
+
+
+@query(
+    "q_vams_file_metadata_query",
+    oracle_with("files", "file_metadata")
+    + """
+    SELECT f.database_id, f.asset_id, f.file_key
+    FROM files f JOIN (
+        SELECT database_id, asset_id, file_key,
+               MAX(CASE WHEN metadata_key = 'codec' THEN metadata_value END)
+                   AS codec
+        FROM file_metadata GROUP BY database_id, asset_id, file_key
+    ) m ON f.database_id = m.database_id AND f.asset_id = m.asset_id
+       AND f.file_key = m.file_key
+    WHERE NOT f.is_archived AND contains(lower(m.codec), 'pro')
+    ORDER BY f.database_id, f.asset_id, f.file_key
+    LIMIT 2000
+    """,
+)
+def q_vams_file_metadata_query(spark, sf_dir):
+    """metadataQuery against FILE docs — the MD_ flat object on the file
+    index (search.py:787-811, 1272-1303; models/indexing.py:154-172)."""
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(
+        entity_types=("file",),
+        metadata_query="codec:pro",
+        sort=[
+            SortSpec("database_id"), SortSpec("asset_id"), SortSpec("file_key"),
+        ],
+        size=2000,
+    )
+    return sc.hits(req).select("database_id", "asset_id", "file_key")
+
+
+@query(
+    "q_vams_file_attr_value_search",
+    oracle_with("files", "file_metadata", "file_attributes")
+    + """
+    SELECT f.database_id, f.asset_id, f.file_key
+    FROM files f
+    WHERE NOT f.is_archived AND (
+        EXISTS (SELECT 1 FROM file_metadata m
+                WHERE m.database_id = f.database_id
+                  AND m.asset_id = f.asset_id AND m.file_key = f.file_key
+                  AND contains(lower(m.metadata_value), 'stage_3'))
+        OR EXISTS (SELECT 1 FROM file_attributes a
+                WHERE a.database_id = f.database_id
+                  AND a.asset_id = f.asset_id AND a.file_key = f.file_key
+                  AND contains(lower(a.attribute_value), 'stage_3'))
+    )
+    ORDER BY f.database_id, f.asset_id, f.file_key
+    LIMIT 2000
+    """,
+)
+def q_vams_file_attr_value_search(spark, sf_dir):
+    """Value-mode metadata search on file docs spans MD_._value AND
+    AB_._value (search.py:787-811) — any metadata OR pipeline-attribute
+    value matching the pattern hits."""
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(
+        entity_types=("file",),
+        metadata_query="any:stage_3",
+        metadata_search_mode="value",
+        sort=[
+            SortSpec("database_id"), SortSpec("asset_id"), SortSpec("file_key"),
+        ],
+        size=2000,
+    )
+    return sc.hits(req).select("database_id", "asset_id", "file_key")
 
 
 @query(

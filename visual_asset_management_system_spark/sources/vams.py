@@ -106,6 +106,59 @@ VAMS_VIEW_SQL: dict[str, str] = {
                                                                  AS metadata_value_type
         FROM orders
     """,
+    # lineitem -> file-level metadata EAV (MD_ on file docs). The
+    # reference's metadata table keys on databaseId:assetId:filePath with
+    # filePath != '/' meaning file-level (metadataService.py:1460-1479,
+    # assetIndexer.py:892-900); file docs expose it as the MD_ flat
+    # object (models/indexing.py:154-172). Two keys per file via
+    # UNION ALL; the 'frame_rate' leg covers only even orderkeys so the
+    # left join has misses to exercise.
+    "file_metadata": """
+        SELECT
+            'db_' || CAST(l_partkey % 20 AS STRING)          AS database_id,
+            'asset_' || CAST(l_partkey AS STRING)            AS asset_id,
+            '/f/' || CAST(l_orderkey AS STRING) || '_'
+                  || CAST(l_linenumber AS STRING) || '.'
+                  || CASE l_linenumber % 5 WHEN 0 THEN 'glb' WHEN 1 THEN 'gltf'
+                          WHEN 2 THEN 'png' WHEN 3 THEN 'ifc' ELSE 'obj' END
+                                                             AS file_key,
+            'codec'                                          AS metadata_key,
+            CASE l_suppkey % 4 WHEN 0 THEN 'h264' WHEN 1 THEN 'hevc'
+                 WHEN 2 THEN 'av1' ELSE 'prores' END         AS metadata_value
+        FROM lineitem
+        UNION ALL
+        SELECT
+            'db_' || CAST(l_partkey % 20 AS STRING),
+            'asset_' || CAST(l_partkey AS STRING),
+            '/f/' || CAST(l_orderkey AS STRING) || '_'
+                  || CAST(l_linenumber AS STRING) || '.'
+                  || CASE l_linenumber % 5 WHEN 0 THEN 'glb' WHEN 1 THEN 'gltf'
+                          WHEN 2 THEN 'png' WHEN 3 THEN 'ifc' ELSE 'obj' END,
+            'frame_rate',
+            CAST(CAST(FLOOR(l_quantity) AS BIGINT) % 60 + 1 AS STRING)
+        FROM lineitem WHERE l_orderkey % 2 = 0
+    """,
+    # lineitem -> pipeline attributes EAV (AB_ on file docs): outputs of
+    # workflow/pipeline runs attached to files
+    # (processWorkflowExecutionOutput.py; models/indexing.py:174-192).
+    # Sparse on purpose (every third order) — not all files have attrs.
+    "file_attributes": """
+        SELECT
+            'db_' || CAST(l_partkey % 20 AS STRING)          AS database_id,
+            'asset_' || CAST(l_partkey AS STRING)            AS asset_id,
+            '/f/' || CAST(l_orderkey AS STRING) || '_'
+                  || CAST(l_linenumber AS STRING) || '.'
+                  || CASE l_linenumber % 5 WHEN 0 THEN 'glb' WHEN 1 THEN 'gltf'
+                          WHEN 2 THEN 'png' WHEN 3 THEN 'ifc' ELSE 'obj' END
+                                                             AS file_key,
+            CASE l_suppkey % 2 WHEN 0 THEN 'pipeline_stage'
+                 ELSE 'quality_score' END                    AS attribute_key,
+            CASE l_suppkey % 2
+                 WHEN 0 THEN 'stage_' || CAST(l_linenumber AS STRING)
+                 ELSE CAST(CAST(l_discount AS DECIMAL(4,2)) AS STRING) END
+                                                             AS attribute_value
+        FROM lineitem WHERE l_orderkey % 3 = 0
+    """,
     # part -> asset_links: deterministic edges. parentChild edges form a
     # descending chain 48→42→…→12→6 plus the closing edge 6→48 — a real
     # cycle, exercising the cycle detection the reference does in
