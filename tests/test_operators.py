@@ -102,6 +102,34 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_lsh_ann_bucketed_probe_is_partition_pruned(spark, tmp_path):
+    """The materialized-bucket ANN path must prune the scan to the probed
+    partition directories (PartitionFilters on `bucket`) — never a full
+    corpus scan — and return the same result as the on-the-fly path."""
+    from visual_asset_management_system_spark.operators.similarity import (
+        write_bucketed_embeddings,
+    )
+    from visual_asset_management_system_spark.queries import _query_vector
+
+    emb = tables(spark, SF)["embeddings"]
+    qv = _query_vector(SF)
+    out = str(tmp_path / "bucketed")
+    write_bucketed_embeddings(emb, out, dim=len(qv))
+    bucketed = spark.read.parquet(out)
+
+    pruned = lsh_topk(bucketed, qv, k=10, bucket_col="bucket")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition filter must actually constrain `bucket`
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf and pf.strip() != ""
+
+    on_the_fly = lsh_topk(emb, qv, k=10)
+    assert [tuple(r) for r in pruned.collect()] == [
+        tuple(r) for r in on_the_fly.collect()
+    ]
+
+
 # -- scalar functions -------------------------------------------------------
 
 def test_sanitize_field_name():

@@ -1598,53 +1598,67 @@ def q_dedup_exact(spark, sf_dir):
 
 @query(
     "q_ngram_jaccard_topk",
-    f"""
+    """
     WITH toks AS (
-        SELECT doc_id, lang, source,
+        SELECT doc_id,
                list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                            t -> t <> '') AS toks
         FROM documents
-    ), sh AS (
-        SELECT doc_id, lang, source,
-               list_distinct(list_transform(
-                   range(0, GREATEST(len(toks) - 3, 0) + 1),
-                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
-               )) AS sh
+    ), corpus AS (
+        SELECT doc_id, toks FROM toks
+        UNION ALL
+        SELECT doc_id + 1000000,
+               list_slice(toks, 1, GREATEST(len(toks) - 5, 1))
         FROM toks
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+                   range(0, len(toks) - 3 + 1),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+               )) ELSE [] END AS sh
+        FROM corpus
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.sh, b.sh))
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.6
     ORDER BY jaccard DESC, id_a, id_b
-    LIMIT 20
+    LIMIT 50
     """,
 )
 def q_ngram_jaccard_topk(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (jaccard ≥ 0.6) over documents ∪ a
+    mutated copy (last 5 tokens dropped), so true near-duplicates exist
+    at every SF.
+
+    The engine path NEVER does an all-pairs join: candidates come from
+    banded MinHash LSH (equi-join on (band, band_hash) — 32 bands × 2
+    rows keeps candidate-recall ≈ 1 at jaccard ≥ 0.5) and only those
+    pairs get the exact shingle-set verification. The oracle is the
+    quadratic exact form — feasible at the correctness SF, and exactly
+    what the LSH plan must reproduce above the threshold.
+    """
+    from .operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
     t = tables(spark, sf_dir)
-    sh = t["documents"].select(
-        "doc_id", "lang", "source", word_shingles(F.col("text"), 3).alias("sh")
+    docs = t["documents"].select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda tok: tok != ""
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    cands = minhash_lsh_candidates(corpus, num_hashes=64, bands=32)
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(
-                F.size(F.array_intersect("a.sh", "b.sh"))
-                / F.size(F.array_union("a.sh", "b.sh")),
-                6,
-            ).alias("jaccard"),
-        )
+        ngram_jaccard_pairs(corpus, cands, threshold=0.6)
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
-        .limit(20)
+        .limit(50)
     )
 
 
@@ -1716,12 +1730,35 @@ def _lsh_oracle() -> str:
     """
 
 
+_bucketed_emb_cache: dict[tuple[int, str], str] = {}
+
+
+def _bucketed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN read path: embeddings materialized PARTITIONED BY the LSH
+    bucket (once per session × sf_dir), so a probe's bucket IN-list
+    becomes partition pruning — the scan touches |probe|/256 of the
+    corpus instead of all of it. At cluster scale this directory layout
+    is the Delta/Iceberg partition key; here it's plain parquet."""
+    import tempfile
+
+    from .operators.similarity import write_bucketed_embeddings
+
+    key = (id(spark), sf_dir)
+    if key not in _bucketed_emb_cache:
+        out = tempfile.mkdtemp(prefix="vams_spark_lsh_buckets_")
+        write_bucketed_embeddings(
+            tables(spark, sf_dir)["embeddings"], out, dim=_EMB_DIM,
+            n_planes=8, seed=42,
+        )
+        _bucketed_emb_cache[key] = out
+    return spark.read.parquet(_bucketed_emb_cache[key])
+
+
 @query("q_lsh_ann", _lsh_oracle() if os.path.isdir(_ORACLE_SF_DIR) else None)
 def q_lsh_ann(spark, sf_dir):
-    t = tables(spark, sf_dir)
     return lsh_topk(
-        t["embeddings"], _query_vector(sf_dir), k=10, n_planes=8,
-        multiprobe_hamming=1, seed=42,
+        _bucketed_embeddings(spark, sf_dir), _query_vector(sf_dir), k=10,
+        n_planes=8, multiprobe_hamming=1, seed=42, bucket_col="bucket",
     )
 
 
