@@ -43,6 +43,93 @@ def metadata_map(
     )
 
 
+#: the GeoJSON type vocabulary accepted by the ``geojson`` value type
+#: (models/metadata.py:173-181 defers to the geojson library's parser).
+GEOJSON_TYPES = (
+    "Point", "MultiPoint", "LineString", "MultiLineString", "Polygon",
+    "MultiPolygon", "GeometryCollection", "Feature", "FeatureCollection",
+)
+
+
+def type_valid(value: Column, value_type: Column) -> Column:
+    """Does ``value`` parse as its declared metadata type? Re-expresses
+    validate_metadata_value_common (models/metadata.py:74-221) — all 13
+    declared types — as one JVM-side Column expression:
+
+    - string / multiline_string / inline_controlled_list: always valid;
+    - number: castable to double;  boolean: 'true'/'false' (exactly);
+    - date: ISO date or timestamp (fromisoformat equivalent);
+    - json: parseable; xyz / wxyz: JSON object with numeric coords;
+    - matrix4x4: JSON 4×4 numeric array; geopoint: GeoJSON Point with a
+      ≥2-element coordinates array; geojson: object with a valid GeoJSON
+      ``type``; lla: lat ∈ [-90,90], long ∈ [-180,180], numeric alt.
+
+    Empty/NULL values are always valid (the reference returns early;
+    required-ness is schema validation's job, models/metadata.py:88-90).
+    ``from_json`` nulls out unparseable fields, so "field is non-null"
+    is exactly the reference's isinstance-number check.
+    """
+    v = value
+    xyz = F.from_json(v, "x double, y double, z double")
+    wxyz = F.from_json(v, "w double, x double, y double, z double")
+    mat = F.from_json(v, "array<array<double>>")
+    gp = F.from_json(v, "type string, coordinates array<double>")
+    gj = F.from_json(v, "type string")
+    lla = F.from_json(v, "lat double, long double, alt double")
+    checks: list[tuple[str, Column]] = [
+        ("string", F.lit(True)),
+        ("multiline_string", F.lit(True)),
+        ("inline_controlled_list", F.lit(True)),
+        ("number", v.try_cast("double").isNotNull()),
+        ("boolean", F.lower(v).isin("true", "false")),
+        (
+            "date",
+            v.try_cast("timestamp").isNotNull()
+            | v.try_cast("date").isNotNull(),
+        ),
+        ("json", F.try_parse_json(v).isNotNull()),
+        (
+            "xyz",
+            xyz["x"].isNotNull() & xyz["y"].isNotNull() & xyz["z"].isNotNull(),
+        ),
+        (
+            "wxyz",
+            wxyz["w"].isNotNull() & wxyz["x"].isNotNull()
+            & wxyz["y"].isNotNull() & wxyz["z"].isNotNull(),
+        ),
+        (
+            "matrix4x4",
+            mat.isNotNull()
+            & (F.size(mat) == 4)
+            & F.forall(mat, lambda r: r.isNotNull() & (F.size(r) == 4)),
+        ),
+        (
+            "geopoint",
+            (gp["type"] == "Point")
+            & gp["coordinates"].isNotNull()
+            & (F.size(gp["coordinates"]) >= 2),
+        ),
+        ("geojson", gj["type"].isin(*GEOJSON_TYPES)),
+        (
+            "lla",
+            lla["lat"].between(-90, 90)
+            & lla["long"].between(-180, 180)
+            & lla["alt"].isNotNull(),
+        ),
+    ]
+    expr = None
+    for t, ok in checks:
+        expr = (
+            F.when(value_type == t, ok)
+            if expr is None
+            else expr.when(value_type == t, ok)
+        )
+    typed = expr.otherwise(F.lit(False))
+    return F.when(v.isNull() | (v == ""), F.lit(True)).otherwise(
+        F.coalesce(typed, F.lit(False))
+    )
+
+
 def validate_metadata(
     metadata: DataFrame,
     schemas: DataFrame,
@@ -54,7 +141,8 @@ def validate_metadata(
     Mirrors common/metadataSchemaValidation.py semantics declaratively:
     - ``not_in_controlled_list`` — value outside the schema's allowed set
       (comma-delimited list; membership via delimiter-wrapped contains);
-    - ``bad_type`` — declared ``date`` value that fails to parse;
+    - ``bad_type`` — value that fails its declared type's validation
+      (all 13 types — see :func:`type_valid`);
     - ``missing_required`` — entity lacks a required key entirely.
 
     Scale shape: schemas is a tiny dimension (broadcast); the latest-
@@ -75,8 +163,7 @@ def validate_metadata(
         )
     ).select(*keys, "metadata_key", F.lit("not_in_controlled_list").alias("violation"))
     bad_type = joined.filter(
-        (F.col("value_type") == "date")
-        & F.col("metadata_value").try_cast("date").isNull()
+        ~type_valid(F.col("metadata_value"), F.col("value_type"))
     ).select(*keys, "metadata_key", F.lit("bad_type").alias("violation"))
     entities = metadata.select(*keys).distinct()
     required = schemas.filter(F.col("required")).select("metadata_key")

@@ -18,18 +18,32 @@ localCheckpoint to cut lineage growth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def one_hop(
-    asset_links: DataFrame, database_id: str, asset_id: str
+    asset_links: DataFrame,
+    database_id: str,
+    asset_id: str,
+    assets: DataFrame | None = None,
+    auth_predicate: Column | None = None,
 ) -> DataFrame:
     """All neighbors of one asset, classified (related/parent/child).
 
     Child  = parentChild edge out of the asset;
     Parent = parentChild edge into the asset;
     Related = `related` edge either direction.
+
+    With ``assets``, each neighbor row is enriched with the endpoint
+    asset's attributes (``neighbor_name`` — the batch-get +
+    AssetNodeModel join of assetLinksService.py:235-315). With
+    ``auth_predicate`` (a Column over the asset attributes, see
+    operators.authz), an ``authorized`` boolean is added — a neighbor
+    missing from the assets table counts as unauthorized, exactly like
+    the reference's ``if other_asset and check_asset_permission(...)``
+    guard. Scale shape: the filtered edge set for one node is tiny, so
+    the join against assets broadcasts the edge side.
     """
     frm = (F.col("from_database_id") == database_id) & (
         F.col("from_asset_id") == asset_id
@@ -55,7 +69,42 @@ def one_hop(
             "relationship"
         ),
     )
-    return out_rows.unionByName(in_rows)
+    neighbors = out_rows.unionByName(in_rows)
+    if assets is None:
+        return neighbors
+
+    dim_cols = [
+        F.col("database_id").alias("neighbor_database_id"),
+        F.col("asset_id").alias("neighbor_asset_id"),
+        F.col("asset_name").alias("neighbor_name"),
+    ]
+    if auth_predicate is not None:
+        # evaluate over the asset's own column names, before aliasing
+        dim_cols.append(auth_predicate.alias("_authz"))
+    dim = assets.select(*dim_cols)
+    enriched = F.broadcast(neighbors).join(
+        dim, ["neighbor_database_id", "neighbor_asset_id"], "left"
+    )
+    if auth_predicate is not None:
+        enriched = enriched.withColumn(
+            "authorized", F.coalesce(F.col("_authz"), F.lit(False))
+        ).drop("_authz")
+    return enriched
+
+
+def link_auth_counts(one_hop_enriched: DataFrame) -> DataFrame:
+    """Per-relationship-class authorized / unauthorized totals — the
+    ``unauthorizedCounts`` aggregate of assetLinksService.py:250-331
+    (UnauthorizedCountsModel: related / parents / children), computed as
+    one map-side-combinable aggregation over the enriched 1-hop rows."""
+    return one_hop_enriched.groupBy("relationship").agg(
+        F.sum(F.when(F.col("authorized"), 1).otherwise(0)).alias(
+            "authorized_count"
+        ),
+        F.sum(F.when(F.col("authorized"), 0).otherwise(1)).alias(
+            "unauthorized_count"
+        ),
+    )
 
 
 def descendants(

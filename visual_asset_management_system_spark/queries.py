@@ -952,6 +952,111 @@ def q_vams_one_hop(spark, sf_dir):
     return one_hop(t["asset_links"], "db_2", "asset_42").orderBy("asset_link_id")
 
 
+#: shared 1-hop-enrichment oracle CTE: neighbors of db_3/asset_3 with
+#: endpoint attributes and the q_vams_authz constraint set evaluated per
+#: neighbor (missing endpoint ⇒ unauthorized, assetLinksService.py:260).
+_ONE_HOP_ENRICHED_SQL = """
+    nb AS (
+        SELECT asset_link_id, to_database_id AS neighbor_database_id,
+               to_asset_id AS neighbor_asset_id,
+               CASE WHEN relationship_type = 'parentChild'
+                    THEN 'child' ELSE 'related' END AS relationship
+        FROM asset_links
+        WHERE from_database_id = 'db_3' AND from_asset_id = 'asset_3'
+        UNION ALL
+        SELECT asset_link_id, from_database_id, from_asset_id,
+               CASE WHEN relationship_type = 'parentChild'
+                    THEN 'parent' ELSE 'related' END
+        FROM asset_links
+        WHERE to_database_id = 'db_3' AND to_asset_id = 'asset_3'
+    ), enriched AS (
+        SELECT nb.asset_link_id, nb.neighbor_database_id,
+               nb.neighbor_asset_id, nb.relationship,
+               a.asset_name AS neighbor_name,
+               COALESCE(
+                   ((a.database_id IN ('db_1', 'db_2', 'db_3')
+                     AND a.asset_type = 'glb')
+                    OR a.database_id = 'db_4')
+                   AND NOT (a.tag1 = 'large' OR a.tag2 = 'large'),
+                   FALSE) AS authorized
+        FROM nb LEFT JOIN assets a
+          ON a.database_id = nb.neighbor_database_id
+         AND a.asset_id = nb.neighbor_asset_id
+    )
+"""
+
+_LINK_CONSTRAINTS = [
+    Constraint(
+        effect="allow",
+        action="GET",
+        criteria=(
+            Criterion("database_id", "is_in", ("db_1", "db_2", "db_3")),
+            Criterion("asset_type", "equals", "glb"),
+        ),
+    ),
+    Constraint(
+        effect="allow",
+        action="GET",
+        criteria=(Criterion("database_id", "equals", "db_4"),),
+    ),
+    Constraint(
+        effect="deny",
+        action="GET",
+        criteria=(Criterion("tags", "contains", "large"),),
+    ),
+]
+
+
+@query(
+    "q_vams_one_hop_enriched",
+    oracle_with("assets", "asset_links")
+    + ", "
+    + _ONE_HOP_ENRICHED_SQL
+    + """
+    SELECT * FROM enriched
+    ORDER BY asset_link_id
+    """,
+)
+def q_vams_one_hop_enriched(spark, sf_dir):
+    """1-hop with endpoint-attribute join + per-neighbor authorization
+    (assetLinksService.py:207-331): neighbor name from the batch get,
+    authorized flag from the ABAC constraint set."""
+    t = tables(spark, sf_dir)
+    pred = compile_constraints(_LINK_CONSTRAINTS, "GET")
+    return one_hop(
+        t["asset_links"], "db_3", "asset_3",
+        assets=t["search_assets"], auth_predicate=pred,
+    ).orderBy("asset_link_id")
+
+
+@query(
+    "q_vams_link_auth_counts",
+    oracle_with("assets", "asset_links")
+    + ", "
+    + _ONE_HOP_ENRICHED_SQL
+    + """
+    SELECT relationship,
+           SUM(CASE WHEN authorized THEN 1 ELSE 0 END) AS authorized_count,
+           SUM(CASE WHEN authorized THEN 0 ELSE 1 END) AS unauthorized_count
+    FROM enriched
+    GROUP BY relationship
+    ORDER BY relationship
+    """,
+)
+def q_vams_link_auth_counts(spark, sf_dir):
+    """unauthorizedCounts per relationship class
+    (assetLinksService.py:250-331, UnauthorizedCountsModel)."""
+    t = tables(spark, sf_dir)
+    pred = compile_constraints(_LINK_CONSTRAINTS, "GET")
+    hop = one_hop(
+        t["asset_links"], "db_3", "asset_3",
+        assets=t["search_assets"], auth_predicate=pred,
+    )
+    from .operators.graph import link_auth_counts
+
+    return link_auth_counts(hop).orderBy("relationship")
+
+
 @query(
     "q_vams_descendants",
     "WITH RECURSIVE asset_links AS ({links_sql}), walk AS (\n"
@@ -1315,6 +1420,111 @@ def q_vams_schema_validation(spark, sf_dir):
     return validate_metadata(t["metadata"], t["metadata_schemas"]).orderBy(
         "database_id", "asset_id", "metadata_key", "violation"
     )
+
+
+#: DuckDB-side per-type validity (mirrors operators.eav.type_valid; the
+#: Spark side uses from_json/try_cast, the oracle uses DuckDB's json_*).
+#: DuckDB evaluates ALL branches of a vectorized CASE, so every json_*
+#: path accessor must see a null-shielded input ({j}) — json_type on a
+#: non-JSON string THROWS rather than returning NULL.
+_NUM_JT = "('UBIGINT','BIGINT','DOUBLE')"
+_J = "(CASE WHEN json_valid({v}) THEN {v} END)"
+_TYPED_OK_SQL: dict[str, str] = {
+    "string": "TRUE",
+    "multiline_string": "TRUE",
+    "inline_controlled_list": "TRUE",
+    "number": "TRY_CAST({v} AS DOUBLE) IS NOT NULL",
+    "boolean": "lower({v}) IN ('true','false')",
+    "date": "(TRY_CAST({v} AS TIMESTAMP) IS NOT NULL"
+            " OR TRY_CAST({v} AS DATE) IS NOT NULL)",
+    "json": "json_valid({v})",
+    "xyz": "(json_type({j}) = 'OBJECT'"
+           f" AND json_type({{j}}, '$.x') IN {_NUM_JT}"
+           f" AND json_type({{j}}, '$.y') IN {_NUM_JT}"
+           f" AND json_type({{j}}, '$.z') IN {_NUM_JT})",
+    "wxyz": "(json_type({j}) = 'OBJECT'"
+            f" AND json_type({{j}}, '$.w') IN {_NUM_JT}"
+            f" AND json_type({{j}}, '$.x') IN {_NUM_JT}"
+            f" AND json_type({{j}}, '$.y') IN {_NUM_JT}"
+            f" AND json_type({{j}}, '$.z') IN {_NUM_JT})",
+    "matrix4x4": "(json_type({j}) = 'ARRAY'"
+                 " AND json_array_length({j}) = 4"
+                 + "".join(
+                     f" AND json_type({{j}}, '$[{i}]') = 'ARRAY'"
+                     f" AND json_array_length({{j}}, '$[{i}]') = 4"
+                     for i in range(4)
+                 )
+                 + ")",
+    "geopoint": "(json_extract_string({j}, '$.type') = 'Point'"
+                " AND json_type({j}, '$.coordinates') = 'ARRAY'"
+                " AND json_array_length({j}, '$.coordinates') >= 2)",
+    "geojson": "(json_extract_string({j}, '$.type') IN"
+               " ('Point','MultiPoint','LineString','MultiLineString',"
+               "'Polygon','MultiPolygon','GeometryCollection','Feature',"
+               "'FeatureCollection'))",
+    "lla": "(TRY_CAST(json_extract_string({j}, '$.lat') AS DOUBLE)"
+           " BETWEEN -90 AND 90"
+           " AND TRY_CAST(json_extract_string({j}, '$.long') AS DOUBLE)"
+           " BETWEEN -180 AND 180"
+           " AND TRY_CAST(json_extract_string({j}, '$.alt') AS DOUBLE)"
+           " IS NOT NULL)",
+}
+
+
+def _typed_ok_case(v: str) -> str:
+    j = _J.format(v=v)
+    whens = "".join(
+        f" WHEN '{t}' THEN {ok.format(v=v, j=j)}"
+        for t, ok in _TYPED_OK_SQL.items()
+    )
+    return f"(CASE value_type{whens} ELSE FALSE END)"
+
+
+@query(
+    "q_vams_typed_validation",
+    oracle_with("typed_metadata", "typed_metadata_schemas")
+    + f"""
+    , latest AS (
+        SELECT database_id, asset_id, metadata_key,
+               MAX(metadata_value) AS metadata_value
+        FROM typed_metadata GROUP BY database_id, asset_id, metadata_key
+    ), joined AS (
+        SELECT l.*, s.value_type, s.required, s.allowed_values
+        FROM latest l JOIN typed_metadata_schemas s USING (metadata_key)
+    )
+    SELECT * FROM (
+        SELECT database_id, asset_id, metadata_key,
+               'not_in_controlled_list' AS violation
+        FROM joined
+        WHERE allowed_values IS NOT NULL
+          AND NOT contains(',' || allowed_values || ',',
+                           ',' || metadata_value || ',')
+        UNION ALL
+        SELECT database_id, asset_id, metadata_key, 'bad_type'
+        FROM joined
+        WHERE metadata_value <> ''
+          AND NOT COALESCE({_typed_ok_case('metadata_value')}, FALSE)
+        UNION ALL
+        SELECT e.database_id, e.asset_id, s.metadata_key, 'missing_required'
+        FROM (SELECT DISTINCT database_id, asset_id FROM typed_metadata) e
+        CROSS JOIN typed_metadata_schemas s
+        WHERE s.required AND NOT EXISTS (
+            SELECT 1 FROM latest l
+            WHERE l.database_id = e.database_id AND l.asset_id = e.asset_id
+              AND l.metadata_key = s.metadata_key)
+    )
+    ORDER BY database_id, asset_id, metadata_key, violation
+    """,
+)
+def q_vams_typed_validation(spark, sf_dir):
+    """Full 13-type metadata validation (models/metadata.py:20-221):
+    number, boolean, date, json, xyz, wxyz, matrix4x4, geopoint,
+    geojson, lla (with range checks) + controlled list + required —
+    all as Column predicates over the typed fixture."""
+    t = tables(spark, sf_dir)
+    return validate_metadata(
+        t["typed_metadata"], t["typed_metadata_schemas"]
+    ).orderBy("database_id", "asset_id", "metadata_key", "violation")
 
 
 @query(

@@ -200,6 +200,70 @@ VAMS_VIEW_SQL: dict[str, str] = {
         ) AS t(metadata_key, entity_type, value_type, required,
                allowed_values)
     """,
+    # Typed-metadata fixture: every declared value type
+    # (models/metadata.py:20-36) with planted valid AND invalid values —
+    # drives the 13-type validation operator. VALUES literals parse
+    # identically in Spark SQL and DuckDB; asset_t1 is fully valid,
+    # asset_t2 carries one violation per type, asset_t3 exercises range/
+    # structure edges and a missing required key.
+    "typed_metadata": """
+        SELECT * FROM (VALUES
+            ('db_0', 'asset_t1', 'title',       'Lobby scan'),
+            ('db_0', 'asset_t1', 'score',       '87.5'),
+            ('db_0', 'asset_t1', 'visible',     'true'),
+            ('db_0', 'asset_t1', 'captured_on', '2024-03-01T10:00:00Z'),
+            ('db_0', 'asset_t1', 'extra',       '{"a": 1, "b": [1, 2]}'),
+            ('db_0', 'asset_t1', 'position',    '{"x":1,"y":2.5,"z":-3}'),
+            ('db_0', 'asset_t1', 'rotation',    '{"w":0,"x":1,"y":2,"z":3}'),
+            ('db_0', 'asset_t1', 'transform',
+             '[[1,0,0,0],[0,1,0,0],[0,0,1,0],[0,0,0,1]]'),
+            ('db_0', 'asset_t1', 'location',
+             '{"type":"Point","coordinates":[10.5,20.1]}'),
+            ('db_0', 'asset_t1', 'footprint',
+             '{"type":"FeatureCollection","features":[]}'),
+            ('db_0', 'asset_t1', 'coords',
+             '{"lat":45.0,"long":-122.5,"alt":100}'),
+            ('db_0', 'asset_t1', 'category',    'interior'),
+            ('db_0', 'asset_t2', 'score',       'abc'),
+            ('db_0', 'asset_t2', 'visible',     'yes'),
+            ('db_0', 'asset_t2', 'captured_on', 'not-a-date'),
+            ('db_0', 'asset_t2', 'extra',       '{bad json'),
+            ('db_0', 'asset_t2', 'position',    '{"x":1,"y":2}'),
+            ('db_0', 'asset_t2', 'rotation',    '[1,2,3,4]'),
+            ('db_0', 'asset_t2', 'transform',   '[[1,0],[0,1]]'),
+            ('db_0', 'asset_t2', 'location',
+             '{"type":"Polygon","coordinates":[]}'),
+            ('db_0', 'asset_t2', 'footprint',   '{"type":"Banana"}'),
+            ('db_0', 'asset_t2', 'coords',
+             '{"lat":95,"long":0,"alt":0}'),
+            ('db_0', 'asset_t2', 'category',    'underwater'),
+            ('db_0', 'asset_t3', 'title',       ''),
+            ('db_0', 'asset_t3', 'coords',
+             '{"lat":0,"long":181,"alt":0}'),
+            ('db_0', 'asset_t3', 'position',    '{"x":"a","y":1,"z":1}'),
+            ('db_0', 'asset_t3', 'transform',   'not json')
+        ) AS t(database_id, asset_id, metadata_key, metadata_value)
+    """,
+    # Declared schemas for the typed fixture (MetadataSchemaStorageTableV2
+    # with the full MetadataValueType vocabulary, models/metadata.py:20-36).
+    "typed_metadata_schemas": """
+        SELECT * FROM (VALUES
+            ('title',       'assetMetadata', 'string',                 FALSE, CAST(NULL AS STRING)),
+            ('notes',       'assetMetadata', 'multiline_string',       FALSE, CAST(NULL AS STRING)),
+            ('category',    'assetMetadata', 'inline_controlled_list', FALSE, 'interior,exterior'),
+            ('score',       'assetMetadata', 'number',                 TRUE,  CAST(NULL AS STRING)),
+            ('visible',     'assetMetadata', 'boolean',                FALSE, CAST(NULL AS STRING)),
+            ('captured_on', 'assetMetadata', 'date',                   FALSE, CAST(NULL AS STRING)),
+            ('extra',       'assetMetadata', 'json',                   FALSE, CAST(NULL AS STRING)),
+            ('position',    'assetMetadata', 'xyz',                    FALSE, CAST(NULL AS STRING)),
+            ('rotation',    'assetMetadata', 'wxyz',                   FALSE, CAST(NULL AS STRING)),
+            ('transform',   'assetMetadata', 'matrix4x4',              FALSE, CAST(NULL AS STRING)),
+            ('location',    'assetMetadata', 'geopoint',               FALSE, CAST(NULL AS STRING)),
+            ('footprint',   'assetMetadata', 'geojson',                FALSE, CAST(NULL AS STRING)),
+            ('coords',      'assetMetadata', 'lla',                    FALSE, CAST(NULL AS STRING))
+        ) AS t(metadata_key, entity_type, value_type, required,
+               allowed_values)
+    """,
     # lineitem -> asset_versions: one version row per (part, order); the
     # current version is the latest ship date (row_number pick, SURVEY §2.5).
     "asset_versions": """
