@@ -1636,6 +1636,138 @@ def q_workflow_pipeline(spark, sf_dir):
 
 
 @query(
+    "q_workflow_output_ingest",
+    oracle_with("files")
+    + """
+    , src AS (
+        SELECT database_id, asset_id, file_key FROM files
+        WHERE database_id = 'db_7' AND file_ext = 'glb' AND NOT is_archived
+    )
+    SELECT * FROM (
+        SELECT database_id, asset_id,
+               file_key || '.preview.png' AS file_key,
+               'file' AS record_type,
+               CAST(NULL AS STRING) AS attribute_key,
+               CAST(NULL AS STRING) AS attribute_value
+        FROM src
+        UNION ALL
+        SELECT database_id, asset_id, file_key, 'attribute',
+               'pipeline', 'preview' FROM src
+        UNION ALL
+        SELECT database_id, asset_id, file_key, 'attribute',
+               'src_ext', 'glb' FROM src
+    )
+    ORDER BY database_id, asset_id, file_key, record_type, attribute_key
+    """,
+)
+def q_workflow_output_ingest(spark, sf_dir):
+    """Workflow output ingestion (processWorkflowExecutionOutput.py): a
+    preview-render pipeline emits one data file + one ``*.attribute.json``
+    sidecar per input; ingestion dispatches data files to the files
+    table and explodes sidecar JSON into AB_ attribute EAV rows."""
+    from .plans.workflow import ingest_workflow_outputs
+
+    t = tables(spark, sf_dir)
+    src = t["files"].filter(
+        (F.col("database_id") == "db_7")
+        & (F.col("file_ext") == "glb")
+        & ~F.col("is_archived")
+    )
+
+    def render_previews(df, ctx):
+        previews = df.select(
+            "database_id",
+            "asset_id",
+            F.concat("file_key", F.lit(".preview.png")).alias("file_key"),
+            F.lit(None).cast("string").alias("content"),
+        )
+        sidecars = df.select(
+            "database_id",
+            "asset_id",
+            F.concat("file_key", F.lit(".attribute.json")).alias("file_key"),
+            F.lit('{"pipeline":"preview","src_ext":"glb"}').alias("content"),
+        )
+        return previews.unionByName(sidecars)
+
+    wf = Workflow("render-previews", [Pipeline("render", render_previews)])
+    legs = ingest_workflow_outputs(wf.run(src, {"database_id": "db_7"}))
+    null_s = F.lit(None).cast("string")
+    files_leg = legs["files"].select(
+        "database_id", "asset_id", "file_key",
+        F.lit("file").alias("record_type"),
+        null_s.alias("attribute_key"), null_s.alias("attribute_value"),
+    )
+    ab_leg = legs["file_attributes"].select(
+        "database_id", "asset_id", "file_key",
+        F.lit("attribute").alias("record_type"),
+        "attribute_key", "attribute_value",
+    )
+    return files_leg.unionByName(ab_leg).orderBy(
+        "database_id", "asset_id", "file_key", "record_type", "attribute_key"
+    )
+
+
+@query(
+    "q_workflow_auto_trigger",
+    oracle_with("files", "workflows")
+    + """
+    SELECT w.workflow_id, f.database_id, f.asset_id, f.file_key,
+           'auto-trigger' AS trigger_source
+    FROM files f JOIN workflows w ON w.database_id = f.database_id
+    WHERE NOT f.is_archived AND f.file_size % 7 = 0
+      AND w.auto_trigger_extensions IS NOT NULL
+      AND w.auto_trigger_extensions <> ''
+      AND (w.auto_trigger_extensions = '.all'
+           OR contains(',' || w.auto_trigger_extensions || ',',
+                       ',' || lower(f.file_ext) || ','))
+    ORDER BY workflow_id, f.database_id, asset_id, file_key
+    """,
+)
+def q_workflow_auto_trigger(spark, sf_dir):
+    """Auto-execute-on-upload (sqsAutoExecuteWorkflow.py:146-331): new
+    file events joined to the registered-workflow dimension, kept where
+    the auto-trigger extension list matches."""
+    from .plans.workflow import auto_execute_triggers
+
+    t = tables(spark, sf_dir)
+    events = t["files"].filter(
+        ~F.col("is_archived") & (F.col("file_size") % 7 == 0)
+    )
+    return auto_execute_triggers(events, t["workflows"]).orderBy(
+        "workflow_id", "database_id", "asset_id", "file_key"
+    )
+
+
+@query(
+    "q_workflow_executions",
+    """
+    SELECT * FROM (VALUES
+        ('etl_exec_3', 'etl', 'SUCCEEDED', 'db_1', 'asset_9', '/f/9.glb', 2, 2),
+        ('etl_exec_1', 'etl', 'SUCCEEDED', 'db_1', 'asset_9', '/f/1.glb', 2, 2)
+    ) AS t(execution_id, workflow_name, status, database_id, asset_id,
+           file_key, n_stages, n_attempts)
+    ORDER BY execution_id DESC
+    """,
+)
+def q_workflow_executions(spark, sf_dir):
+    """Keyed execution listing (executeWorkflow.py:394-487): runs a
+    deterministic execution log, then lists executions for one
+    (database, asset) newest-first with an inputAssetFileKey filter.
+    The oracle is the golden expected log — execution ids and statuses
+    are deterministic by construction."""
+    from .plans.workflow import list_executions
+
+    t = tables(spark, sf_dir)
+    identity = Pipeline("noop", lambda df, ctx: df)
+    wf = Workflow("etl", [identity, Pipeline("noop2", lambda df, ctx: df)])
+    src = t["files"].limit(1)
+    wf.run(src, {"database_id": "db_1", "asset_id": "asset_9", "file_key": "/f/1.glb"})
+    wf.run(src, {"database_id": "db_2", "asset_id": "asset_7", "file_key": "/f/7.glb"})
+    wf.run(src, {"database_id": "db_1", "asset_id": "asset_9", "file_key": "/f/9.glb"})
+    return list_executions(wf.executions_df(spark), "db_1", "asset_9")
+
+
+@query(
     "q_multimodal_bytes",
     """
     SELECT doc_id AS media_id,

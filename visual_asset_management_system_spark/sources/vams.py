@@ -264,6 +264,19 @@ VAMS_VIEW_SQL: dict[str, str] = {
         ) AS t(metadata_key, entity_type, value_type, required,
                allowed_values)
     """,
+    # Registered workflows dimension (WorkflowStorageTable with the
+    # autoTriggerOnFileExtensionsUpload field, sqsAutoExecuteWorkflow.py:
+    # 99-174): '.all' triggers on anything, else a comma-delimited
+    # lowercase extension list; empty/NULL never triggers.
+    "workflows": """
+        SELECT * FROM (VALUES
+            ('wf_preview',  'db_1', 'glb,gltf'),
+            ('wf_everything', 'db_1', '.all'),
+            ('wf_thumbs',   'db_2', 'png'),
+            ('wf_disabled', 'db_2', ''),
+            ('wf_other_db', 'db_3', '.all')
+        ) AS t(workflow_id, database_id, auto_trigger_extensions)
+    """,
     # lineitem -> asset_versions: one version row per (part, order); the
     # current version is the latest ship date (row_number pick, SURVEY §2.5).
     "asset_versions": """
