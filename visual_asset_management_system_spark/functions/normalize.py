@@ -68,6 +68,36 @@ def split_composite_key(col: Column, n: int, sep: str = ":") -> list[Column]:
     return [parts.getItem(i) for i in range(n)]
 
 
+def url_decode_key(col: Column) -> Column:
+    """URL-decode an S3 object key with ``unquote_plus`` semantics
+    (fileIndexer.py:876: ``urllib.parse.unquote_plus(s3_key)``) —
+    Spark's ``url_decode`` is exactly application/x-www-form-urlencoded
+    decoding ('+' → space, %XX → byte), JVM-side."""
+    return F.url_decode(col)
+
+
+def parse_flexible_date(col: Column) -> Column:
+    """Lenient ISO date/timestamp parse (models/indexing.py:100-123
+    ``_is_date_string`` + fromisoformat with Z and sub-second handling):
+    accepts date-only, space or 'T' separators, trailing 'Z', and any
+    sub-second precision (nanoseconds truncate to microseconds in the
+    cast). NULL when unparseable — callers keep the raw string then."""
+    return F.coalesce(
+        col.try_cast("timestamp"),
+        # strip a fractional-seconds group the cast rejected, retry
+        F.regexp_replace(col, r"\.\d+", "").try_cast("timestamp"),
+        col.try_cast("date").cast("timestamp"),
+    )
+
+
+def json_blob_get(col: Column, path: str) -> Column:
+    """Extract a scalar from a ``gs_``-style JSON blob column
+    (models/indexing.py:94-97 stores non-geo dict metadata as JSON
+    strings; search filters reach into them). ``path`` is a ``$.a.b``
+    JSONPath; returns string, NULL on missing/invalid."""
+    return F.get_json_object(col, path)
+
+
 def file_extension(key: Column) -> Column:
     """Lowercased extension of the last path segment, '' when none."""
     base = F.element_at(F.split(key, "/"), -1)

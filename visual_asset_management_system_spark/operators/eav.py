@@ -175,6 +175,43 @@ def validate_metadata(
     return not_allowed.unionByName(bad_type).unionByName(missing)
 
 
+def bulk_validation_tally(
+    metadata: DataFrame,
+    schemas: DataFrame,
+    entity_keys: list[str] = ("database_id", "asset_id"),
+) -> DataFrame:
+    """Bulk-operation result counts (BulkOperationResponseModel,
+    models/metadata.py:260-269): per entity, how many submitted metadata
+    items validate vs fail. An item fails if it carries any per-item
+    violation (bad_type / not_in_controlled_list); missing_required is a
+    schema-level gap, not a submitted item, so it doesn't count here.
+
+    One aggregation over items left-joined to their violations —
+    map-side combinable, no driver loop."""
+    keys = list(entity_keys)
+    items = metadata.select(*keys, "metadata_key").distinct()
+    item_viol = (
+        validate_metadata(metadata, schemas, entity_keys)
+        .filter(F.col("violation") != "missing_required")
+        .select(*keys, "metadata_key")
+        .distinct()
+        .withColumn("_failed", F.lit(True))
+    )
+    return (
+        items.join(item_viol, [*keys, "metadata_key"], "left")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("total_items"),
+            F.sum(F.when(F.col("_failed").isNull(), 1).otherwise(0)).alias(
+                "success_count"
+            ),
+            F.sum(F.when(F.col("_failed").isNotNull(), 1).otherwise(0)).alias(
+                "failure_count"
+            ),
+        )
+    )
+
+
 def pivot_metadata(
     metadata: DataFrame,
     keys: list[str],

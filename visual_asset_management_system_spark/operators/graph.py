@@ -107,6 +107,94 @@ def link_auth_counts(one_hop_enriched: DataFrame) -> DataFrame:
     )
 
 
+def create_links(
+    existing: DataFrame, candidates: DataFrame
+) -> DataFrame:
+    """Edge-create constraint checks (createAssetLink.py:73-190;
+    models/assetLinks.py:30-35) as one declarative plan — each candidate
+    edge annotated with a ``status``:
+
+    - ``self_link``          — from == to (never allowed);
+    - ``alias_not_allowed``  — aliasId on a non-parentChild link;
+    - ``duplicate``          — related: same pair EITHER direction;
+                               parentChild: same directed pair with the
+                               same (''-normalized) alias;
+    - ``reverse_exists``     — parentChild whose reverse directed pair
+                               exists under ANY alias (would be a cycle
+                               of length 2);
+    - ``ok``                 — insertable.
+
+    Scale shape: four distinct-key left joins against pre-projected
+    views of the existing edges — no row multiplication, no cross join;
+    the candidate batch is small (an API write batch) so every join
+    broadcasts it.
+    """
+    keys = [
+        "from_database_id", "from_asset_id",
+        "to_database_id", "to_asset_id",
+    ]
+    rev = {
+        "from_database_id": "to_database_id",
+        "from_asset_id": "to_asset_id",
+        "to_database_id": "from_database_id",
+        "to_asset_id": "from_asset_id",
+    }
+    ex = existing
+    if "alias_id" not in ex.columns:
+        ex = ex.withColumn("alias_id", F.lit(None).cast("string"))
+    ex_alias = F.coalesce(F.col("alias_id"), F.lit(""))
+    is_rel = F.col("relationship_type") == "related"
+    is_pc = F.col("relationship_type") == "parentChild"
+
+    same_rel = (
+        ex.filter(is_rel).select(*keys).distinct()
+        .withColumn("_dup_rel", F.lit(True))
+    )
+    rev_rel = (
+        ex.filter(is_rel)
+        .select(*[F.col(rev[k]).alias(k) for k in keys]).distinct()
+        .withColumn("_rev_rel", F.lit(True))
+    )
+    same_pc = (
+        ex.filter(is_pc)
+        .select(*keys, ex_alias.alias("_c_alias")).distinct()
+        .withColumn("_dup_pc", F.lit(True))
+    )
+    rev_pc = (
+        ex.filter(is_pc)
+        .select(*[F.col(rev[k]).alias(k) for k in keys]).distinct()
+        .withColumn("_rev_pc", F.lit(True))
+    )
+
+    c_alias = F.coalesce(F.col("alias_id"), F.lit(""))
+    c = candidates.withColumn("_c_alias", c_alias)
+    out = (
+        c.join(same_rel, keys, "left")
+        .join(rev_rel, keys, "left")
+        .join(same_pc, [*keys, "_c_alias"], "left")
+        .join(rev_pc, keys, "left")
+    )
+    status = (
+        F.when(
+            (F.col("from_database_id") == F.col("to_database_id"))
+            & (F.col("from_asset_id") == F.col("to_asset_id")),
+            "self_link",
+        )
+        .when(F.col("alias_id").isNotNull() & ~is_pc, "alias_not_allowed")
+        .when(
+            is_rel
+            & (F.col("_dup_rel").isNotNull() | F.col("_rev_rel").isNotNull()),
+            "duplicate",
+        )
+        .when(is_pc & F.col("_dup_pc").isNotNull(), "duplicate")
+        .when(is_pc & F.col("_rev_pc").isNotNull(), "reverse_exists")
+        .otherwise("ok")
+    )
+    return out.withColumn("status", status).select(
+        *candidates.columns, "status"
+    )
+
+
 def descendants(
     asset_links: DataFrame,
     database_id: str,

@@ -71,6 +71,24 @@ def _filter_to_column(flt: SearchFilter) -> Column:
     return ~pred if flt.negate else pred
 
 
+def index_mappings(search_tables: dict[str, DataFrame]) -> DataFrame:
+    """Schema introspection — the ``GET /search`` mappings response
+    (search.py:1782-1800 returns each index's field→type mapping). One
+    row per (entity_type, field, dtype), derived from the live plan
+    schemas, so it can never drift from what queries actually see.
+    Driver-side metadata only — no job runs."""
+    first = next(iter(search_tables.values()))
+    spark = first.sparkSession
+    rows = [
+        (entity, f.name, f.dataType.simpleString())
+        for entity, df in sorted(search_tables.items())
+        for f in df.schema.fields
+    ]
+    return spark.createDataFrame(
+        rows, "entity_type string, field string, dtype string"
+    )
+
+
 class SearchCompiler:
     """Compile SearchRequests over the denormalized search tables.
 

@@ -27,6 +27,32 @@ def decode_page_token(token: str) -> dict[str, object]:
     return json.loads(base64.b64decode(token.encode()).decode())
 
 
+def keyset_page_df(
+    df: DataFrame,
+    key_cols: list[str],
+    page_size: int = 3000,
+    token: str | None = None,
+    descending: bool = False,
+) -> DataFrame:
+    """One page as a DataFrame (the declarative core of
+    :func:`keyset_page`): boundary filter + sort + limit. The boundary
+    predicate is a single struct row-comparison, pushable to the scan —
+    page N costs O(page), not O(N·page)."""
+    key_struct = F.struct(*[F.col(c) for c in key_cols])
+    if token is not None:
+        last = decode_page_token(token)
+        types = {f.name: f.dataType for f in df.schema.fields}
+        boundary = F.struct(
+            *[F.lit(last[c]).cast(types[c]) for c in key_cols]
+        )
+        df = df.filter(
+            key_struct < boundary if descending else key_struct > boundary
+        )
+    return df.orderBy(
+        *[F.col(c).desc() if descending else F.col(c).asc() for c in key_cols]
+    ).limit(page_size)
+
+
 def keyset_page(
     df: DataFrame,
     key_cols: list[str],

@@ -1184,6 +1184,66 @@ def q_vams_orphans(spark, sf_dir):
 
 
 @query(
+    "q_vams_keyset_page",
+    oracle_with("files")
+    + """
+    SELECT database_id, asset_id, file_key FROM (
+        SELECT database_id, asset_id, file_key,
+               ROW_NUMBER() OVER (ORDER BY file_key) AS rn
+        FROM files WHERE database_id = 'db_5' AND NOT is_archived
+    ) WHERE rn BETWEEN 26 AND 50
+    ORDER BY file_key
+    """,
+)
+def q_vams_keyset_page(spark, sf_dir):
+    """Token (keyset) pagination (assetService.py:760-804): page 2 of a
+    bounded listing fetched via the opaque-token boundary filter — the
+    O(page) path, equivalent to rows 26..50 of the ordered listing."""
+    from .plans.pagination import encode_page_token, keyset_page_df
+
+    t = tables(spark, sf_dir)
+    listing = t["files"].filter(
+        (F.col("database_id") == "db_5") & ~F.col("is_archived")
+    ).select("database_id", "asset_id", "file_key")
+    page1 = keyset_page_df(listing, ["file_key"], page_size=25).collect()
+    token = encode_page_token({"file_key": page1[-1]["file_key"]})
+    return keyset_page_df(listing, ["file_key"], page_size=25, token=token)
+
+
+@query(
+    "q_vams_auto_register",
+    oracle_with("assets", "files")
+    + """
+    SELECT f.database_id, f.asset_id,
+           COUNT(*) AS n_objects,
+           MIN(f.file_key) AS first_key,
+           'auto-registered' AS register_source
+    FROM files f
+    WHERE NOT f.is_archived AND NOT EXISTS (
+        SELECT 1 FROM assets a
+        WHERE a.database_id = f.database_id AND a.asset_id = f.asset_id
+          AND NOT a.is_archived
+    )
+    GROUP BY f.database_id, f.asset_id
+    ORDER BY f.database_id, f.asset_id
+    """,
+)
+def q_vams_auto_register(spark, sf_dir):
+    """Reconciliation get-or-create leg (fileIndexer.py auto-register /
+    sqsBucketSync): storage objects whose asset the live catalog doesn't
+    know, projected to minimal registration records. Archived assets
+    stand in for 'missing from catalog' in the fixture mapping."""
+    from .operators.reconcile import register_candidates
+
+    t = tables(spark, sf_dir)
+    return register_candidates(
+        t["assets"].filter(~F.col("is_archived")),
+        t["files"].filter(~F.col("is_archived")),
+        ["database_id", "asset_id"],
+    ).orderBy("database_id", "asset_id")
+
+
+@query(
     "q_vams_authz",
     oracle_with("assets")
     + """
@@ -1633,6 +1693,247 @@ def q_workflow_pipeline(spark, sf_dir):
         "size-bands", [Pipeline("classify", classify), Pipeline("aggregate", aggregate)]
     )
     return wf.run(t["files"]).orderBy("database_id", "size_band")
+
+
+@query(
+    "q_vams_json_url_scalars",
+    oracle_with("raw_objects")
+    + """
+    SELECT object_id,
+           replace(replace(replace(s3_key, '+', ' '), '%2B', '+'),
+                   '%20', ' ') AS decoded_key,
+           json_extract_string(
+               (CASE WHEN json_valid(gs_blob) THEN gs_blob END),
+               '$.vendor') AS vendor,
+           json_extract_string(
+               (CASE WHEN json_valid(gs_blob) THEN gs_blob END),
+               '$.rev') AS rev,
+           json_extract_string(
+               (CASE WHEN json_valid(gs_blob) THEN gs_blob END),
+               '$.nested.depth') AS nested_depth,
+           CAST(COALESCE(
+               TRY_CAST(date_str AS TIMESTAMP),
+               TRY_CAST(regexp_replace(date_str, '\\.\\d+', '') AS TIMESTAMP),
+               CAST(TRY_CAST(date_str AS DATE) AS TIMESTAMP)
+           ) AS STRING) AS parsed_ts
+    FROM raw_objects
+    ORDER BY object_id
+    """,
+)
+def q_vams_json_url_scalars(spark, sf_dir):
+    """Scalar surface: URL-decode of S3 keys (unquote_plus,
+    fileIndexer.py:876), JSON extraction from gs_ blobs
+    (models/indexing.py:94-97), and lenient ISO date parse with
+    sub-second truncation (models/indexing.py:100-123). The oracle
+    decodes the planted escapes via replace chains (DuckDB has no
+    url_decode) — coverage documented, not general."""
+    from .functions.normalize import (
+        json_blob_get,
+        parse_flexible_date,
+        url_decode_key,
+    )
+
+    t = tables(spark, sf_dir)
+    return (
+        t["raw_objects"]
+        .select(
+            "object_id",
+            url_decode_key(F.col("s3_key")).alias("decoded_key"),
+            json_blob_get(F.col("gs_blob"), "$.vendor").alias("vendor"),
+            json_blob_get(F.col("gs_blob"), "$.rev").alias("rev"),
+            json_blob_get(F.col("gs_blob"), "$.nested.depth").alias(
+                "nested_depth"
+            ),
+            parse_flexible_date(F.col("date_str")).cast("string").alias(
+                "parsed_ts"
+            ),
+        )
+        .orderBy("object_id")
+    )
+
+
+@query(
+    "q_vams_link_create_checks",
+    oracle_with("asset_links", "candidate_links")
+    + """
+    SELECT c.*,
+           CASE
+             WHEN c.from_database_id = c.to_database_id
+                  AND c.from_asset_id = c.to_asset_id THEN 'self_link'
+             WHEN c.alias_id IS NOT NULL
+                  AND c.relationship_type <> 'parentChild'
+                  THEN 'alias_not_allowed'
+             WHEN c.relationship_type = 'related' AND (
+                  EXISTS (SELECT 1 FROM asset_links e
+                          WHERE e.relationship_type = 'related'
+                            AND e.from_database_id = c.from_database_id
+                            AND e.from_asset_id = c.from_asset_id
+                            AND e.to_database_id = c.to_database_id
+                            AND e.to_asset_id = c.to_asset_id)
+                  OR EXISTS (SELECT 1 FROM asset_links e
+                          WHERE e.relationship_type = 'related'
+                            AND e.from_database_id = c.to_database_id
+                            AND e.from_asset_id = c.to_asset_id
+                            AND e.to_database_id = c.from_database_id
+                            AND e.to_asset_id = c.from_asset_id))
+                  THEN 'duplicate'
+             WHEN c.relationship_type = 'parentChild'
+                  AND EXISTS (SELECT 1 FROM asset_links e
+                          WHERE e.relationship_type = 'parentChild'
+                            AND e.from_database_id = c.from_database_id
+                            AND e.from_asset_id = c.from_asset_id
+                            AND e.to_database_id = c.to_database_id
+                            AND e.to_asset_id = c.to_asset_id
+                            AND COALESCE(c.alias_id, '') = '')
+                  THEN 'duplicate'
+             WHEN c.relationship_type = 'parentChild'
+                  AND EXISTS (SELECT 1 FROM asset_links e
+                          WHERE e.relationship_type = 'parentChild'
+                            AND e.from_database_id = c.to_database_id
+                            AND e.from_asset_id = c.to_asset_id
+                            AND e.to_database_id = c.from_database_id
+                            AND e.to_asset_id = c.from_asset_id)
+                  THEN 'reverse_exists'
+             ELSE 'ok'
+           END AS status
+    FROM candidate_links c
+    ORDER BY from_database_id, from_asset_id, to_database_id, to_asset_id,
+             relationship_type, alias_id NULLS FIRST
+    """,
+)
+def q_vams_link_create_checks(spark, sf_dir):
+    """Edge-create constraint checks (createAssetLink.py:73-190):
+    self-loop, alias-only-on-parentChild, duplicate (direction-aware),
+    and reverse-parentChild rejection, as anti-join annotations."""
+    from .operators.graph import create_links
+
+    t = tables(spark, sf_dir)
+    return create_links(t["asset_links"], t["candidate_links"]).orderBy(
+        "from_database_id", "from_asset_id", "to_database_id",
+        "to_asset_id", "relationship_type",
+        F.col("alias_id").asc_nulls_first(),
+    )
+
+
+_export_cache: dict[tuple[int, str], str] = {}
+
+
+@query(
+    "q_vams_export_manifest",
+    oracle_with("assets")
+    + """
+    SELECT database_id, COUNT(*) AS n_rows
+    FROM assets WHERE NOT is_archived
+    GROUP BY database_id
+    ORDER BY database_id
+    """,
+)
+def q_vams_export_manifest(spark, sf_dir):
+    """Export sink (assetExportService.py): write non-archived assets as
+    a database_id-partitioned parquet package, then derive the manifest
+    FROM the written files — verifying the export round-trips."""
+    import tempfile
+
+    from .operators.export import export_entities, export_manifest
+
+    t = tables(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key not in _export_cache:
+        out = tempfile.mkdtemp(prefix="vams_spark_export_")
+        export_entities(t["assets"].filter(~F.col("is_archived")), out)
+        _export_cache[key] = out
+    return export_manifest(spark, _export_cache[key]).orderBy("database_id")
+
+
+@query(
+    "q_vams_bulk_tally",
+    oracle_with("typed_metadata", "typed_metadata_schemas")
+    + f"""
+    , latest AS (
+        SELECT database_id, asset_id, metadata_key,
+               MAX(metadata_value) AS metadata_value
+        FROM typed_metadata GROUP BY database_id, asset_id, metadata_key
+    ), joined AS (
+        SELECT l.*, s.value_type, s.allowed_values
+        FROM latest l JOIN typed_metadata_schemas s USING (metadata_key)
+    ), judged AS (
+        SELECT database_id, asset_id, metadata_key,
+               ((metadata_value <> ''
+                 AND NOT COALESCE({_typed_ok_case('metadata_value')}, FALSE))
+                OR (allowed_values IS NOT NULL
+                    AND NOT contains(',' || allowed_values || ',',
+                                     ',' || metadata_value || ','))
+               ) AS failed
+        FROM joined
+    )
+    SELECT database_id, asset_id, COUNT(*) AS total_items,
+           SUM(CASE WHEN failed THEN 0 ELSE 1 END) AS success_count,
+           SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS failure_count
+    FROM judged
+    GROUP BY database_id, asset_id
+    ORDER BY database_id, asset_id
+    """,
+)
+def q_vams_bulk_tally(spark, sf_dir):
+    """Bulk metadata operation tallies (BulkOperationResponseModel,
+    models/metadata.py:260-269): per entity, submitted-item success and
+    failure counts under full type + controlled-list validation."""
+    from .operators.eav import bulk_validation_tally
+
+    t = tables(spark, sf_dir)
+    return bulk_validation_tally(
+        t["typed_metadata"], t["typed_metadata_schemas"]
+    ).orderBy("database_id", "asset_id")
+
+
+@query(
+    "q_vams_index_mappings",
+    """
+    SELECT * FROM (VALUES
+        ('asset', 'database_id',        'string'),
+        ('asset', 'asset_id',           'string'),
+        ('asset', 'bucket_id',          'string'),
+        ('asset', 'asset_name',         'string'),
+        ('asset', 'description',        'string'),
+        ('asset', 'asset_type',         'string'),
+        ('asset', 'tag1',               'string'),
+        ('asset', 'tag2',               'string'),
+        ('asset', 'is_distributable',   'boolean'),
+        ('asset', 'is_archived',        'boolean'),
+        ('asset', 'asset_size',         'double'),
+        ('asset', 'tags',               'array<string>'),
+        ('asset', 'bucket_name',        'string'),
+        ('asset', 'base_assets_prefix', 'string'),
+        ('asset', 'metadata',           'map<string,string>'),
+        ('asset', 'has_asset_children', 'boolean'),
+        ('asset', 'has_asset_parents',  'boolean'),
+        ('asset', 'has_assets_related', 'boolean'),
+        ('file',  'database_id',        'string'),
+        ('file',  'asset_id',           'string'),
+        ('file',  'file_key',           'string'),
+        ('file',  'file_ext',           'string'),
+        ('file',  'file_size',          'bigint'),
+        ('file',  'last_modified',      'timestamp_ntz'),
+        ('file',  'etag',               'string'),
+        ('file',  'is_archived',        'boolean'),
+        ('file',  'asset_name',         'string'),
+        ('file',  'tags',               'array<string>'),
+        ('file',  'metadata',           'map<string,string>'),
+        ('file',  'attributes',         'map<string,string>')
+    ) AS t(entity_type, field, dtype)
+    ORDER BY entity_type, field
+    """,
+)
+def q_vams_index_mappings(spark, sf_dir):
+    """Schema introspection (search.py:1782-1800): the index mappings of
+    both search tables as rows. The oracle is the golden mapping
+    contract — a schema change must consciously update it."""
+    from .plans.compiler import index_mappings
+
+    t = tables(spark, sf_dir)
+    return index_mappings(
+        {"asset": t["search_assets"], "file": t["search_files"]}
+    ).orderBy("entity_type", "field")
 
 
 @query(

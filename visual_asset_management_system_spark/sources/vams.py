@@ -264,6 +264,44 @@ VAMS_VIEW_SQL: dict[str, str] = {
         ) AS t(metadata_key, entity_type, value_type, required,
                allowed_values)
     """,
+    # Raw ingest objects: URL-encoded S3 keys (fileIndexer.py:876),
+    # gs_-style JSON metadata blobs (models/indexing.py:94-97) and messy
+    # date strings (models/indexing.py:100-123) — drives the scalar
+    # decode/extract/parse functions.
+    "raw_objects": """
+        SELECT * FROM (VALUES
+            ('obj_1', 'assets%20v2/scan%2Bfinal.glb',
+             '{"vendor":"acme","rev":3}', '2024-03-01T10:00:00.123456789'),
+            ('obj_2', 'a+b/c.png',
+             '{"vendor":"zenith","rev":12}', '2024-03-01 08:30:00'),
+            ('obj_3', 'plain/file.obj',
+             '{"nested":{"depth":7}}', '2024-02-29'),
+            ('obj_4', 'x%2By.ifc', 'not json', 'not-a-date')
+        ) AS t(object_id, s3_key, gs_blob, date_str)
+    """,
+    # Candidate edge batch for the create-link constraint checks
+    # (createAssetLink.py:73-190): one row per violation class + two
+    # insertable rows, crafted against known edges of the asset_links
+    # view (48→42 parentChild exists; 2→3 related exists).
+    "candidate_links": """
+        SELECT * FROM (VALUES
+            ('db_1', 'asset_1',   'db_1', 'asset_1',   'related',
+             CAST(NULL AS STRING)),
+            ('db_1', 'asset_21',  'db_2', 'asset_22',  'related',  'al1'),
+            ('db_2', 'asset_2',   'db_3', 'asset_3',   'related',
+             CAST(NULL AS STRING)),
+            ('db_3', 'asset_3',   'db_2', 'asset_2',   'related',
+             CAST(NULL AS STRING)),
+            ('db_8', 'asset_48',  'db_2', 'asset_42',  'parentChild',
+             CAST(NULL AS STRING)),
+            ('db_8', 'asset_48',  'db_2', 'asset_42',  'parentChild', 'v2'),
+            ('db_2', 'asset_42',  'db_8', 'asset_48',  'parentChild',
+             CAST(NULL AS STRING)),
+            ('db_1', 'asset_201', 'db_2', 'asset_202', 'related',
+             CAST(NULL AS STRING))
+        ) AS t(from_database_id, from_asset_id, to_database_id,
+               to_asset_id, relationship_type, alias_id)
+    """,
     # Registered workflows dimension (WorkflowStorageTable with the
     # autoTriggerOnFileExtensionsUpload field, sqsAutoExecuteWorkflow.py:
     # 99-174): '.all' triggers on anything, else a comma-delimited
