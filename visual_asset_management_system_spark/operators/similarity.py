@@ -169,6 +169,65 @@ def write_bucketed_embeddings(
     )
 
 
+def _nearest_list(vec_col: Column, centroids: np.ndarray) -> Column:
+    """Index of the nearest centroid (squared L2), ties to the lowest
+    index — ``array_min`` over (distance, index) structs compares
+    lexicographically, all JVM-side."""
+    vec_d = F.transform(vec_col, lambda x: x.cast("double"))
+    entries = []
+    for i, c in enumerate(centroids):
+        cl = F.array(*[F.lit(float(v)) for v in c])
+        diff = F.zip_with(vec_d, cl, lambda x, y: (x - y) * (x - y))
+        d = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*entries))["i"]
+
+
+def sample_centroids(
+    embeddings: DataFrame, n_lists: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic sampled centroids: the first ``n_lists`` vectors by
+    id — a k-means-free seeding (true k-means via Spark ML slots in
+    without changing the probe contract). Bounded driver read of
+    ``n_lists`` rows."""
+    rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    )
+    return np.asarray([[float(x) for x in r[vec_col]] for r in rows])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str | None = None,
+) -> DataFrame:
+    """IVF-lite ANN: inverted lists keyed by nearest centroid; probe the
+    ``nprobe`` lists nearest the query, exact cosine within them.
+
+    With ``list_col`` naming a pre-materialized list-id column (written
+    via ``df.withColumn(list, _nearest_list(...)).write.partitionBy``,
+    same layout as :func:`write_bucketed_embeddings`), the probe is an
+    IN-list filter → partition pruning; the fallback computes the
+    assignment on the fly (correctness path, full scan)."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    if list_col is not None:
+        candidates = embeddings.filter(F.col(list_col).isin(*probe))
+    else:
+        listed = embeddings.withColumn(
+            "_list", _nearest_list(F.col(vec_col), centroids)
+        )
+        candidates = listed.filter(F.col("_list").isin(*probe))
+    return cosine_topk(candidates, query_vector, k, id_col, vec_col)
+
+
 def pairwise_cosine_within_buckets(
     embeddings: DataFrame,
     dim: int,

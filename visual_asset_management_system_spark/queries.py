@@ -2405,6 +2405,133 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+def _emb_near_dup_oracle() -> str:
+    """Generated oracle for embedding near-dup pairs: inlines the
+    deterministic hyperplanes; the corpus plants exact near-duplicates
+    by appending a ×2-scaled copy (scaling by a power of two is exact in
+    IEEE754 and commutes with rounding, so the sign pattern — the LSH
+    bucket — is bit-identical to the original's in both engines)."""
+    planes = _hyperplanes(_EMB_DIM, 8, seed=42)
+
+    def plane_lit(i: int) -> str:
+        vals = ", ".join(repr(float(v)) for v in planes[i])
+        return f"([{vals}]::DOUBLE[])"
+
+    def bucket_terms(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_o_dot(col, plane_lit(i))} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(8)
+        )
+
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE * 2)
+        FROM embeddings
+    ), b AS (
+        SELECT vec_id, embedding,
+               CAST({bucket_terms('embedding')} AS BIGINT) AS bucket
+        FROM corpus
+    )
+    SELECT * FROM (
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               ROUND({_o_cosine('l.embedding', 'r.embedding')}, 6) AS cosine_sim
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    ) WHERE cosine_sim >= 0.9
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q_embedding_near_dup", _emb_near_dup_oracle())
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: exact cosine WITHIN LSH buckets
+    only (never all-pairs) over documents' embeddings ∪ a ×2-scaled
+    copy — the planted duplicates are co-bucketed by construction."""
+    from .operators.similarity import pairwise_cosine_within_buckets
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(2.0)
+        ).alias("embedding"),
+    )
+    corpus = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS embedding"
+    ).unionByName(scaled)
+    return pairwise_cosine_within_buckets(
+        corpus, dim=_EMB_DIM, min_cosine=0.9
+    ).orderBy("id_a", "id_b")
+
+
+def _ivf_oracle() -> str:
+    """Generated oracle for IVF ANN: centroid literals are the first 16
+    vectors of the correctness-SF corpus; the probe list is computed
+    with the same numpy code the Spark path uses."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(_ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 16)],
+    ).sort_by("vec_id")
+    cents = np.asarray(
+        [[float(x) for x in row] for row in tbl.column("embedding").to_pylist()]
+    )
+    q = np.asarray(_query_vector(_ORACLE_SF_DIR), dtype=np.float64)
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probe = sorted(int(i) for i in np.argsort(d2, kind="stable")[:4])
+    probe_sql = ", ".join(str(p) for p in probe)
+
+    def cent_lit(i: int) -> str:
+        vals = ", ".join(repr(float(v)) for v in cents[i])
+        return f"([{vals}]::DOUBLE[])"
+
+    def sqdist(i: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+            f"j -> (embedding[j]::DOUBLE - {cent_lit(i)}[j]) "
+            f"* (embedding[j]::DOUBLE - {cent_lit(i)}[j])))"
+        )
+
+    dists = ", ".join(f"{sqdist(i)} AS d{i}" for i in range(16))
+    least = "LEAST(" + ", ".join(f"d{i}" for i in range(16)) + ")"
+    argmin = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(16))
+        + " END"
+    )
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT vec_id, embedding, {dists} FROM embeddings
+    ), assigned AS MATERIALIZED (
+        SELECT vec_id, embedding, {argmin} AS list_id
+        FROM (SELECT *, {least} AS m FROM d)
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT a.vec_id, ROUND({_o_cosine('a.embedding', 'q.qv')}, 6) AS cosine_sim
+    FROM assigned a, q WHERE a.list_id IN ({probe_sql})
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("q_ivf_ann", _ivf_oracle() if os.path.isdir(_ORACLE_SF_DIR) else None)
+def q_ivf_ann(spark, sf_dir):
+    """IVF-lite ANN: inverted lists keyed by nearest sampled centroid,
+    probe the 4 nearest lists, exact cosine within — the second
+    approximate tier next to LSH (true k-means centroids slot in via
+    Spark ML without changing the probe contract)."""
+    from .operators.similarity import ivf_topk, sample_centroids
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = sample_centroids(emb, 16)
+    return ivf_topk(emb, _query_vector(sf_dir), cents, k=10, nprobe=4)
+
+
 # -- no-oracle entries (non-SQL-expressible; driver records rows-only) ------
 
 @query("q_minhash_pairs")
