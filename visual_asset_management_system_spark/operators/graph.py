@@ -107,6 +107,32 @@ def link_auth_counts(one_hop_enriched: DataFrame) -> DataFrame:
     )
 
 
+def graph_export(assets: DataFrame, asset_links: DataFrame) -> DataFrame:
+    """Knowledge-graph export (the garnetFramework addon,
+    handlers/addon/garnetFramework/): the catalog as one property-graph
+    dataset — node rows (one per asset, label + display name) and edge
+    rows (one per link, typed), in a single tall frame a graph store
+    bulk-loads. Composite ``db:id`` node keys exist only in this export
+    shape; engine plans keep the parts as columns."""
+    nodes = assets.select(
+        F.lit("node").alias("record_type"),
+        F.concat_ws(":", "database_id", "asset_id").alias("id"),
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("string").alias("dst"),
+        F.lit("asset").alias("label"),
+        F.col("asset_name").alias("name"),
+    )
+    edges = asset_links.select(
+        F.lit("edge").alias("record_type"),
+        F.col("asset_link_id").alias("id"),
+        F.concat_ws(":", "from_database_id", "from_asset_id").alias("src"),
+        F.concat_ws(":", "to_database_id", "to_asset_id").alias("dst"),
+        F.col("relationship_type").alias("label"),
+        F.lit(None).cast("string").alias("name"),
+    )
+    return nodes.unionByName(edges)
+
+
 def create_links(
     existing: DataFrame, candidates: DataFrame
 ) -> DataFrame:

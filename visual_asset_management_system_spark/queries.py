@@ -1184,6 +1184,37 @@ def q_vams_orphans(spark, sf_dir):
 
 
 @query(
+    "q_vams_graph_export",
+    oracle_with("assets", "asset_links")
+    + """
+    SELECT * FROM (
+        SELECT 'node' AS record_type,
+               database_id || ':' || asset_id AS id,
+               CAST(NULL AS STRING) AS src, CAST(NULL AS STRING) AS dst,
+               'asset' AS label, asset_name AS name
+        FROM assets WHERE NOT is_archived
+        UNION ALL
+        SELECT 'edge', asset_link_id,
+               from_database_id || ':' || from_asset_id,
+               to_database_id || ':' || to_asset_id,
+               relationship_type, CAST(NULL AS STRING)
+        FROM asset_links
+    )
+    ORDER BY record_type, id
+    """,
+)
+def q_vams_graph_export(spark, sf_dir):
+    """Knowledge-graph export (garnetFramework addon): live assets as
+    nodes + links as typed edges in one bulk-loadable frame."""
+    from .operators.graph import graph_export
+
+    t = tables(spark, sf_dir)
+    return graph_export(
+        t["assets"].filter(~F.col("is_archived")), t["asset_links"]
+    ).orderBy("record_type", "id")
+
+
+@query(
     "q_vams_keyset_page",
     oracle_with("files")
     + """
