@@ -78,6 +78,37 @@ def test_minhash_finds_planted_near_dups(spark):
         assert r["jaccard"] >= 0.4
 
 
+def test_minhash_bucket_cap_drops_duplicate_floods(spark):
+    """max_bucket_size drops pathological buckets (exact-duplicate
+    floods belong to the exact-dedup pass) while keeping normal
+    near-dup candidates."""
+    from visual_asset_management_system_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = tables(spark, SF)["documents"].select("doc_id", "text").limit(20)
+    flood_text = "the same boilerplate text repeated in every copy of this"
+    flood = spark.createDataFrame(
+        [(2000000 + i, flood_text) for i in range(40)], "doc_id long, text string"
+    )
+    corpus = docs.unionByName(flood)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(corpus).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(corpus, max_bucket_size=10).collect()
+    }
+    flood_pairs = {p for p in uncapped if p[0] >= 2000000 and p[1] >= 2000000}
+    assert len(flood_pairs) == 40 * 39 // 2  # the quadratic blow-up
+    assert not any(p[0] >= 2000000 and p[1] >= 2000000 for p in capped)
+    # non-flood candidates are unaffected by the cap
+    assert {p for p in uncapped if p[0] < 2000000} <= capped | flood_pairs | {
+        p for p in uncapped if p[1] >= 2000000
+    }
+
+
 def test_simhash_hamming_bounds(spark):
     docs = tables(spark, SF)["documents"].select("doc_id", "text").limit(60)
     dup = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")

@@ -121,6 +121,81 @@ def test_streaming_wrapper_available_now(spark, tmp_path):
     assert ids == {"asset_5", "asset_7"}
 
 
+def test_routed_stream_available_now(spark, tmp_path):
+    """End-to-end routed stream: one change log feeds BOTH search-table
+    sinks through the dispatch/filter layer, with a link event
+    re-indexing both endpoint assets."""
+    from visual_asset_management_system_spark.streaming.cdc import (
+        start_routed_stream,
+    )
+
+    changelog = str(tmp_path / "changelog")
+    asset_sink = str(tmp_path / "assets_sink")
+    file_sink = str(tmp_path / "files_sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    asset_base = spark.createDataFrame(
+        [("db_1", f"asset_{i}", f"name {i}") for i in range(10)]
+        + [("db_2", "asset_9", "name 9b")],
+        "database_id string, asset_id string, asset_name string",
+    )
+    file_base = spark.createDataFrame(
+        [("db_1", f"asset_{i}", f"/f/{i}.glb", i * 100) for i in range(10)],
+        "database_id string, asset_id string, file_path string, file_size long",
+    )
+
+    def recompute_assets(keys):
+        return asset_base.join(keys, ["database_id", "asset_id"], "left_semi")
+
+    def recompute_files(keys):
+        return file_base.join(
+            keys, ["database_id", "asset_id", "file_path"], "left_semi"
+        )
+
+    _write_changelog(
+        changelog,
+        [
+            {
+                "seq": 1, "event_name": "INSERT", "source": "asset_links",
+                "database_id": "db_1", "asset_id": "asset_1",
+                "new_image": None, "event_time": "2024-01-01T00:00:00Z",
+                "file_path": None, "to_database_id": "db_2",
+                "to_asset_id": "asset_9",
+            },
+            {
+                "seq": 2, "event_name": "INSERT", "source": "s3",
+                "database_id": "db_1", "asset_id": "asset_2",
+                "new_image": None, "event_time": "2024-01-01T00:00:00Z",
+                "file_path": "/f/2.glb", "to_database_id": None,
+                "to_asset_id": None,
+            },
+            {
+                "seq": 3, "event_name": "INSERT", "source": "s3",
+                "database_id": "db_1", "asset_id": "asset_3",
+                "new_image": None, "event_time": "2024-01-01T00:00:00Z",
+                "file_path": "previews/thumb.png", "to_database_id": None,
+                "to_asset_id": None,
+            },
+        ],
+    )
+    q = start_routed_stream(
+        spark, changelog,
+        {"asset": asset_sink, "file": file_sink},
+        {"asset": recompute_assets, "file": recompute_files},
+        ckpt, trigger_once=True,
+    )
+    q.awaitTermination(120)
+    # link event re-indexed BOTH endpoints; excluded-prefix event dropped
+    asset_keys = {
+        (r["database_id"], r["asset_id"])
+        for r in spark.read.parquet(asset_sink).collect()
+    }
+    assert asset_keys == {("db_1", "asset_1"), ("db_2", "asset_9")}
+    assert {
+        r["file_path"] for r in spark.read.parquet(file_sink).collect()
+    } == {"/f/2.glb"}
+
+
 def _dir_snapshot(root: str) -> dict[str, tuple]:
     """Map of every data file under root → (size, mtime_ns) — used to
     prove untouched partition directories are untouched."""

@@ -134,16 +134,33 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
     rows = bands/num_hashes per the standard S-curve; defaults (64, 16)
     target ~0.5+ Jaccard. The band bucket join is the scale path: a
     shuffle on (band, band_hash), never an all-pairs product.
+
+    ``max_bucket_size`` is the 100 TB skew guard: a band bucket with m
+    members yields m² pairs, and pathological buckets (boilerplate,
+    exact-duplicate floods) can dominate the join. Buckets larger than
+    the cap are DROPPED from candidate generation — their members are
+    exact-duplicate-grade and belong to the cheaper exact-dedup pass
+    (run :func:`exact_duplicate_groups` first). Costs one extra
+    aggregation on the same (band, band_hash) key the join shuffles on.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = _banded(sig, bands, rows_per_band)
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(ok_buckets, ["band", "band_hash"], "left_semi")
 
     left = banded.alias("l")
     right = banded.alias("r")
