@@ -57,6 +57,51 @@ def test_one_hop_classification(spark):
     assert ("asset_48", "parent") in rels
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Tables bucketed on the join key must sort-merge-join with NO
+    Exchange on either side — the co-located layout the engine's big
+    entity joins rely on at scale."""
+    from visual_asset_management_system_spark.operators.bucketing import (
+        read_table,
+        write_bucketed_table,
+    )
+
+    t = tables(spark, SF)
+    keys = ["database_id", "asset_id"]
+    write_bucketed_table(
+        t["assets"], "b_assets", keys, num_buckets=8,
+        path=str(tmp_path / "b_assets"),
+    )
+    write_bucketed_table(
+        t["files"], "b_files", keys, num_buckets=8,
+        path=str(tmp_path / "b_files"),
+    )
+    # force the sort-merge path (at real scale both sides are too big to
+    # broadcast; the fixture tables are tiny, so AQE would broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "b_files").join(
+            read_table(spark, "b_assets").select(
+                "database_id", "asset_id", "asset_name"
+            ),
+            keys,
+        )
+        n = joined.count()  # materialize → AQE settles the final plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it actually computes the same join as the unbucketed path
+        expected = (
+            t["files"]
+            .join(t["assets"].select(*keys, "asset_name"), keys)
+            .count()
+        )
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 # -- dedup / similarity -----------------------------------------------------
 
 def test_minhash_finds_planted_near_dups(spark):

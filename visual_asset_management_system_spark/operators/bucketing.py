@@ -1,0 +1,48 @@
+"""Bucketed catalog storage — shuffle-free co-located joins.
+
+The engine's hottest join keys are the entity keys: files↔assets on
+(database_id, asset_id) for the file search build, metadata↔entities
+for the EAV map, versions↔assets for as-of reads. At 100 TB both sides
+of those joins are big, so the sort-merge join's two shuffles become
+the dominant cost. Writing the catalog tables BUCKETED on the entity
+key (hash-bucketed + sorted within buckets, Spark `bucketBy`) makes the
+join co-located: Catalyst sees matching output partitionings and plans
+a SortMergeJoin with NO Exchange on either side — the same layout a
+Delta/Iceberg deployment gets from clustering keys.
+
+Bucket count is a layout constant (same for every table sharing the
+key) — choose it for the target cluster (e.g. 4× total cores), not the
+current data size; AQE cannot change it after write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_keys: list[str],
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed+sorted table (overwriting any
+    previous version). ``path`` makes it external; otherwise it lands in
+    the session warehouse."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_keys)
+        .sortBy(*bucket_keys)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table back; joins between tables bucketed on the
+    same keys/count plan with no Exchange."""
+    return spark.table(table_name)
