@@ -244,36 +244,46 @@ def descendants(
         F.col("to_database_id").alias("dst_db"),
         F.col("to_asset_id").alias("dst_id"),
     )
+    # the edge relation is re-scanned once per BFS level: materialize it
+    # once (its derivation — view SQL + parquet scan — is the per-level
+    # fixed cost otherwise; at depth d that's d redundant scans)
+    edges = edges.persist()
     spark = asset_links.sparkSession
     frontier = spark.createDataFrame(
         [(database_id, asset_id, 0)], "database_id string, asset_id string, depth int"
     )
     visited = frontier
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            F.broadcast(frontier)
-            .join(
-                edges,
-                (frontier["database_id"] == edges["src_db"])
-                & (frontier["asset_id"] == edges["src_id"]),
+    try:
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                F.broadcast(frontier)
+                .join(
+                    edges,
+                    (frontier["database_id"] == edges["src_db"])
+                    & (frontier["asset_id"] == edges["src_id"]),
+                )
+                .select(
+                    F.col("dst_db").alias("database_id"),
+                    F.col("dst_id").alias("asset_id"),
+                    F.lit(depth).alias("depth"),
+                )
+                .dropDuplicates(["database_id", "asset_id"])
+                .join(
+                    visited.select("database_id", "asset_id"),
+                    ["database_id", "asset_id"],
+                    "left_anti",
+                )
+                # the frontier is small by construction — one partition
+                # kills the 32-empty-task overhead each level pays
+                .coalesce(1)
             )
-            .select(
-                F.col("dst_db").alias("database_id"),
-                F.col("dst_id").alias("asset_id"),
-                F.lit(depth).alias("depth"),
-            )
-            .dropDuplicates(["database_id", "asset_id"])
-            .join(
-                visited.select("database_id", "asset_id"),
-                ["database_id", "asset_id"],
-                "left_anti",
-            )
-        )
-        if use_checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+            if use_checkpoint:
+                nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+    finally:
+        edges.unpersist()
     # exclude the root itself (the reference returns the subtree below it)
     return visited.filter(F.col("depth") > 0)

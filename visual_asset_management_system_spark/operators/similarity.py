@@ -163,6 +163,10 @@ def write_bucketed_embeddings(
     planes = _hyperplanes(dim, n_planes, seed)
     (
         embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        # co-locate each bucket before the partitioned write: one output
+        # file per bucket directory instead of (shuffle-partitions ×
+        # buckets) small files — small-file count is a real 100 TB cost
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(out_dir)
