@@ -2308,11 +2308,16 @@ def q_ngram_jaccard_topk(spark, sf_dir):
     at every SF.
 
     The engine path NEVER does an all-pairs join: candidates come from
-    banded MinHash LSH (equi-join on (band, band_hash) — 32 bands × 2
-    rows keeps candidate-recall ≈ 1 at jaccard ≥ 0.5) and only those
-    pairs get the exact shingle-set verification. The oracle is the
-    quadratic exact form — feasible at the correctness SF, and exactly
-    what the LSH plan must reproduce above the threshold.
+    banded MinHash LSH (equi-join on (band, band_hash) — 16 bands × 4
+    rows puts the S-curve threshold near 0.5, so noise pairs at
+    jaccard ≈ 0.02 essentially never collide, while the top-k pairs
+    (jaccard ≥ 0.95 planted mutations) miss with probability ~1e-12)
+    and only those pairs get the exact shingle-set verification. The
+    oracle is the quadratic exact form — feasible at the correctness
+    SF, and exactly what the LSH plan must reproduce above the
+    threshold. (32 bands × 2 rows would drop the collision threshold to
+    ~0.18 and admit ~1% of ALL pairs as candidates — measured 6× slower
+    at sf0.1 from shuffling shingle arrays for noise pairs.)
     """
     from .operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
@@ -2328,7 +2333,7 @@ def q_ngram_jaccard_topk(spark, sf_dir):
         ).alias("text"),
     )
     corpus = docs.unionByName(mutated)
-    cands = minhash_lsh_candidates(corpus, num_hashes=64, bands=32)
+    cands = minhash_lsh_candidates(corpus, num_hashes=64, bands=16)
     return (
         ngram_jaccard_pairs(corpus, cands, threshold=0.6)
         .orderBy(F.desc("jaccard"), "id_a", "id_b")

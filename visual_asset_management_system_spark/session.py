@@ -58,7 +58,11 @@ def get_spark(
         # nanos — exact integer math instead of lossy double conversion
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode puts every executor thread + all persisted state in
+        # the driver JVM: an undersized heap turns into sporadic multi-
+        # second GC pauses on whichever query is running when it fills
+        # (measured 2.5s → 52s swings on the bucket self-join at 8g)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
