@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the pure planner-side helpers.
+
+These run driver-side with no JVM — they pin the request-surface
+invariants the compilers rely on: sanitized field names are always
+legal, pagination tokens round-trip, the metadataQuery grammar parses
+what it prints.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from visual_asset_management_system_spark.functions.normalize import (
+    sanitize_field_name,
+)
+from visual_asset_management_system_spark.plans.metadata_query import (
+    MetadataQueryError,
+    _parse,
+)
+from visual_asset_management_system_spark.plans.pagination import (
+    decode_page_token,
+    encode_page_token,
+)
+
+_LEGAL = re.compile(r"^[a-z0-9_-]*$")
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200)
+def test_sanitize_field_name_always_legal(name):
+    s = sanitize_field_name(name)
+    assert _LEGAL.fullmatch(s), s
+    assert len(s) <= 255
+    assert s  # never empty
+    assert not s[0].isdigit()
+    assert not s.startswith("_")
+
+
+@given(st.text(alphabet=string.ascii_lowercase + "_-", min_size=1, max_size=50))
+@settings(max_examples=200)
+def test_sanitize_field_name_idempotent(name):
+    once = sanitize_field_name(name)
+    assert sanitize_field_name(once) == once
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet=string.ascii_letters + string.digits + "_", min_size=1, max_size=20),
+        st.one_of(
+            st.text(max_size=50),
+            st.integers(min_value=-(2**53), max_value=2**53),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=200)
+def test_page_token_roundtrip(last_key):
+    assert decode_page_token(encode_page_token(last_key)) == last_key
+
+
+_KEY = st.text(
+    alphabet=string.ascii_lowercase + string.digits + "_", min_size=1, max_size=15
+)
+# unquoted values must not contain whitespace/quotes/colons per the grammar
+_VALUE = st.text(
+    alphabet=string.ascii_lowercase + string.digits + "_*?.-", min_size=1, max_size=15
+)
+
+
+@given(
+    st.lists(st.tuples(_KEY, _VALUE, st.booleans()), min_size=1, max_size=5),
+    st.sampled_from(["AND", "OR"]),
+)
+@settings(max_examples=200)
+def test_metadata_query_parser_roundtrip(pairs, op):
+    parts = [(f'{k}:"{v}"' if exact else f"{k}:{v}") for k, v, exact in pairs]
+    query = f" {op} ".join(parts)
+    parsed_op, parsed = _parse(query)
+    if len(pairs) > 1:
+        assert parsed_op == op
+    assert [(k, v) for k, v, _ in parsed] == [(k, v) for k, v, _ in pairs]
+    # exactness survives for quoted values
+    assert [e for _, _, e in parsed] == [e for _, _, e in pairs]
+
+
+def test_metadata_query_rejects_mixed_operators():
+    import pytest
+
+    with pytest.raises(MetadataQueryError):
+        _parse("a:1 AND b:2 OR c:3")
