@@ -1,0 +1,81 @@
+"""Smoke the CatalogService façade — every reference REST operation has
+an engine method that runs and returns sane shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from visual_asset_management_system_spark.models.search import SearchRequest
+from visual_asset_management_system_spark.operators.authz import (
+    Constraint,
+    Criterion,
+)
+from visual_asset_management_system_spark.queries import tables
+from visual_asset_management_system_spark.service import CatalogService
+
+SF = "/root/testdata/sf0.001"
+
+
+def _svc(spark, constraints=None) -> CatalogService:
+    return CatalogService(tables(spark, SF), constraints)
+
+
+def test_search_and_facets_and_mappings(spark):
+    svc = _svc(spark)
+    hits = svc.search(
+        SearchRequest(query="red", entity_types=("asset",), size=10)
+    ).collect()
+    assert 0 < len(hits) <= 10
+    assert svc.facets(
+        SearchRequest(entity_types=("asset",), facets=["asset_type"], size=1)
+    ).count() > 0
+    m = svc.mappings()
+    assert {"entity_type", "field", "dtype"} <= set(m.columns)
+
+
+def test_asset_crud_surface(spark):
+    svc = _svc(spark)
+    one = svc.get_asset("db_3", "asset_123").collect()
+    assert len(one) == 1
+    page = svc.list_assets("db_3", page_size=5).collect()
+    assert len(page) == 5
+    md = svc.get_metadata("db_3", "asset_123").collect()
+    assert len(md) <= 1  # zero or one map row for the entity
+
+
+def test_authz_applies_inside_plans(spark):
+    deny_all_but_db4 = [
+        Constraint(
+            effect="allow", action="GET",
+            criteria=(Criterion("database_id", "equals", "db_4"),),
+        )
+    ]
+    svc = _svc(spark, deny_all_but_db4)
+    assert svc.get_asset("db_3", "asset_123").count() == 0
+    assert svc.list_assets("db_3").count() == 0
+
+
+def test_links_versions_graph(spark):
+    svc = _svc(spark)
+    hop = svc.get_asset_links("db_2", "asset_42")
+    assert {"neighbor_asset_id", "neighbor_name", "relationship"} <= set(
+        hop.columns
+    )
+    counts = svc.unauthorized_counts("db_2", "asset_42").collect()
+    assert all(r["unauthorized_count"] >= 0 for r in counts)
+    assert svc.child_tree("db_8", "asset_48").count() >= 1
+    kg = svc.knowledge_graph()
+    assert {r["record_type"] for r in kg.select("record_type").distinct().collect()} == {
+        "node", "edge"
+    }
+    assert svc.current_versions().count() > 0
+
+
+def test_export_and_reconcile(spark, tmp_path):
+    svc = _svc(spark)
+    manifest = svc.export_database("db_3", str(tmp_path / "exp")).collect()
+    assert len(manifest) == 1 and manifest[0]["n_rows"] > 0
+    t = tables(spark, SF)
+    legs = svc.reconcile(t["files"].filter(~F.col("is_archived")))
+    assert "missing_in_storage" in legs and "to_register" in legs
+    assert legs["to_register"].count() >= 0

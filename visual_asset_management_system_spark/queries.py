@@ -2151,6 +2151,56 @@ _O_FP = r"md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))"
 
 
 @query(
+    "q_multimodal_frame_sample",
+    """
+    WITH media AS (
+        SELECT doc_id AS media_id, length(text) / 100.0 AS duration_s
+        FROM documents WHERE doc_id % 3 = 0
+    ), frames AS (
+        SELECT media_id,
+               unnest(range(0,
+                   GREATEST(CAST(FLOOR(duration_s / 2.0) AS INT), 0) + 1)) AS i
+        FROM media
+    )
+    SELECT media_id, CAST(i AS BIGINT) AS frame_idx, i * 2.0 AS frame_ts_s
+    FROM frames
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling as UDTF-style row expansion (one output row
+    per sampled timestamp, explode over a generated sequence) — the
+    partitioning-relevant plumbing of the preview/conversion pipelines;
+    frame decode itself stays stubbed (no codecs in the container)."""
+    from .operators.multimodal import sample_frames
+
+    t = tables(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("media_type"),
+        F.lit(None).cast("binary").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.length("text") / 100.0).alias("duration_s"),
+            F.lit("h264").alias("codec"),
+        ).alias("meta"),
+    )
+    return (
+        sample_frames(media, every_s=2.0)
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            "frame_ts_s",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@query(
     "q_doc_stats",
     f"""
     WITH base AS (

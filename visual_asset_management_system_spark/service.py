@@ -1,0 +1,194 @@
+"""API façade: the reference's REST surface mapped 1:1 onto engine plans.
+
+A user of the reference talks to Lambda handlers behind API Gateway
+routes; this class exposes the same operations as methods returning
+DataFrames (callers ``collect()``/page as needed). Each method cites
+the handler it re-expresses; all heavy lifting lives in the operator
+modules, so this file is intentionally thin glue — the "switch your
+client here" map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .models.search import SearchRequest
+from .operators.authz import Constraint, compile_constraints
+from .operators.eav import (
+    bulk_validation_tally,
+    metadata_map,
+    validate_metadata,
+)
+from .operators.export import export_entities, export_manifest
+from .operators.graph import (
+    create_links,
+    descendants,
+    graph_export,
+    link_auth_counts,
+    one_hop,
+)
+from .operators.reconcile import missing_in_storage, register_candidates
+from .operators.versions import as_of, latest_versions
+from .plans.compiler import SearchCompiler, index_mappings
+from .plans.pagination import keyset_page_df
+from .plans.workflow import (
+    Workflow,
+    auto_execute_triggers,
+    ingest_workflow_outputs,
+    list_executions,
+)
+
+
+class CatalogService:
+    """One façade over the catalog tables.
+
+    ``tables`` maps logical names (assets, files, metadata, asset_links,
+    asset_versions, metadata_schemas, search_assets, search_files, …) to
+    DataFrames — typically :func:`queries.tables`'s output, or reads of
+    the CDC-maintained parquet/Delta tables in a deployment.
+    ``constraints`` (operators.authz) applies row-level ABAC inside
+    every plan that lists entities.
+    """
+
+    def __init__(
+        self,
+        tables: dict[str, DataFrame],
+        constraints: list[Constraint] | None = None,
+    ) -> None:
+        self.t = tables
+        self.auth: Column | None = (
+            compile_constraints(constraints, "GET") if constraints else None
+        )
+        self._compiler = SearchCompiler(
+            {"asset": tables["search_assets"], "file": tables["search_files"]},
+            auth_predicate=self.auth,
+        )
+
+    # -- search (handlers/search/search.py) --------------------------------
+    def search(self, req: SearchRequest) -> DataFrame:
+        """POST /search — dual-entity hits (search.py:949-1776)."""
+        return self._compiler.hits(req)
+
+    def facets(self, req: SearchRequest) -> DataFrame:
+        """POST /search aggregations leg (search.py:1392-1486)."""
+        return self._compiler.facets(req)
+
+    def mappings(self) -> DataFrame:
+        """GET /search — index mappings (search.py:1782-1800)."""
+        return index_mappings(self._compiler.search_tables)
+
+    # -- assets (handlers/assets/*.py) --------------------------------------
+    def get_asset(self, database_id: str, asset_id: str) -> DataFrame:
+        """GET /database/{d}/assets/{a} — point lookup."""
+        df = self.t["assets"].filter(
+            (F.col("database_id") == database_id)
+            & (F.col("asset_id") == asset_id)
+        )
+        return df.filter(self.auth) if self.auth is not None else df
+
+    def list_assets(
+        self, database_id: str, page_size: int = 3000, token: str | None = None
+    ) -> DataFrame:
+        """GET /database/{d}/assets — keyset-paged listing
+        (assetService.py:760-804)."""
+        df = self.t["assets"].filter(F.col("database_id") == database_id)
+        if self.auth is not None:
+            df = df.filter(self.auth)
+        return keyset_page_df(df, ["asset_id"], page_size, token)
+
+    def export_database(self, database_id: str, out_dir: str) -> DataFrame:
+        """Export sink (assetExportService.py) → written-data manifest."""
+        export_entities(
+            self.t["assets"].filter(F.col("database_id") == database_id),
+            out_dir,
+        )
+        spark = self.t["assets"].sparkSession
+        return export_manifest(spark, out_dir)
+
+    # -- metadata (handlers/metadata/*.py) ----------------------------------
+    def get_metadata(self, database_id: str, asset_id: str) -> DataFrame:
+        """GET metadata — the MD_ map for one entity
+        (metadataService.py:1460-1479)."""
+        rows = self.t["metadata"].filter(
+            (F.col("database_id") == database_id)
+            & (F.col("asset_id") == asset_id)
+        )
+        return metadata_map(rows)
+
+    def validate(self) -> DataFrame:
+        """Schema validation sweep (common/metadataSchemaValidation.py +
+        models/metadata.py:74-221 type checks)."""
+        return validate_metadata(self.t["metadata"], self.t["metadata_schemas"])
+
+    def bulk_tally(self) -> DataFrame:
+        """Bulk-operation result counts (models/metadata.py:260-269)."""
+        return bulk_validation_tally(
+            self.t["metadata"], self.t["metadata_schemas"]
+        )
+
+    # -- links / graph (handlers/assetLinks/*.py) ---------------------------
+    def get_asset_links(self, database_id: str, asset_id: str) -> DataFrame:
+        """GET asset links — enriched 1-hop with per-neighbor
+        authorization (assetLinksService.py:207-331). With no constraint
+        set, every existing neighbor is authorized (the reference's
+        no-policy default)."""
+        return one_hop(
+            self.t["asset_links"], database_id, asset_id,
+            assets=self.t["search_assets"],
+            auth_predicate=self.auth if self.auth is not None else F.lit(True),
+        )
+
+    def unauthorized_counts(self, database_id: str, asset_id: str) -> DataFrame:
+        """unauthorizedCounts per class (assetLinksService.py:250-331)."""
+        return link_auth_counts(self.get_asset_links(database_id, asset_id))
+
+    def child_tree(self, database_id: str, asset_id: str) -> DataFrame:
+        """Recursive descendants (assetLinksService.py:337-405)."""
+        return descendants(self.t["asset_links"], database_id, asset_id)
+
+    def create_asset_links(self, candidates: DataFrame) -> DataFrame:
+        """POST asset links — constraint-checked insert set
+        (createAssetLink.py:73-190); returns candidates + status."""
+        return create_links(self.t["asset_links"], candidates)
+
+    def knowledge_graph(self) -> DataFrame:
+        """Graph export addon (handlers/addon/garnetFramework/)."""
+        return graph_export(self.t["assets"], self.t["asset_links"])
+
+    # -- versions (handlers/assets/assetVersions.py) ------------------------
+    def current_versions(self) -> DataFrame:
+        return latest_versions(self.t["asset_versions"])
+
+    def versions_as_of(self, ts) -> DataFrame:
+        return as_of(self.t["asset_versions"], ts)
+
+    # -- workflows (handlers/workflows/*.py) --------------------------------
+    def executions(
+        self, wf: Workflow, database_id: str, asset_id: str,
+        file_key: str | None = None,
+    ) -> DataFrame:
+        """List executions by asset (executeWorkflow.py:394-487)."""
+        spark: SparkSession = self.t["assets"].sparkSession
+        return list_executions(
+            wf.executions_df(spark), database_id, asset_id, file_key
+        )
+
+    def ingest_outputs(self, outputs: DataFrame) -> dict[str, DataFrame]:
+        """Pipeline output ingestion (processWorkflowExecutionOutput.py)."""
+        return ingest_workflow_outputs(outputs)
+
+    def auto_triggers(self, file_events: DataFrame) -> DataFrame:
+        """Auto-execute-on-upload requests (sqsAutoExecuteWorkflow.py)."""
+        return auto_execute_triggers(file_events, self.t["workflows"])
+
+    # -- reconciliation (sqsBucketSync semantics) ---------------------------
+    def reconcile(self, storage_listing: DataFrame) -> dict[str, DataFrame]:
+        keys = ["database_id", "asset_id"]
+        catalog = self.t["assets"].filter(~F.col("is_archived"))
+        return {
+            "missing_in_storage": missing_in_storage(
+                catalog, storage_listing, keys
+            ),
+            "to_register": register_candidates(catalog, storage_listing, keys),
+        }
