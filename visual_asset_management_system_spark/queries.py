@@ -606,6 +606,54 @@ def q_events_tumbling(spark, sf_dir):
 
 
 @query(
+    "q_events_hopping",
+    f"""
+    WITH e AS (
+        SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+    ), w AS (
+        SELECT unnest([
+                   (ts_us // 1800000000) * 1800000000,
+                   (ts_us // 1800000000) * 1800000000 - 1800000000
+               ]) AS w_start_us,
+               event_type, value
+        FROM e
+    )
+    SELECT w_start_us // 1000000 AS w_start_s, event_type,
+           COUNT(*) AS n_events, {O_SUM('value')} AS sum_value
+    FROM w
+    GROUP BY w_start_s, event_type
+    ORDER BY w_start_s, event_type
+    """,
+)
+def q_events_hopping(spark, sf_dir):
+    """Hopping (sliding) windows: 1 h windows every 30 min — each event
+    lands in exactly size/slide = 2 windows (the explode-over-starts
+    construction ``F.window(ts, size, slide)`` uses internally; done in
+    pure integer nanosecond math here because events.ts arrives as
+    bigint nanos). Streaming form: same aggregation under
+    ``withWatermark`` (streaming/windows.py)."""
+    t = tables(spark, sf_dir)
+    slide_ns = 1_800_000_000_000  # 30 min
+    base = F.expr(f"(ts div {slide_ns}) * {slide_ns}")
+    return (
+        t["events"]
+        .withColumn(
+            "w_start_ns",
+            F.explode(F.array(base, base - F.lit(slide_ns))),
+        )
+        .groupBy(
+            F.expr("w_start_ns div 1000000000").alias("w_start_s"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("w_start_s", "event_type")
+    )
+
+
+@query(
     "q_events_sessionize",
     f"""
     WITH e AS (
