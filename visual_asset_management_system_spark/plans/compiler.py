@@ -216,6 +216,14 @@ class SearchCompiler:
                     src = plan.select(
                         F.explode("tags").alias("facet_value")
                     )
+                elif fld.startswith("metadata.") and "metadata" in plan.columns:
+                    # terms aggregation on a MD_ pseudo-field
+                    # (search.py:1392-1486 aggregates flat-object fields):
+                    # map lookup, absent-key rows contribute no bucket
+                    key = fld.split(".", 1)[1]
+                    src = plan.select(
+                        F.element_at("metadata", key).alias("facet_value")
+                    ).filter(F.col("facet_value").isNotNull())
                 elif fld in plan.columns:
                     src = plan.select(F.col(fld).cast("string").alias("facet_value"))
                 else:

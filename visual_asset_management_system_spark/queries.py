@@ -832,6 +832,37 @@ def q_vams_facets(spark, sf_dir):
 
 
 @query(
+    "q_vams_metadata_facets",
+    oracle_with("assets", "metadata")
+    + """
+    SELECT facet_field, facet_value, COUNT(*) AS doc_count FROM (
+        SELECT 'metadata.status' AS facet_field, m.status AS facet_value
+        FROM assets a JOIN (
+            SELECT database_id, asset_id,
+                   MAX(CASE WHEN metadata_key = 'status'
+                       THEN metadata_value END) AS status
+            FROM metadata WHERE file_path = '/'
+            GROUP BY database_id, asset_id
+        ) m ON a.database_id = m.database_id AND a.asset_id = m.asset_id
+        WHERE NOT a.is_archived AND m.status IS NOT NULL
+    )
+    GROUP BY facet_field, facet_value
+    ORDER BY doc_count DESC, facet_value
+    LIMIT 1000
+    """,
+)
+def q_vams_metadata_facets(spark, sf_dir):
+    """Terms aggregation on a metadata pseudo-field (``MD_.status``) —
+    the flat-object facet leg of search.py:1392-1486."""
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(
+        entity_types=("asset",), facets=["metadata.status"], size=1
+    )
+    return sc.facets(req)
+
+
+@query(
     "q_vams_metadata_pivot",
     oracle_with("metadata")
     + """
