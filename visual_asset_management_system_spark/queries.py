@@ -2400,6 +2400,40 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @query(
+    "q_dedup_drop",
+    f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), ranked AS (
+        SELECT doc_id, {_O_FP} AS fp,
+               ROW_NUMBER() OVER (PARTITION BY {_O_FP} ORDER BY doc_id) AS rn
+        FROM all_docs
+    )
+    SELECT doc_id, fp FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_drop(spark, sf_dir):
+    """The keep-one-representative half of exact dedup: lowest-id row
+    survives per fingerprint group (drop_exact_duplicates) — one window
+    over the fingerprint hash partition."""
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    from .operators.dedup import drop_exact_duplicates
+
+    return (
+        drop_exact_duplicates(doubled)
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_ngram_jaccard_topk",
     """
     WITH toks AS (
@@ -2698,6 +2732,34 @@ def q_ivf_ann(spark, sf_dir):
 
 
 # -- no-oracle entries (non-SQL-expressible; driver records rows-only) ------
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary media content
+    (operators/multimodal.py extract_features — the deterministic stub
+    kernel; the Spark plumbing under test is the mapInPandas batch
+    path). The per-byte FNV fold inside the kernel is not
+    SQL-expressible — rows-only check."""
+    from .operators.multimodal import extract_features
+
+    t = tables(spark, sf_dir)
+    media = t["documents"].select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+            F.lit(None).cast("string").alias("codec"),
+        ).alias("meta"),
+    )
+    return (
+        extract_features(media)
+        .select("media_id", F.size("features").alias("feature_dim"))
+        .orderBy("media_id")
+    )
+
 
 @query("q_minhash_pairs")
 def q_minhash_pairs(spark, sf_dir):
