@@ -165,6 +165,20 @@ def test_simhash_hamming_bounds(spark):
     assert all((i, i + 1000000) in exact for i in range(60))
 
 
+def test_simhash_bucket_cap_drops_duplicate_floods(spark):
+    docs = tables(spark, SF)["documents"].select("doc_id", "text").limit(20)
+    flood = spark.createDataFrame(
+        [(2000000 + i, "identical boilerplate body") for i in range(30)],
+        "doc_id long, text string",
+    )
+    capped = simhash_near_duplicates(
+        docs.unionByName(flood), max_hamming=0, max_bucket_size=10
+    ).collect()
+    assert not any(
+        r["id_a"] >= 2000000 and r["id_b"] >= 2000000 for r in capped
+    )
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     from visual_asset_management_system_spark.queries import _query_vector
 

@@ -348,6 +348,7 @@ def simhash_near_duplicates(
     bits: int = 32,
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -355,6 +356,11 @@ def simhash_near_duplicates(
     within distance < chunks shares at least one exact piece → join per
     piece, then verify with bit_count(xor). Scale shape: shuffle on
     (chunk_idx, chunk_value), no all-pairs.
+
+    ``max_bucket_size`` mirrors the MinHash skew guard: identical or
+    boilerplate documents share signatures, so one (chunk, piece) bucket
+    with m members is an m² pair bomb — buckets above the cap are
+    dropped (exact-duplicate territory; run exact dedup first).
     """
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
@@ -376,6 +382,14 @@ def simhash_near_duplicates(
             )
         ).alias("p"),
     ).select("id", "sig", "p.chunk", "p.piece")
+    if max_bucket_size is not None:
+        ok = (
+            pieces.groupBy("chunk", "piece")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("chunk", "piece")
+        )
+        pieces = pieces.join(ok, ["chunk", "piece"], "left_semi")
     l, r = pieces.alias("l"), pieces.alias("r")
     return (
         l.join(
