@@ -121,6 +121,63 @@ def test_streaming_wrapper_available_now(spark, tmp_path):
     assert ids == {"asset_5", "asset_7"}
 
 
+def test_compact_sink_rewrites_only_crowded_partitions(spark, tmp_path):
+    """Compaction coalesces partitions whose file count exceeds the
+    threshold, leaves compact partitions byte-identical, and preserves
+    every row."""
+    from visual_asset_management_system_spark.streaming.cdc import (
+        _partition_of,
+        compact_sink,
+    )
+
+    sink = str(tmp_path / "sink")
+    n_keys = 200
+    base = spark.createDataFrame(
+        [("db_1", f"asset_{i}", f"name {i}") for i in range(n_keys)],
+        "database_id string, asset_id string, asset_name string",
+    )
+
+    def recompute(keys):
+        return base.join(
+            keys, ["database_id", "asset_id"], "left_semi"
+        ).withColumn("doc", F.upper("asset_name"))
+
+    # crowd the partition dirs the way multi-task rewrites / append-mode
+    # ingest do at scale: several append passes into the same _part dirs
+    docs = _partition_of(
+        recompute(base.select("database_id", "asset_id")),
+        ["database_id", "asset_id"],
+    )
+    for i in range(3):
+        chunk = docs.filter(F.xxhash64("asset_id", F.lit(i)) % 3 == 0)
+        chunk.write.partitionBy("_part").mode("append").parquet(sink)
+    before_rows = {r["asset_id"] for r in spark.read.parquet(sink).collect()}
+    before = _dir_snapshot(sink)
+
+    compacted = compact_sink(spark, sink, max_files_per_partition=1)
+    assert compacted  # at least one crowded partition was rewritten
+
+    after = _dir_snapshot(sink)
+    compacted_dirs = {f"_part={p}" for p in compacted}
+
+    def _dir_of(path: str) -> str:
+        return path.replace(os.sep, "/").split("/", 1)[0]
+
+    for d in compacted_dirs:
+        n_files = sum(
+            1 for path in after
+            if _dir_of(path) == d and path.endswith(".parquet")
+        )
+        assert n_files == 1, f"{d} not coalesced"
+    # untouched partitions are byte-identical
+    for path, sig in before.items():
+        if _dir_of(path) not in compacted_dirs:
+            assert after.get(path) == sig, f"untouched file changed: {path}"
+    assert {
+        r["asset_id"] for r in spark.read.parquet(sink).collect()
+    } == before_rows
+
+
 def test_routed_stream_available_now(spark, tmp_path):
     """End-to-end routed stream: one change log feeds BOTH search-table
     sinks through the dispatch/filter layer, with a link event

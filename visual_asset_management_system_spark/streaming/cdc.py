@@ -122,6 +122,54 @@ def apply_cdc_batch(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def compact_sink(
+    spark: SparkSession,
+    sink_dir: str,
+    max_files_per_partition: int = 4,
+) -> list[int]:
+    """Small-file compaction for the CDC sink — the OPTIMIZE half of the
+    partial-rewrite story: every micro-batch rewrite adds files to its
+    touched ``_part`` directories, and read amplification grows with
+    file count. Rewrites ONLY the partitions whose file count exceeds
+    the threshold (each coalesced to one file via the same staged-swap
+    the merge uses), leaving compact partitions untouched. Returns the
+    compacted partition ids.
+
+    On a lakehouse runtime this is ``OPTIMIZE``/rewrite-data-files; on
+    plain parquet it is a maintenance job scheduled off the write path.
+    """
+    if not os.path.isdir(sink_dir):
+        return []
+    crowded = []
+    for d in os.listdir(sink_dir):
+        if not d.startswith("_part="):
+            continue
+        files = [
+            f for f in os.listdir(os.path.join(sink_dir, d))
+            if f.endswith(".parquet")
+        ]
+        if len(files) > max_files_per_partition:
+            crowded.append(int(d.split("=", 1)[1]))
+    if not crowded:
+        return []
+    rows = spark.read.parquet(sink_dir).filter(F.col("_part").isin(crowded))
+    staging = sink_dir.rstrip("/") + ".compact"
+    rows.repartition("_part").write.partitionBy("_part").mode(
+        "overwrite"
+    ).parquet(staging)
+    try:
+        for p in crowded:
+            src = os.path.join(staging, f"_part={p}")
+            dst = os.path.join(sink_dir, f"_part={p}")
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.replace(src, dst)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return sorted(crowded)
+
+
 # ---------------------------------------------------------------------------
 # change routing, derived triggers, event filtering
 # ---------------------------------------------------------------------------
