@@ -517,6 +517,39 @@ def test_windowed_counts_emit_on_watermark_and_drop_late(spark, tmp_path):
     }
 
 
+def test_hopping_windowed_counts(spark, tmp_path):
+    """Hopping variant: 1 h windows sliding 30 min — each event lands in
+    2 windows; emission still gated by the watermark."""
+    src = str(tmp_path / "hop_events")
+    sink = str(tmp_path / "hopsink")
+    ckpt = str(tmp_path / "hopckpt")
+
+    _write_events(
+        src,
+        [
+            _ev(1, 1, "click", 1.0, "2024-01-01T10:05:00Z"),
+            _ev(2, 1, "click", 4.0, "2024-01-01T13:00:00Z"),
+        ],
+    )
+    q = run_stream_to_parquet(
+        windowed_event_counts(
+            read_events_stream(spark, src), slide="30 minutes"
+        ),
+        sink, ckpt,
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window_start"].isoformat(), r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # event 1 belongs to the 09:30 and 10:00 windows; both closed by the
+    # 12:30 watermark of batch 1
+    assert rows == {
+        ("2024-01-01T09:30:00", 1),
+        ("2024-01-01T10:00:00", 1),
+    }
+
+
 def test_stateful_sessionize_across_microbatches(spark, tmp_path):
     src = str(tmp_path / "sess_events")
     sink = str(tmp_path / "sesssink")

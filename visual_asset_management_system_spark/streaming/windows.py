@@ -51,17 +51,25 @@ def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "30 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time counts with late-data handling.
+    """Tumbling (or, with ``slide``, hopping) event-time counts with
+    late-data handling.
 
     Append-mode output: a window row is emitted exactly once, when the
     watermark passes its end; rows later than the watermark are dropped
     (the documented late-data contract, replacing the reference's
-    implicit last-writer-wins).
+    implicit last-writer-wins). With a slide, each event lands in
+    window/slide overlapping windows (batch mirror: q_events_hopping);
+    state grows by the same factor, still bounded by the watermark
+    horizon.
     """
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),
