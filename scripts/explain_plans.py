@@ -27,7 +27,13 @@ DEFAULT = [
     "q05_local_supplier_volume",
     "q_vams_simple_search",
     "q_vams_facets",
+    "q_vams_file_metadata_query",
+    "q_vams_one_hop_enriched",
+    "q_vams_typed_validation",
+    "q_workflow_auto_trigger",
     "q_knn_cosine",
+    "q_lsh_ann",
+    "q_ngram_jaccard_topk",
 ]
 
 
@@ -60,6 +66,12 @@ def main() -> None:
             or "BroadcastNestedLoopJoin" in plan,
             "wholestage_codegen": "*(" in simple,
             "no_cartesian": "CartesianProduct" not in plan,
+            # non-empty PartitionFilters (the materialized-layout probes:
+            # q_lsh_ann's bucket IN-list must prune, not scan)
+            "partition_pruned": any(
+                seg.split("]", 1)[0].strip() != ""
+                for seg in plan.split("PartitionFilters: [")[1:]
+            ),
         }
         print("CHECKS:", checks)
     spark.stop()
