@@ -119,8 +119,43 @@ def lang_id(text: Column) -> Column:
 
 
 def fingerprint(text: Column) -> Column:
-    """Content fingerprint: md5 of whitespace-normalized lowercase text.
-    (A rolling/winnowing fingerprint can slot in later; md5-of-normalized
-    is the exact-dedup key and is reproducible in any engine.)"""
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    — the exact-dedup key, reproducible in any engine. For partial-
+    overlap detection use :func:`winnow_fingerprints`."""
     normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return F.md5(normalized)
+
+
+def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every k-gram of the token stream, slide a window of ``window``
+    consecutive hashes, keep each window's minimum — guaranteeing any
+    match of length ≥ k+window-1 tokens shares a fingerprint, with ~2/(
+    window+1) of hashes selected. The plagiarism/partial-overlap
+    detector the whole-document md5 can't provide.
+
+    All JVM array expressions over one row — no explode, no shuffle; the
+    selection order is lexicographic over md5 hex strings (any total
+    order on hashes is a valid winnowing selector, and string min is
+    reproducible in any engine). Returns array<string> (distinct,
+    sorted)."""
+    empty = F.array().cast("array<string>")
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    # guard every sequence() endpoint: sequence(1, 0) counts DOWN
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(empty)
+    n_grams = F.size(grams)
+    mins = F.when(
+        n_grams >= window,
+        F.transform(
+            F.sequence(F.lit(1), n_grams - (window - 1)),
+            lambda i: F.array_min(F.slice(grams, i, window)),
+        ),
+    ).otherwise(empty)
+    return F.sort_array(F.array_distinct(mins))

@@ -2400,6 +2400,84 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @query(
+    "q_doc_winnow_overlap",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), corpus AS (
+        SELECT doc_id, toks FROM toks
+        UNION ALL
+        SELECT doc_id + 1000000,
+               list_slice(toks, 1, GREATEST(len(toks) - 5, 1))
+        FROM toks
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 5 THEN list_transform(
+                   range(1, len(toks) - 3),
+                   i -> md5(array_to_string(list_slice(toks, i, i + 4), ' '))
+               ) ELSE [] END AS grams
+        FROM corpus
+    ), fps AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   CASE WHEN len(grams) >= 4 THEN list_transform(
+                       range(1, len(grams) - 2),
+                       i -> list_min(list_slice(grams, i, i + 3))
+                   ) ELSE [] END
+               )) AS fps
+        FROM grams
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS shared,
+           CAST(len(a.fps) AS BIGINT) AS n_a,
+           CAST(len(b.fps) AS BIGINT) AS n_b
+    FROM fps a JOIN fps b ON b.doc_id = a.doc_id + 1000000
+    ORDER BY id_a
+    """,
+)
+def q_doc_winnow_overlap(spark, sf_dir):
+    """Winnowing fingerprints (k-gram rolling hash + window min,
+    Schleimer et al. SIGMOD'03) detecting partial overlap: each doc vs
+    its truncated twin shares most fingerprints. The selection runs as
+    array expressions per row — no explode, no shuffle until the 1:1
+    pair join."""
+    from .operators.text import winnow_fingerprints
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda tok: tok != ""
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    f = corpus.select(
+        "doc_id", winnow_fingerprints(F.col("text"), k=5, window=4).alias("fps")
+    )
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1000000)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.size(F.array_intersect("a.fps", "b.fps")).cast("long").alias(
+                "shared"
+            ),
+            F.size("a.fps").cast("long").alias("n_a"),
+            F.size("b.fps").cast("long").alias("n_b"),
+        )
+        .orderBy("id_a")
+    )
+
+
+@query(
     "q_dedup_drop",
     f"""
     WITH all_docs AS (
