@@ -39,12 +39,15 @@ def export_manifest(
     spark: SparkSession,
     out_dir: str,
     partition_by: tuple[str, ...] = ("database_id",),
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Per-partition row counts of a written export — the export-summary
-    manifest, computed FROM the written files so it verifies the export
-    rather than restating the input."""
-    return (
-        spark.read.parquet(out_dir)
-        .groupBy(*partition_by)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-    )
+    manifest, computed FROM the written files (same ``fmt`` as the
+    write) so it verifies the export rather than restating the input."""
+    if fmt == "parquet":
+        df = spark.read.parquet(out_dir)
+    elif fmt == "json":
+        df = spark.read.json(out_dir)
+    else:
+        raise ValueError(f"unsupported export format: {fmt}")
+    return df.groupBy(*partition_by).agg(F.count(F.lit(1)).alias("n_rows"))

@@ -82,8 +82,15 @@ def one_hop(
         # evaluate over the asset's own column names, before aliasing
         dim_cols.append(auth_predicate.alias("_authz"))
     dim = assets.select(*dim_cols)
-    enriched = F.broadcast(neighbors).join(
-        dim, ["neighbor_database_id", "neighbor_asset_id"], "left"
+    # Spark can only broadcast the BUILD side; for a left-outer join
+    # that's the right side, so broadcasting the tiny neighbor set means
+    # writing it as dim RIGHT OUTER broadcast(neighbors) — a left-outer
+    # with broadcast(neighbors) on the left is silently un-broadcastable
+    # and would shuffle the full assets table per lookup.
+    enriched = dim.join(
+        F.broadcast(neighbors),
+        ["neighbor_database_id", "neighbor_asset_id"],
+        "right",
     )
     if auth_predicate is not None:
         enriched = enriched.withColumn(

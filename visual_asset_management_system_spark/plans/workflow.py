@@ -60,9 +60,11 @@ class Workflow:
     def run(self, df: DataFrame, ctx: dict | None = None) -> DataFrame:
         ctx = dict(ctx or {})
         # deterministic sequential ids (the reference's SFN execution name
-        # is caller-supplied; sequence numbers keep the log replayable)
+        # is caller-supplied; sequence numbers keep the log replayable).
+        # Zero-padded so the newest-first listing's string ordering agrees
+        # with numeric ordering past 9 executions.
         execution = WorkflowExecution(
-            execution_id=f"{self.name}_exec_{len(self.executions) + 1}",
+            execution_id=f"{self.name}_exec_{len(self.executions) + 1:06d}",
             workflow_name=self.name,
             database_id=ctx.get("database_id"),
             asset_id=ctx.get("asset_id"),

@@ -1894,6 +1894,10 @@ def q_vams_json_url_scalars(spark, sf_dir):
                             AND e.from_asset_id = c.from_asset_id
                             AND e.to_database_id = c.to_database_id
                             AND e.to_asset_id = c.to_asset_id
+                            -- existing edges carry no alias column, so
+                            -- their normalized alias is '': the engine's
+                            -- alias-equality check reduces to candidate
+                            -- alias = '' against this fixture
                             AND COALESCE(c.alias_id, '') = '')
                   THEN 'duplicate'
              WHEN c.relationship_type = 'parentChild'
@@ -1964,8 +1968,11 @@ def q_vams_export_manifest(spark, sf_dir):
                MAX(metadata_value) AS metadata_value
         FROM typed_metadata GROUP BY database_id, asset_id, metadata_key
     ), joined AS (
+        -- LEFT join: submitted keys with no declared schema cannot fail
+        -- validation and still count as items (matching the engine and
+        -- the reference, which only validates schema-declared keys)
         SELECT l.*, s.value_type, s.allowed_values
-        FROM latest l JOIN typed_metadata_schemas s USING (metadata_key)
+        FROM latest l LEFT JOIN typed_metadata_schemas s USING (metadata_key)
     ), judged AS (
         SELECT database_id, asset_id, metadata_key,
                ((metadata_value <> ''
@@ -2153,8 +2160,10 @@ def q_workflow_auto_trigger(spark, sf_dir):
     "q_workflow_executions",
     """
     SELECT * FROM (VALUES
-        ('etl_exec_3', 'etl', 'SUCCEEDED', 'db_1', 'asset_9', '/f/9.glb', 2, 2),
-        ('etl_exec_1', 'etl', 'SUCCEEDED', 'db_1', 'asset_9', '/f/1.glb', 2, 2)
+        ('etl_exec_000003', 'etl', 'SUCCEEDED', 'db_1', 'asset_9',
+         '/f/9.glb', 2, 2),
+        ('etl_exec_000001', 'etl', 'SUCCEEDED', 'db_1', 'asset_9',
+         '/f/1.glb', 2, 2)
     ) AS t(execution_id, workflow_name, status, database_id, asset_id,
            file_key, n_stages, n_attempts)
     ORDER BY execution_id DESC
@@ -2538,27 +2547,29 @@ def q_dedup_drop(spark, sf_dir):
                ROUND(len(list_intersect(a.sh, b.sh))
                      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    ) WHERE jaccard >= 0.6
+    ) WHERE jaccard >= 0.9
     ORDER BY jaccard DESC, id_a, id_b
     LIMIT 50
     """,
 )
 def q_ngram_jaccard_topk(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (jaccard ≥ 0.6) over documents ∪ a
+    """n-gram Jaccard near-dup pairs (jaccard ≥ 0.9) over documents ∪ a
     mutated copy (last 5 tokens dropped), so true near-duplicates exist
     at every SF.
 
     The engine path NEVER does an all-pairs join: candidates come from
-    banded MinHash LSH (equi-join on (band, band_hash) — 16 bands × 4
-    rows puts the S-curve threshold near 0.5, so noise pairs at
-    jaccard ≈ 0.02 essentially never collide, while the top-k pairs
-    (jaccard ≥ 0.95 planted mutations) miss with probability ~1e-12)
-    and only those pairs get the exact shingle-set verification. The
-    oracle is the quadratic exact form — feasible at the correctness
-    SF, and exactly what the LSH plan must reproduce above the
-    threshold. (32 bands × 2 rows would drop the collision threshold to
-    ~0.18 and admit ~1% of ALL pairs as candidates — measured 6× slower
-    at sf0.1 from shuffling shingle arrays for noise pairs.)
+    banded MinHash LSH (equi-join on (band, band_hash)) and only those
+    pairs get the exact shingle-set verification; the oracle is the
+    quadratic exact form, feasible at the correctness SF.
+
+    Threshold/banding honesty: with 16 bands × 4 rows, a pair at
+    jaccard j collides with probability 1-(1-j⁴)^16 — ≈0.89 at j=0.6
+    but ≥1-4e-8 at j=0.9, so the contract is set at 0.9 where recall is
+    deterministically ~1 for any corpus; the mutation keeps pairs of
+    ≥52-token documents above it. (32 bands × 2 rows would have recall
+    ~1 even at 0.5 but admits ~1% of ALL pairs as candidates — measured
+    6× slower at sf0.1 from shuffling shingle arrays for noise pairs;
+    noise pairs at jaccard ≈ 0.02 essentially never collide at 16×4.)
     """
     from .operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
@@ -2576,7 +2587,7 @@ def q_ngram_jaccard_topk(spark, sf_dir):
     corpus = docs.unionByName(mutated)
     cands = minhash_lsh_candidates(corpus, num_hashes=64, bands=16)
     return (
-        ngram_jaccard_pairs(corpus, cands, threshold=0.6)
+        ngram_jaccard_pairs(corpus, cands, threshold=0.9)
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(50)
     )

@@ -111,15 +111,34 @@ def apply_cdc_batch(
     merged.write.partitionBy("_part").mode("overwrite").parquet(staging)
     try:
         for p in touched:
-            src = os.path.join(staging, f"_part={p}")
-            dst = os.path.join(sink_dir, f"_part={p}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            if os.path.isdir(src):
-                os.replace(src, dst)
-            # else: every row of partition p was deleted → dir stays gone
+            _swap_partition_dir(staging, sink_dir, p)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def _swap_partition_dir(staging: str, sink_dir: str, p: int) -> None:
+    """Crash-resilient partition swap: the live directory moves ASIDE
+    (to a ``.trash`` sibling OUTSIDE the sink, so partition discovery
+    never sees it) before the staged one is promoted — at no instant has
+    the only copy of surviving rows been deleted, which a
+    rmtree-then-rename swap cannot guarantee (untouched keys of the
+    partition would be unrecoverable: their events were not in the
+    batch, so at-least-once replay cannot rebuild them). A crash between
+    the two renames leaves the partition recoverable from the trash;
+    plain parquet cannot make the pair atomic — a lakehouse table format
+    (MERGE) is the transactional deployment path."""
+    src = os.path.join(staging, f"_part={p}")
+    dst = os.path.join(sink_dir, f"_part={p}")
+    trash = sink_dir.rstrip("/") + ".trash"
+    os.makedirs(trash, exist_ok=True)
+    aside = os.path.join(trash, f"_part={p}")
+    shutil.rmtree(aside, ignore_errors=True)  # stale from a prior crash
+    if os.path.isdir(dst):
+        os.replace(dst, aside)
+    if os.path.isdir(src):
+        os.replace(src, dst)
+    # else: every row of partition p was deleted → dir stays gone
+    shutil.rmtree(aside, ignore_errors=True)
 
 
 def compact_sink(
@@ -159,12 +178,7 @@ def compact_sink(
     ).parquet(staging)
     try:
         for p in crowded:
-            src = os.path.join(staging, f"_part={p}")
-            dst = os.path.join(sink_dir, f"_part={p}")
-            if os.path.isdir(src):
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                os.replace(src, dst)
+            _swap_partition_dir(staging, sink_dir, p)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return sorted(crowded)
