@@ -252,6 +252,62 @@ def test_routed_stream_available_now(spark, tmp_path):
         r["file_path"] for r in spark.read.parquet(file_sink).collect()
     } == {"/f/2.glb"}
 
+    # checkpoint resume: a second batch processes ONLY the new event
+    _write_changelog(
+        changelog,
+        [
+            {
+                "seq": 4, "event_name": "INSERT", "source": "assets",
+                "database_id": "db_1", "asset_id": "asset_5",
+                "new_image": None, "event_time": "2024-01-01T01:00:00Z",
+                "file_path": None, "to_database_id": None,
+                "to_asset_id": None,
+            },
+        ],
+    )
+    q2 = start_routed_stream(
+        spark, changelog,
+        {"asset": asset_sink, "file": file_sink},
+        {"asset": recompute_assets, "file": recompute_files},
+        ckpt, trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    asset_keys = {
+        (r["database_id"], r["asset_id"])
+        for r in spark.read.parquet(asset_sink).collect()
+    }
+    assert asset_keys == {
+        ("db_1", "asset_1"), ("db_2", "asset_9"), ("db_1", "asset_5")
+    }
+
+
+def test_sink_readable_with_leftover_trash(spark, tmp_path):
+    """A crash can leave the swap's trash sibling behind; it lives
+    OUTSIDE the sink directory so partition discovery never sees it and
+    reads keep working."""
+    sink = str(tmp_path / "sink")
+    recompute = _recompute_factory(spark)
+    schema = (
+        "seq long, event_name string, source string, database_id string, "
+        "asset_id string, new_image string, event_time timestamp"
+    )
+    batch = spark.createDataFrame(
+        [(1, "INSERT", "assets", "db_1", "asset_1", None, None)], schema
+    )
+    apply_cdc_batch(batch, recompute, sink)
+    # simulate a crash that left an aside copy in the trash sibling
+    trash = sink + ".trash"
+    os.makedirs(os.path.join(trash, "_part=0"), exist_ok=True)
+    with open(os.path.join(trash, "_part=0", "junk.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    assert spark.read.parquet(sink).count() == 1
+    # and the next merge still works
+    batch2 = spark.createDataFrame(
+        [(2, "INSERT", "assets", "db_1", "asset_2", None, None)], schema
+    )
+    apply_cdc_batch(batch2, recompute, sink)
+    assert spark.read.parquet(sink).count() == 2
+
 
 def _dir_snapshot(root: str) -> dict[str, tuple]:
     """Map of every data file under root → (size, mtime_ns) — used to
