@@ -198,6 +198,24 @@ class SearchCompiler:
         plans = [self._entity_plan(e, req) for e in req.entity_types]
         return sum(p.count() for p in plans)
 
+    def totals_df(self, req: SearchRequest) -> DataFrame:
+        """track_total_hits as a relation: exact pre-limit hit count per
+        entity (search.py:1589-1603 reports per-index totals) — the
+        distributed form of :meth:`total`, one aggregation per entity
+        plan, no collect."""
+        # global aggregation (not groupBy) so an entity with zero hits
+        # still reports a 0 row, like the per-index total in the response
+        outs = [
+            self._entity_plan(e, req)
+            .agg(F.count(F.lit(1)).alias("total_hits"))
+            .select(F.lit(e).alias("rectype"), "total_hits")
+            for e in req.entity_types
+        ]
+        df = outs[0]
+        for o in outs[1:]:
+            df = df.unionByName(o)
+        return df
+
     def facets(self, req: SearchRequest, max_buckets: int = 1000) -> DataFrame:
         """Terms aggregations: (rectype, field, value, doc_count).
 

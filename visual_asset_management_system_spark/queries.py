@@ -832,6 +832,35 @@ def q_vams_facets(spark, sf_dir):
 
 
 @query(
+    "q_vams_search_totals",
+    oracle_with("assets", "files")
+    + """
+    SELECT * FROM (
+        SELECT 'asset' AS rectype, COUNT(*) AS total_hits FROM assets
+        WHERE NOT is_archived AND (
+            contains(lower(asset_name), 'red')
+            OR contains(lower(description), 'red')
+            OR contains(lower(asset_type), 'red'))
+        UNION ALL
+        SELECT 'file', COUNT(*) FROM files
+        WHERE NOT is_archived AND (
+            contains(lower(file_key), 'red')
+            OR contains(lower(file_ext), 'red'))
+    )
+    ORDER BY rectype
+    """,
+)
+def q_vams_search_totals(spark, sf_dir):
+    """track_total_hits: exact pre-limit hit counts per entity for a
+    dual-entity text query (search.py:1589-1603) — computed inside the
+    plan, never by over-fetching."""
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(query="red", entity_types=("asset", "file"), size=1)
+    return sc.totals_df(req).orderBy("rectype")
+
+
+@query(
     "q_vams_metadata_facets",
     oracle_with("assets", "metadata")
     + """
