@@ -249,6 +249,49 @@ def test_coercions_and_path_ops(spark):
 
 # -- workflow runner --------------------------------------------------------
 
+def test_type_valid_all_13_types(spark):
+    """Direct check of the full MetadataValueType validator — one valid
+    and one invalid value per type (models/metadata.py:74-221), beyond
+    what the fixture-driven oracle query exercises."""
+    from visual_asset_management_system_spark.operators.eav import type_valid
+
+    cases = [
+        ("string", "anything at all", True),
+        ("multiline_string", "line1\nline2", True),
+        ("inline_controlled_list", "interior", True),
+        ("number", "3.14", True), ("number", "abc", False),
+        ("boolean", "false", True), ("boolean", "yes", False),
+        ("date", "2024-03-01", True), ("date", "2024-13-45", False),
+        ("json", '{"a": [1]}', True), ("json", "{bad", False),
+        ("xyz", '{"x":0,"y":0,"z":0}', True),
+        ("xyz", '{"x":0,"y":0}', False),
+        ("wxyz", '{"w":1,"x":0,"y":0,"z":0}', True),
+        ("wxyz", '{"x":0,"y":0,"z":0}', False),
+        ("matrix4x4", "[[1,0,0,0],[0,1,0,0],[0,0,1,0],[0,0,0,1]]", True),
+        ("matrix4x4", "[[1,0,0,0],[0,1,0,0],[0,0,1,0]]", False),
+        ("geopoint", '{"type":"Point","coordinates":[1.0,2.0]}', True),
+        ("geopoint", '{"type":"Point","coordinates":[1.0]}', False),
+        ("geojson", '{"type":"Polygon","coordinates":[]}', True),
+        ("geojson", '{"kind":"Polygon"}', False),
+        ("lla", '{"lat":-90,"long":180,"alt":-10}', True),
+        ("lla", '{"lat":-91,"long":0,"alt":0}', False),
+        # empty values always pass (required-ness is schema's job)
+        ("number", "", True),
+        # unknown declared type never validates
+        ("mystery_type", "x", False),
+    ]
+    df = spark.createDataFrame(
+        [(t, v) for t, v, _ in cases], "value_type string, value string"
+    )
+    got = df.select(
+        "value_type", "value",
+        type_valid(F.col("value"), F.col("value_type")).alias("ok"),
+    ).collect()
+    by_key = {(r["value_type"], r["value"]): r["ok"] for r in got}
+    for t, v, expected in cases:
+        assert by_key[(t, v)] is expected, (t, v, expected)
+
+
 def test_workflow_composition_and_retry(spark):
     df = spark.range(10)
     attempts = {"n": 0}
