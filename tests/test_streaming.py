@@ -201,7 +201,15 @@ def test_routed_stream_available_now(spark, tmp_path):
         "database_id string, asset_id string, file_path string, file_size long",
     )
 
+    seen_asset_keys: list[set] = []
+
     def recompute_assets(keys):
+        # record what each invocation was asked to rebuild, so the
+        # checkpoint-resume assertion is falsifiable (full replay would
+        # reach the same sink state — idempotence hides it otherwise)
+        seen_asset_keys.append(
+            {(r["database_id"], r["asset_id"]) for r in keys.collect()}
+        )
         return asset_base.join(keys, ["database_id", "asset_id"], "left_semi")
 
     def recompute_files(keys):
@@ -279,12 +287,19 @@ def test_routed_stream_available_now(spark, tmp_path):
     assert asset_keys == {
         ("db_1", "asset_1"), ("db_2", "asset_9"), ("db_1", "asset_5")
     }
+    # the resumed run recomputed ONLY the new event's key — a full
+    # replay would have re-requested asset_1/asset_9 too
+    assert seen_asset_keys[-1] == {("db_1", "asset_5")}
 
 
 def test_sink_readable_with_leftover_trash(spark, tmp_path):
     """A crash can leave the swap's trash sibling behind; it lives
     OUTSIDE the sink directory so partition discovery never sees it and
     reads keep working."""
+    from visual_asset_management_system_spark.streaming.cdc import (
+        _partition_of,
+    )
+
     sink = str(tmp_path / "sink")
     recompute = _recompute_factory(spark)
     schema = (
@@ -295,18 +310,25 @@ def test_sink_readable_with_leftover_trash(spark, tmp_path):
         [(1, "INSERT", "assets", "db_1", "asset_1", None, None)], schema
     )
     apply_cdc_batch(batch, recompute, sink)
-    # simulate a crash that left an aside copy in the trash sibling
-    trash = sink + ".trash"
-    os.makedirs(os.path.join(trash, "_part=0"), exist_ok=True)
-    with open(os.path.join(trash, "_part=0", "junk.parquet"), "wb") as f:
-        f.write(b"not a real parquet file")
-    assert spark.read.parquet(sink).count() == 1
-    # and the next merge still works
+    # simulate a crash that left aside copies in the trash sibling — one
+    # at the partition the NEXT merge will touch (exercising the
+    # stale-aside cleanup in the swap path) and one elsewhere
     batch2 = spark.createDataFrame(
         [(2, "INSERT", "assets", "db_1", "asset_2", None, None)], schema
     )
+    touched = _partition_of(
+        batch2.select("database_id", "asset_id"), ["database_id", "asset_id"]
+    ).collect()[0]["_part"]
+    trash = sink + ".trash"
+    for p in (touched, (touched + 1) % 32):
+        os.makedirs(os.path.join(trash, f"_part={p}"), exist_ok=True)
+        with open(os.path.join(trash, f"_part={p}", "junk.parquet"), "wb") as f:
+            f.write(b"not a real parquet file")
+    assert spark.read.parquet(sink).count() == 1
+    # and the next merge still works, sweeping the stale aside it owns
     apply_cdc_batch(batch2, recompute, sink)
     assert spark.read.parquet(sink).count() == 2
+    assert not os.path.isdir(os.path.join(trash, f"_part={touched}"))
 
 
 def _dir_snapshot(root: str) -> dict[str, tuple]:

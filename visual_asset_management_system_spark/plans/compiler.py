@@ -211,6 +211,11 @@ class SearchCompiler:
             .select(F.lit(e).alias("rectype"), "total_hits")
             for e in req.entity_types
         ]
+        if not outs:  # no entities requested → empty relation, not a crash
+            spark = next(iter(self.search_tables.values())).sparkSession
+            return spark.createDataFrame(
+                [], "rectype string, total_hits bigint"
+            )
         df = outs[0]
         for o in outs[1:]:
             df = df.unionByName(o)
