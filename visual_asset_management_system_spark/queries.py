@@ -11,7 +11,11 @@ Cross-engine determinism conventions (see also sources/vams.py):
   double — exact, order-independent, identical in both engines;
 - float comparisons round to a fixed digit count *before* ordering;
 - every ORDER BY ends in a unique-key tiebreak when a LIMIT follows;
-- timestamps with sub-microsecond sources are compared as epoch micros.
+- timestamps with sub-microsecond sources are compared as epoch micros;
+- DuckDB types ``SUM(CASE WHEN … THEN 1 …)`` as HUGEINT (int128) where
+  Spark emits bigint — the driver's value hash is type-sensitive, so
+  every conditional-count SUM in an oracle must be wrapped in
+  ``CAST(… AS BIGINT)``.
 """
 
 from __future__ import annotations
@@ -1144,8 +1148,10 @@ def q_vams_one_hop_enriched(spark, sf_dir):
     + _ONE_HOP_ENRICHED_SQL
     + """
     SELECT relationship,
-           SUM(CASE WHEN authorized THEN 1 ELSE 0 END) AS authorized_count,
-           SUM(CASE WHEN authorized THEN 0 ELSE 1 END) AS unauthorized_count
+           CAST(SUM(CASE WHEN authorized THEN 1 ELSE 0 END) AS BIGINT)
+               AS authorized_count,
+           CAST(SUM(CASE WHEN authorized THEN 0 ELSE 1 END) AS BIGINT)
+               AS unauthorized_count
     FROM enriched
     GROUP BY relationship
     ORDER BY relationship
@@ -2004,7 +2010,11 @@ def q_vams_export_manifest(spark, sf_dir):
         FROM latest l LEFT JOIN typed_metadata_schemas s USING (metadata_key)
     ), judged AS (
         SELECT database_id, asset_id, metadata_key,
-               ((metadata_value <> ''
+               -- value_type IS NOT NULL guard: undeclared keys (no schema
+               -- row) cannot fail, matching the engine's inner join on
+               -- declared schemas
+               ((value_type IS NOT NULL
+                 AND metadata_value <> ''
                  AND NOT COALESCE({_typed_ok_case('metadata_value')}, FALSE))
                 OR (allowed_values IS NOT NULL
                     AND NOT contains(',' || allowed_values || ',',
@@ -2013,8 +2023,10 @@ def q_vams_export_manifest(spark, sf_dir):
         FROM joined
     )
     SELECT database_id, asset_id, COUNT(*) AS total_items,
-           SUM(CASE WHEN failed THEN 0 ELSE 1 END) AS success_count,
-           SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS failure_count
+           CAST(SUM(CASE WHEN failed THEN 0 ELSE 1 END) AS BIGINT)
+               AS success_count,
+           CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT)
+               AS failure_count
     FROM judged
     GROUP BY database_id, asset_id
     ORDER BY database_id, asset_id
