@@ -57,6 +57,25 @@ def test_one_hop_classification(spark):
     assert ("asset_48", "parent") in rels
 
 
+def test_one_hop_enrichment_broadcasts_not_shuffles(spark):
+    """The enrichment join must never shuffle the assets table: an outer
+    join cannot build its preserved side, so the broadcast hint on the
+    tiny neighbor set is silently dropped unless the dim is semi-join
+    filtered first. Assert the executed plan is all broadcast joins —
+    zero SortMergeJoin / ShuffledHashJoin."""
+    t = tables(spark, SF)
+    out = one_hop(
+        t["asset_links"], "db_2", "asset_42", assets=t["search_assets"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # and the result is still an enriched row per neighbor
+    rows = out.collect()
+    assert rows and all("neighbor_name" in r.asDict() for r in rows)
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Tables bucketed on the join key must sort-merge-join with NO
     Exchange on either side — the co-located layout the engine's big
@@ -192,6 +211,30 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_pairwise_cosine_bucket_cap_defuses_pair_bomb(spark):
+    """A duplicate-flood bucket (m near-identical embeddings → m² pairs)
+    must contribute NO pairs once it exceeds max_bucket_size, while
+    healthy buckets keep producing pairs — mirror of the minhash/simhash
+    skew guard."""
+    from visual_asset_management_system_spark.operators.similarity import (
+        pairwise_cosine_within_buckets,
+    )
+
+    dim = 8
+    flood = [(i, [1.0] * dim) for i in range(40)]           # one hot bucket
+    pair = [(100, [-1.0] * dim), (101, [-1.0] * dim)]       # a healthy dup pair
+    df = spark.createDataFrame(
+        flood + pair, "vec_id long, embedding array<double>"
+    )
+    uncapped = pairwise_cosine_within_buckets(df, dim=dim, min_cosine=0.9)
+    assert uncapped.count() == 40 * 39 // 2 + 1
+    capped = pairwise_cosine_within_buckets(
+        df, dim=dim, min_cosine=0.9, max_bucket_size=10
+    )
+    rows = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert rows == {(100, 101)}
+
+
 def test_lsh_ann_bucketed_probe_is_partition_pruned(spark, tmp_path):
     """The materialized-bucket ANN path must prune the scan to the probed
     partition directories (PartitionFilters on `bucket`) — never a full
@@ -245,6 +288,21 @@ def test_coercions_and_path_ops(spark):
     assert rows[0]["ext"] == "glb" and rows[0]["folder"] is False
     assert rows[1]["b"] is False and rows[1]["n"] == 3.5
     assert rows[1]["folder"] is True
+
+
+def test_url_decode_malformed_key_does_not_abort(spark):
+    """One malformed percent-escape in an S3 key must not abort the
+    whole query (the reference's unquote_plus leaves bad escapes
+    untouched; plain F.url_decode raises CANNOT_DECODE_URL)."""
+    from visual_asset_management_system_spark.functions.normalize import (
+        url_decode_key,
+    )
+
+    df = spark.createDataFrame(
+        [("a+b%20c",), ("x%zz",), ("ok%2Bplus",)], "k string"
+    )
+    got = [r["d"] for r in df.select(url_decode_key(F.col("k")).alias("d")).collect()]
+    assert got == ["a b c", "x%zz", "ok+plus"]
 
 
 # -- workflow runner --------------------------------------------------------

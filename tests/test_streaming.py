@@ -310,25 +310,59 @@ def test_sink_readable_with_leftover_trash(spark, tmp_path):
         [(1, "INSERT", "assets", "db_1", "asset_1", None, None)], schema
     )
     apply_cdc_batch(batch, recompute, sink)
-    # simulate a crash that left aside copies in the trash sibling — one
-    # at the partition the NEXT merge will touch (exercising the
-    # stale-aside cleanup in the swap path) and one elsewhere
+    # simulate a crash AFTER a swap promoted its staged partition but
+    # before its aside was cleared: the live dir exists, a stale aside
+    # sits in the trash sibling (junk content — it must never be read)
+    live = [d for d in os.listdir(sink) if d.startswith("_part=")][0]
+    trash = sink + ".trash"
+    os.makedirs(os.path.join(trash, live), exist_ok=True)
+    with open(os.path.join(trash, live, "junk.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    # trash lives OUTSIDE the sink: reads never see it
+    assert spark.read.parquet(sink).count() == 1
+    # and the next merge sweeps the ENTIRE trash sibling — including
+    # asides for partitions it does not touch (previously those leaked
+    # forever)
     batch2 = spark.createDataFrame(
         [(2, "INSERT", "assets", "db_1", "asset_2", None, None)], schema
     )
-    touched = _partition_of(
-        batch2.select("database_id", "asset_id"), ["database_id", "asset_id"]
-    ).collect()[0]["_part"]
-    trash = sink + ".trash"
-    for p in (touched, (touched + 1) % 32):
-        os.makedirs(os.path.join(trash, f"_part={p}"), exist_ok=True)
-        with open(os.path.join(trash, f"_part={p}", "junk.parquet"), "wb") as f:
-            f.write(b"not a real parquet file")
-    assert spark.read.parquet(sink).count() == 1
-    # and the next merge still works, sweeping the stale aside it owns
     apply_cdc_batch(batch2, recompute, sink)
     assert spark.read.parquet(sink).count() == 2
-    assert not os.path.isdir(os.path.join(trash, f"_part={touched}"))
+    assert not os.path.isdir(trash)
+
+
+def test_cdc_crash_between_renames_recovers_from_trash(spark, tmp_path):
+    """A crash BETWEEN _swap_partition_dir's two renames leaves a
+    partition's only copy in the trash and its live directory missing.
+    The next merge (the at-least-once replay) must restore it before
+    reading the sink — otherwise the partition's surviving rows (keys
+    NOT in the replayed batch) would silently vanish."""
+    sink = str(tmp_path / "sink_recover")
+    recompute = _recompute_factory(spark)
+    schema = (
+        "seq long, event_name string, source string, database_id string, "
+        "asset_id string, new_image string, event_time timestamp"
+    )
+    batch1 = spark.createDataFrame(
+        [(i, "INSERT", "assets", "db_1", f"asset_{i}", None, None) for i in range(8)],
+        schema,
+    )
+    apply_cdc_batch(batch1, recompute, sink)
+    before = {r["asset_id"] for r in spark.read.parquet(sink).collect()}
+
+    # simulate the in-window crash: one live partition dir moved aside
+    live = sorted(d for d in os.listdir(sink) if d.startswith("_part="))[0]
+    trash = sink + ".trash"
+    os.makedirs(trash, exist_ok=True)
+    os.replace(os.path.join(sink, live), os.path.join(trash, live))
+
+    batch2 = spark.createDataFrame(
+        [(100, "INSERT", "assets", "db_1", "asset_10", None, None)], schema
+    )
+    apply_cdc_batch(batch2, recompute, sink)
+    after = {r["asset_id"] for r in spark.read.parquet(sink).collect()}
+    assert after == before | {"asset_10"}
+    assert not os.path.isdir(trash)
 
 
 def _dir_snapshot(root: str) -> dict[str, tuple]:
@@ -471,6 +505,83 @@ def test_filter_events_drops_folder_markers_and_excluded_prefixes(spark):
     )
     kept = {r["asset_id"] for r in filter_events(batch).collect()}
     assert kept == {"asset_4", "asset_5"}
+
+
+def test_null_path_file_event_reindexes_asset_files(spark, tmp_path):
+    """A file-target event with NULL file_path must re-index the asset's
+    files, not vanish: file-index keys include file_path and equi-joins
+    never match NULL, so without expansion the event is a silent no-op.
+    Expansion = sink keys (updates + vanished files) ∪ source-of-truth
+    keys (brand-new files); NULL-path REMOVE clears every file."""
+    from visual_asset_management_system_spark.streaming.cdc import (
+        apply_routed_cdc_batch,
+    )
+
+    file_sink = str(tmp_path / "files")
+
+    def make_recompute(file_base):
+        def recompute(keys):
+            return file_base.join(
+                keys, ["database_id", "asset_id", "file_path"], "left_semi"
+            )
+        return recompute
+
+    fschema = (
+        "database_id string, asset_id string, file_path string, file_size long"
+    )
+    v1 = spark.createDataFrame(
+        [("db_1", "asset_7", "/f/a.glb", 1), ("db_1", "asset_7", "/f/b.glb", 2)],
+        fschema,
+    )
+    seed = spark.createDataFrame(
+        [
+            _routed_row(1, "INSERT", "files", "db_1", "asset_7", "/f/a.glb"),
+            _routed_row(2, "INSERT", "files", "db_1", "asset_7", "/f/b.glb"),
+        ],
+        ROUTED_CHANGE_LOG_SCHEMA,
+    )
+    apply_routed_cdc_batch(seed, {"file": make_recompute(v1)}, {"file": file_sink})
+    assert {
+        r["file_path"] for r in spark.read.parquet(file_sink).collect()
+    } == {"/f/a.glb", "/f/b.glb"}
+
+    # source of truth changed: b.glb vanished, c.glb is new — then a
+    # NULL-path event arrives for the asset
+    v2 = spark.createDataFrame(
+        [("db_1", "asset_7", "/f/a.glb", 1), ("db_1", "asset_7", "/f/c.glb", 3)],
+        fschema,
+    )
+
+    def file_keys_of_assets(asset_keys):
+        return v2.join(asset_keys, ["database_id", "asset_id"], "left_semi")
+
+    nullev = spark.createDataFrame(
+        [_routed_row(3, "MODIFY", "files", "db_1", "asset_7", None)],
+        ROUTED_CHANGE_LOG_SCHEMA,
+    )
+    apply_routed_cdc_batch(
+        nullev, {"file": make_recompute(v2)}, {"file": file_sink},
+        file_keys_of_assets=file_keys_of_assets,
+    )
+    assert {
+        r["file_path"] for r in spark.read.parquet(file_sink).collect()
+    } == {"/f/a.glb", "/f/c.glb"}
+
+    # NULL-path REMOVE clears every file of the asset
+    rmev = spark.createDataFrame(
+        [_routed_row(4, "REMOVE", "files", "db_1", "asset_7", None)],
+        ROUTED_CHANGE_LOG_SCHEMA,
+    )
+    apply_routed_cdc_batch(
+        rmev, {"file": make_recompute(v2)}, {"file": file_sink},
+        file_keys_of_assets=file_keys_of_assets,
+    )
+    remaining = [
+        d for d in os.listdir(file_sink)
+        if d.startswith("_part=") and os.listdir(os.path.join(file_sink, d))
+    ]
+    if remaining:
+        assert spark.read.parquet(file_sink).count() == 0
 
 
 def test_apply_routed_cdc_batch_writes_both_sinks(spark, tmp_path):

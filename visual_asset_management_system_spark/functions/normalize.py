@@ -71,9 +71,17 @@ def split_composite_key(col: Column, n: int, sep: str = ":") -> list[Column]:
 def url_decode_key(col: Column) -> Column:
     """URL-decode an S3 object key with ``unquote_plus`` semantics
     (fileIndexer.py:876: ``urllib.parse.unquote_plus(s3_key)``) —
-    Spark's ``url_decode`` is exactly application/x-www-form-urlencoded
-    decoding ('+' → space, %XX → byte), JVM-side."""
-    return F.url_decode(col)
+    Spark's ``url_decode`` is application/x-www-form-urlencoded
+    decoding ('+' → space, %XX → byte), JVM-side. But where
+    ``unquote_plus`` leaves malformed percent-escapes (``x%zz``)
+    untouched, plain ``url_decode`` raises CANNOT_DECODE_URL — one bad
+    key would abort the whole query or CDC batch — so decode with
+    ``try_url_decode`` and fall back to the raw key on failure.
+    (Divergence is confined to malformed keys: ``unquote_plus`` would
+    still decode the valid escapes around the bad one, the fallback
+    keeps the whole key raw — a deliberate, crash-free approximation.)
+    """
+    return F.coalesce(F.try_url_decode(col), col)
 
 
 def parse_flexible_date(col: Column) -> Column:

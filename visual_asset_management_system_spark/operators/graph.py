@@ -82,16 +82,20 @@ def one_hop(
         # evaluate over the asset's own column names, before aliasing
         dim_cols.append(auth_predicate.alias("_authz"))
     dim = assets.select(*dim_cols)
-    # Spark can only broadcast the BUILD side; for a left-outer join
-    # that's the right side, so broadcasting the tiny neighbor set means
-    # writing it as dim RIGHT OUTER broadcast(neighbors) — a left-outer
-    # with broadcast(neighbors) on the left is silently un-broadcastable
-    # and would shuffle the full assets table per lookup.
-    enriched = dim.join(
-        F.broadcast(neighbors),
-        ["neighbor_database_id", "neighbor_asset_id"],
-        "right",
+    # Spark can only broadcast the BUILD side, and an outer join can
+    # never build its preserved side — so neither `neighbors LEFT dim`
+    # with broadcast(neighbors) nor `dim RIGHT broadcast(neighbors)`
+    # broadcasts (the hint is silently dropped and the full assets
+    # table shuffles per lookup). Instead: left-semi the dim down to
+    # the tiny neighbor key set (broadcast keys as the build side),
+    # then LEFT OUTER with the now-tiny filtered dim as the broadcast
+    # build side. Both joins are broadcast; the assets table is never
+    # shuffled.
+    keys = ["neighbor_database_id", "neighbor_asset_id"]
+    dim_hits = dim.join(
+        F.broadcast(neighbors.select(*keys).distinct()), keys, "left_semi"
     )
+    enriched = neighbors.join(F.broadcast(dim_hits), keys, "left")
     if auth_predicate is not None:
         enriched = enriched.withColumn(
             "authorized", F.coalesce(F.col("_authz"), F.lit(False))

@@ -240,17 +240,35 @@ def pairwise_cosine_within_buckets(
     n_planes: int = 8,
     min_cosine: float = 0.8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: exact cosine within LSH buckets only —
     the embedding-cosine variant of MinHash-LSH dedup. ``dim`` is the
     embedding dimensionality, passed explicitly (a ``.first()`` sniff
-    would be a driver round-trip before every plan)."""
+    would be a driver round-trip before every plan).
+
+    ``max_bucket_size`` is the same 100 TB skew guard as
+    dedup.minhash_lsh_candidates: a bucket with m members is an m²
+    pair bomb, and degenerate corpora (near-duplicate floods, all-zero
+    embeddings) co-bucket by construction. Buckets over the cap are
+    DROPPED from pair generation — their members are duplicate-flood
+    grade and belong to the cheaper exact-dedup pass. Costs one extra
+    aggregation on the same ``bucket`` key the pair join shuffles on.
+    """
     planes = _hyperplanes(dim, n_planes, seed)
     b = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        ok_buckets = (
+            b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("bucket")
+        )
+        b = b.join(ok_buckets, ["bucket"], "left_semi")
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(

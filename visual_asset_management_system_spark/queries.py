@@ -2637,6 +2637,10 @@ def q_ngram_jaccard_topk(spark, sf_dir):
 # -- similarity search ------------------------------------------------------
 
 _EMB_DIM = 64
+# Skew-guard cap for q_embedding_near_dup, mirrored in its oracle: with
+# 8 hyperplanes (256 buckets) a healthy corpus averages far below this;
+# only duplicate-flood / degenerate buckets exceed it.
+_EMB_NEAR_DUP_CAP = 512
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness SF
 
 
@@ -2763,11 +2767,18 @@ def _emb_near_dup_oracle() -> str:
         SELECT vec_id, embedding,
                CAST({bucket_terms('embedding')} AS BIGINT) AS bucket
         FROM corpus
+    ), bf AS (
+        -- mirror of the engine's max_bucket_size skew guard: buckets
+        -- over the cap contribute no pairs
+        SELECT * FROM b WHERE bucket IN (
+            SELECT bucket FROM b GROUP BY bucket
+            HAVING COUNT(*) <= {_EMB_NEAR_DUP_CAP}
+        )
     )
     SELECT * FROM (
         SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                ROUND({_o_cosine('l.embedding', 'r.embedding')}, 6) AS cosine_sim
-        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        FROM bf l JOIN bf r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
     ) WHERE cosine_sim >= 0.9
     ORDER BY id_a, id_b
     """
@@ -2777,7 +2788,9 @@ def _emb_near_dup_oracle() -> str:
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: exact cosine WITHIN LSH buckets
     only (never all-pairs) over documents' embeddings ∪ a ×2-scaled
-    copy — the planted duplicates are co-bucketed by construction."""
+    copy — the planted duplicates are co-bucketed by construction. The
+    bucket-size cap (oracle-mirrored) drops pathological pair-bomb
+    buckets; at correctness SFs no bucket approaches it."""
     from .operators.similarity import pairwise_cosine_within_buckets
 
     t = tables(spark, sf_dir)
@@ -2792,7 +2805,8 @@ def q_embedding_near_dup(spark, sf_dir):
         "vec_id", "transform(embedding, x -> cast(x as double)) AS embedding"
     ).unionByName(scaled)
     return pairwise_cosine_within_buckets(
-        corpus, dim=_EMB_DIM, min_cosine=0.9
+        corpus, dim=_EMB_DIM, min_cosine=0.9,
+        max_bucket_size=_EMB_NEAR_DUP_CAP,
     ).orderBy("id_a", "id_b")
 
 

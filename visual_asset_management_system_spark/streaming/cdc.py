@@ -94,6 +94,8 @@ def apply_cdc_batch(
         fresh.write.partitionBy("_part").mode("overwrite").parquet(sink_dir)
         return
 
+    _recover_and_sweep_trash(sink_dir)
+
     touched = sorted(
         r["_part"]
         for r in _partition_of(keys, list(key_cols)).select("_part").distinct().collect()
@@ -116,6 +118,34 @@ def apply_cdc_batch(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def _recover_and_sweep_trash(sink_dir: str) -> list[int]:
+    """Recover from, then clear, the swap's ``.trash`` sibling.
+
+    A crash between ``_swap_partition_dir``'s two renames leaves a
+    partition's only copy in the trash with its live directory missing;
+    a crash after promotion leaves a stale aside. Run at the start of
+    every merge/compaction: asides whose live ``_part=`` directory is
+    missing are restored (the in-window crash — without this, the
+    at-least-once replay would read the sink WITHOUT the partition's
+    surviving rows and silently drop them), everything else is swept,
+    so trash never accumulates across batches (previously a stale aside
+    for a partition never touched again leaked forever). Returns the
+    restored partition ids."""
+    trash = sink_dir.rstrip("/") + ".trash"
+    if not os.path.isdir(trash):
+        return []
+    restored = []
+    for d in sorted(os.listdir(trash)):
+        if not d.startswith("_part="):
+            continue
+        dst = os.path.join(sink_dir, d)
+        if not os.path.isdir(dst):
+            os.replace(os.path.join(trash, d), dst)
+            restored.append(int(d.split("=", 1)[1]))
+    shutil.rmtree(trash, ignore_errors=True)
+    return restored
+
+
 def _swap_partition_dir(staging: str, sink_dir: str, p: int) -> None:
     """Crash-resilient partition swap: the live directory moves ASIDE
     (to a ``.trash`` sibling OUTSIDE the sink, so partition discovery
@@ -124,9 +154,11 @@ def _swap_partition_dir(staging: str, sink_dir: str, p: int) -> None:
     rmtree-then-rename swap cannot guarantee (untouched keys of the
     partition would be unrecoverable: their events were not in the
     batch, so at-least-once replay cannot rebuild them). A crash between
-    the two renames leaves the partition recoverable from the trash;
-    plain parquet cannot make the pair atomic — a lakehouse table format
-    (MERGE) is the transactional deployment path."""
+    the two renames leaves the partition in the trash, and
+    ``_recover_and_sweep_trash`` restores it automatically at the start
+    of the replayed merge; plain parquet cannot make the pair atomic —
+    a lakehouse table format (MERGE) is the transactional deployment
+    path."""
     src = os.path.join(staging, f"_part={p}")
     dst = os.path.join(sink_dir, f"_part={p}")
     trash = sink_dir.rstrip("/") + ".trash"
@@ -139,6 +171,10 @@ def _swap_partition_dir(staging: str, sink_dir: str, p: int) -> None:
         os.replace(src, dst)
     # else: every row of partition p was deleted → dir stays gone
     shutil.rmtree(aside, ignore_errors=True)
+    try:  # leave no empty trash sibling behind when this was the last aside
+        os.rmdir(trash)
+    except OSError:
+        pass
 
 
 def compact_sink(
@@ -159,6 +195,7 @@ def compact_sink(
     """
     if not os.path.isdir(sink_dir):
         return []
+    _recover_and_sweep_trash(sink_dir)
     crowded = []
     for d in os.listdir(sink_dir):
         if not d.startswith("_part="):
@@ -274,18 +311,78 @@ def route_changes(batch: DataFrame) -> DataFrame:
     )
 
 
+def _expand_null_path_file_events(
+    sub: DataFrame, sink_dir: str, file_keys_of_assets=None
+) -> DataFrame:
+    """Expand file-target events with NULL file_path to explicit file
+    keys at the asset grain.
+
+    File-index keys include file_path, and equi-joins never match NULL
+    keys — without expansion a NULL-path event is consumed as a silent
+    no-op (neither the left-semi recompute nor the left-anti delete
+    sees it). A NULL path means "something about this asset's files
+    changed, path unknown" → re-index every file of the asset: expand
+    to the union of (a) the file keys already in the sink for those
+    assets (covers updates and vanished files — the recompute returns
+    no row for a gone file, so the merge drops it) and (b) the keys
+    ``file_keys_of_assets(asset_keys)`` reports from the source of
+    truth (covers brand-new files the sink has never seen). A NULL-path
+    REMOVE becomes a REMOVE of every expanded key. The sink key scan
+    reads three dictionary-encoded columns, semi-joined by a broadcast
+    of the (tiny) affected-asset set — NULL-path events are the rare
+    case, the scan is not per-batch overhead."""
+    nullp = sub.filter(F.col("file_path").isNull())
+    withp = sub.filter(F.col("file_path").isNotNull())
+    if nullp.isEmpty():
+        return withp
+    spark = sub.sparkSession
+    flags = nullp.groupBy("database_id", "asset_id").agg(
+        F.max((F.col("event_name") == "REMOVE").cast("int")).alias("_rm")
+    )
+    asset_keys = flags.select("database_id", "asset_id")
+    key3 = ["database_id", "asset_id", "file_path"]
+    expanded: DataFrame | None = None
+    if os.path.isdir(sink_dir) and os.listdir(sink_dir):
+        expanded = (
+            spark.read.parquet(sink_dir)
+            .select(*key3)
+            .join(F.broadcast(asset_keys), ["database_id", "asset_id"], "left_semi")
+        )
+    if file_keys_of_assets is not None:
+        src_keys = file_keys_of_assets(asset_keys).select(*key3)
+        expanded = src_keys if expanded is None else expanded.unionByName(src_keys)
+    if expanded is None:
+        return withp
+    events = (
+        expanded.distinct()
+        .join(F.broadcast(flags), ["database_id", "asset_id"])
+        .select(
+            F.lit("file").alias("target"),
+            F.when(F.col("_rm") == 1, F.lit("REMOVE"))
+            .otherwise(F.lit("MODIFY"))
+            .alias("event_name"),
+            *key3,
+        )
+    )
+    return withp.unionByName(events)
+
+
 def apply_routed_cdc_batch(
     batch: DataFrame,
     recomputes: dict[str, object],
     sink_dirs: dict[str, str],
+    file_keys_of_assets=None,
 ) -> None:
     """Routed micro-batch: dispatch events per target index, then run the
     partial-rewrite merge per target. ``recomputes``/``sink_dirs`` map
     target ('asset' / 'file') → recompute fn / sink directory.
 
     Asset-index keys are (database_id, asset_id); file-index keys add
-    file_path. File events whose path is unknown (NULL) re-index at the
-    asset grain on the file index recompute's discretion.
+    file_path. File events whose path is unknown (NULL) are expanded to
+    the asset's known file keys (see ``_expand_null_path_file_events``);
+    ``file_keys_of_assets`` optionally supplies the source-of-truth
+    file listing for an asset-key set so the expansion also reaches
+    files the sink has never indexed.
     """
     routed = route_changes(batch)
     for target, key_cols in (
@@ -295,6 +392,10 @@ def apply_routed_cdc_batch(
         if target not in sink_dirs:
             continue
         sub = routed.filter(F.col("target") == target)
+        if target == "file":
+            sub = _expand_null_path_file_events(
+                sub, sink_dirs[target], file_keys_of_assets
+            )
         if sub.isEmpty():
             continue
         apply_cdc_batch(sub, recomputes[target], sink_dirs[target], key_cols)
