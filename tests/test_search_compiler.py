@@ -143,3 +143,110 @@ def test_metadata_query_single_operator_rule():
     with pytest.raises(MetadataQueryError):
         compile_metadata_query("not-a-pair-without-colon ")
     compile_metadata_query('k:"exact value"')  # quoted exact parses
+
+
+# -- BM25 relevance tier ----------------------------------------------------
+
+def test_bm25_known_values(spark):
+    """Hand-computed BM25 on a 3-doc corpus, single unit-weight field:
+    the engine's scores must equal the textbook formula to 1e-9 and be
+    identical across runs (deterministic)."""
+    import math
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        bm25_scores,
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox jumps"),
+            (2, "red red wine"),
+            (3, "blue sky"),
+        ],
+        "id long, body string",
+    )
+    postings, stats = build_inverted_index(docs, ["id"], {"body": 1.0})
+    got = {
+        r["id"]: r["score"]
+        for r in bm25_scores(postings, stats, "red", ["id"]).collect()
+    }
+
+    k1, b, n, avgdl, df = 1.2, 0.75, 3, (3 + 3 + 2) / 3, 2
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def expected(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert set(got) == {1, 2}  # doc 3 has no query term → not a hit
+    assert got[1] == pytest.approx(expected(1, 3), abs=1e-9)
+    assert got[2] == pytest.approx(expected(2, 3), abs=1e-9)
+    # term frequency matters: "red red wine" outranks "red fox jumps"
+    assert got[2] > got[1]
+    rerun = {
+        r["id"]: r["score"]
+        for r in bm25_scores(postings, stats, "red", ["id"]).collect()
+    }
+    assert rerun == got
+
+
+def test_bm25_idf_ranks_rare_term_higher(spark):
+    """A doc matching the RARE query term must outscore a doc matching
+    the ubiquitous one — the property the match-count tier lacks."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        bm25_scores,
+        build_inverted_index,
+    )
+
+    rows = [(i, "common filler") for i in range(1, 20)]
+    rows += [(100, "zyzzyva specimen")]  # rare term, same doc length
+    docs = spark.createDataFrame(rows, "id long, body string")
+    postings, stats = build_inverted_index(docs, ["id"], {"body": 1.0})
+    got = {
+        r["id"]: r["score"]
+        for r in bm25_scores(
+            postings, stats, "common zyzzyva", ["id"]
+        ).collect()
+    }
+    assert got[100] > max(v for k, v in got.items() if k != 100)
+
+
+def test_bm25_compiler_tier(spark):
+    """relevance='bm25' flows through the compiler behind the same
+    score contract: token (not substring) hit semantics, score column
+    present, and a missing index fails loudly."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        build_inverted_index,
+    )
+    from visual_asset_management_system_spark.plans.compiler import (
+        DEFAULT_TEXT_FIELDS,
+    )
+
+    t = tables(spark, SF)
+    postings, stats = build_inverted_index(
+        t["search_assets"], ["database_id", "asset_id"],
+        DEFAULT_TEXT_FIELDS["asset"],
+    )
+    sc = SearchCompiler(
+        {"asset": t["search_assets"]},
+        inverted_indexes={"asset": (postings, stats)},
+    )
+    req = SearchRequest(
+        query="red", relevance="bm25", entity_types=("asset",), size=2000
+    )
+    hits = sc.hits(req)
+    assert "score" in hits.columns
+    rows = hits.collect()
+    assert rows
+    # token semantics: every hit has 'red' as a standalone token in a
+    # searched field — 'goldenrod' alone must NOT hit
+    for r in rows:
+        text = " ".join(
+            str(r[f] or "") for f in ("asset_name", "description", "asset_type")
+        ).lower()
+        assert "red" in text.replace("-", " ").split()
+
+    with pytest.raises(ValueError, match="bm25"):
+        SearchCompiler({"asset": t["search_assets"]}).hits(req).collect()
+    with pytest.raises(ValueError, match="relevance"):
+        SearchRequest(query="x", relevance="tfidf")

@@ -67,6 +67,10 @@ class SearchRequest:
     """
 
     query: str | None = None
+    #: relevance tier for ``query``: "match_count" (v0 weighted
+    #: field-match count) or "bm25" (inverted-index BM25, OR semantics
+    #: over query terms) — both expose the same ``score double`` column
+    relevance: str = "match_count"
     filters: list[SearchFilter] = field(default_factory=list)
     should: list[SearchFilter] = field(default_factory=list)
     metadata_query: str | None = None
@@ -89,3 +93,5 @@ class SearchRequest:
         bad = set(self.entity_types) - {"asset", "file"}
         if bad:
             raise ValueError(f"unknown entity types: {bad}")
+        if self.relevance not in ("match_count", "bm25"):
+            raise ValueError(f"unknown relevance tier: {self.relevance!r}")

@@ -1,0 +1,147 @@
+"""Tokenized inverted index + BM25 relevance tier.
+
+The reference delegates text relevance to OpenSearch BM25 over
+wildcard query_strings (search.py:1089-1121); those scores are not
+reproducible bit-for-bit outside OpenSearch. The engine instead
+computes the standard Robertson BM25 (k1=1.2, b=0.75) over its OWN
+tokenized inverted index — deterministic, documented, and exposed
+behind the exact same ``score double`` column contract as the v0
+match-count tier (functions/scoring.py), selectable per request via
+``SearchRequest.relevance = "bm25"``.
+
+Model: one postings table per entity,
+    (*id_cols, term, tf double, dl double)
+where ``tf`` is the field-boost-weighted term count across the
+entity's searched text fields (a BM25F-lite: a hit in ``asset_name``
+at weight 2.0 counts as two occurrences) and ``dl`` is the weighted
+document length; plus a single-row stats table ``(n_docs, avgdl)``.
+
+Scale shape (100 TB posture):
+- the index is MAINTAINED state, exactly like the denormalized search
+  tables: built once by the bulk rebuild, kept current by the same CDC
+  merge (the postings key is the entity key — a re-index replaces the
+  entity's postings), persisted/bucketed by ``term`` so a query's
+  ``term IN (...)`` prunes to the probed buckets;
+- query-time work is: filter postings to the query's terms (pushed to
+  the scan), ONE aggregation per term for document frequency over the
+  already-filtered postings (never a full-dictionary materialization),
+  a broadcast join of the tiny (term, df) set, and one final
+  aggregation per matching doc. No full-corpus scan, no driver loop.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: token = maximal run of lowercase alphanumerics (the analyzer the
+#: oracle mirrors with string_split_regex)
+TOKEN_BREAK_RE = "[^a-z0-9]+"
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def tokenize(col: Column) -> Column:
+    """Lowercase word tokens of a string column (empty tokens dropped,
+    NULL → empty array). Pure Column expression — codegen-eligible."""
+    toks = F.split(F.lower(F.coalesce(col, F.lit(""))), TOKEN_BREAK_RE)
+    return F.filter(toks, lambda t: t != "")
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Query-side analyzer: same token rule, order-preserving dedupe."""
+    seen: dict[str, None] = {}
+    for t in re.split(TOKEN_BREAK_RE, query.lower()):
+        if t:
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def build_inverted_index(
+    df: DataFrame,
+    id_cols: list[str],
+    text_fields: dict[str, float],
+) -> tuple[DataFrame, DataFrame]:
+    """Build (postings, stats) for an entity DataFrame.
+
+    ``text_fields`` maps column → boost weight (the same field lists as
+    the match-count tier, compiler.DEFAULT_TEXT_FIELDS). Each field's
+    tokens are exploded with the field weight attached; the per-(doc,
+    term) aggregation sums weights, so tf = Σ_field weight × count.
+    One shuffle on the entity key to attach dl, one aggregation for
+    stats — build-time cost, paid once per rebuild, not per query.
+    """
+    ids = [F.col(c) for c in id_cols]
+    dl_expr = None
+    exploded: DataFrame | None = None
+    for fld, weight in text_fields.items():
+        toks = tokenize(F.col(fld))
+        term_rows = df.select(
+            *ids,
+            F.explode(toks).alias("term"),
+            F.lit(float(weight)).alias("_w"),
+        )
+        exploded = term_rows if exploded is None else exploded.unionByName(term_rows)
+        contrib = F.size(toks).cast("double") * F.lit(float(weight))
+        dl_expr = contrib if dl_expr is None else dl_expr + contrib
+    if exploded is None:
+        raise ValueError("text_fields must not be empty")
+
+    doc_len = df.select(*ids, dl_expr.alias("dl"))
+    postings = (
+        exploded.groupBy(*id_cols, "term")
+        .agg(F.sum("_w").alias("tf"))
+        .join(doc_len, id_cols)
+    )
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    return postings, stats
+
+
+def bm25_scores(
+    postings: DataFrame,
+    stats: DataFrame,
+    query: str,
+    id_cols: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-document BM25 scores for ``query``: (*id_cols, score).
+
+    Only documents containing at least one query term appear (inner
+    semantics — BM25 of a no-term doc is 0). idf is the BM25+ variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — always positive, so a term
+    present in most documents cannot produce negative scores.
+    """
+    terms = tokenize_query(query)
+    spark = postings.sparkSession
+    if not terms:
+        return spark.createDataFrame(
+            [], postings.select(*id_cols).schema.add("score", "double")
+        )
+    p = postings.filter(F.col("term").isin(terms))
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        p.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(*id_cols)
+        .agg(F.sum("_contrib").alias("score"))
+    )

@@ -99,15 +99,28 @@ class SearchCompiler:
     search.py:1711-1737 made pre-limit).
     """
 
+    #: entity key columns — the join identity between a search table and
+    #: its inverted-index postings
+    ENTITY_KEYS: dict[str, list[str]] = {
+        "asset": ["database_id", "asset_id"],
+        "file": ["database_id", "asset_id", "file_key"],
+    }
+
     def __init__(
         self,
         search_tables: dict[str, DataFrame],
         text_fields: dict[str, dict[str, float]] | None = None,
         auth_predicate: Column | None = None,
+        inverted_indexes: dict[str, tuple[DataFrame, DataFrame]] | None = None,
     ) -> None:
         self.search_tables = search_tables
         self.text_fields = text_fields or DEFAULT_TEXT_FIELDS
         self.auth_predicate = auth_predicate
+        #: entity → (postings, stats) built by
+        #: operators.inverted_index.build_inverted_index — maintained
+        #: state like the search tables themselves; required for
+        #: relevance="bm25" requests on that entity
+        self.inverted_indexes = inverted_indexes or {}
 
     # -- single-entity plan ------------------------------------------------
     def _entity_plan(self, entity: str, req: SearchRequest) -> DataFrame:
@@ -155,7 +168,23 @@ class SearchCompiler:
         elif req.metadata_query:
             df = df.filter(F.lit(False))
 
-        if req.query:
+        if req.query and req.relevance == "bm25":
+            if entity not in self.inverted_indexes:
+                raise ValueError(
+                    f"relevance='bm25' requires an inverted index for "
+                    f"entity {entity!r} (pass inverted_indexes=...)"
+                )
+            from ..operators.inverted_index import bm25_scores
+
+            postings, stats = self.inverted_indexes[entity]
+            keys = self.ENTITY_KEYS[entity]
+            scores = bm25_scores(postings, stats, req.query, keys)
+            # inner join = BM25's natural min-score: a doc with no query
+            # term scores 0 and is not a hit (MIN_SCORE is the
+            # match-count tier's pruning knob; BM25+ idf is always > 0
+            # for any matching doc, so no extra threshold applies)
+            df = df.join(scores, keys)
+        elif req.query:
             fields = {
                 k: w for k, w in self.text_fields[entity].items() if k in cols
             }

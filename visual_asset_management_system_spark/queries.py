@@ -2937,3 +2937,69 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_duplicates(
         docs.unionByName(mutated), bits=32, max_hamming=3, chunks=4
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# round 3: BM25 relevance tier
+# ---------------------------------------------------------------------------
+
+def asset_inverted_index(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats) for the asset search table — maintained state
+    like the search tables themselves (built lazily; materialized only
+    when a bm25 request runs)."""
+    from .operators.inverted_index import build_inverted_index
+    from .plans.compiler import DEFAULT_TEXT_FIELDS
+
+    if "asset_postings" not in t:
+        postings, stats = build_inverted_index(
+            t["search_assets"],
+            ["database_id", "asset_id"],
+            DEFAULT_TEXT_FIELDS["asset"],
+        )
+        t["asset_postings"] = postings.persist()
+        t["asset_postings_stats"] = stats.persist()
+    return t["asset_postings"], t["asset_postings_stats"]
+
+
+@query(
+    "q_vams_bm25_search",
+    oracle_with("assets")
+    + """
+    SELECT database_id, asset_id FROM assets
+    WHERE NOT is_archived
+      AND list_has_any(
+            string_split_regex(
+                lower(concat_ws(' ', asset_name, description, asset_type)),
+                '[^a-z0-9]+'),
+            ['red', 'metallic'])
+    ORDER BY database_id, asset_id
+    """,
+)
+def q_vams_bm25_search(spark, sf_dir):
+    """BM25 relevance tier over the tokenized inverted index
+    (operators/inverted_index.py), selected via
+    SearchRequest(relevance="bm25") behind the same ``score`` contract
+    as the v0 match-count tier — the engine's deterministic analog of
+    the reference's OpenSearch BM25 (search.py:1089-1121).
+
+    Oracle checks the matched-id set: a BM25 hit iff ≥1 query TOKEN
+    appears in the searched fields (token semantics, not substring —
+    'red' does not match 'goldenrod', distinguishing this tier from the
+    v0 containment path). Scores are ln-based doubles, not
+    cross-engine hashable; determinism and ranking are unit-tested
+    (tests/test_search_compiler.py)."""
+    t = tables(spark, sf_dir)
+    postings, stats = asset_inverted_index(t)
+    sc = SearchCompiler(
+        {"asset": t["search_assets"]},
+        inverted_indexes={"asset": (postings, stats)},
+    )
+    req = SearchRequest(
+        query="red metallic", relevance="bm25",
+        entity_types=("asset",), size=2000,
+    )
+    return (
+        sc.hits(req)
+        .select("database_id", "asset_id")
+        .orderBy("database_id", "asset_id")
+    )
