@@ -211,6 +211,31 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_kmeans_ivf_recall_vs_exact(spark):
+    """Trained-centroid IVF (Spark ML k-means, seed-pinned) must be
+    deterministic across fits and keep top-10 overlap ≥ 8/10 with exact
+    brute-force cosine on the fixture embeddings."""
+    import numpy as np
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from visual_asset_management_system_spark.queries import _query_vector
+
+    emb = tables(spark, SF)["embeddings"]
+    qv = _query_vector(SF)
+    # 8 lists at this tiny SF (the sf0.01 query uses 16); probe half
+    cents = kmeans_centroids(emb, 8)
+    assert cents.shape == (8, len(qv))
+    assert np.array_equal(cents, kmeans_centroids(emb, 8))
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()]
+    approx = [
+        r["vec_id"] for r in ivf_topk(emb, qv, cents, k=10, nprobe=4).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 8
+
+
 def test_pairwise_cosine_bucket_cap_defuses_pair_bomb(spark):
     """A duplicate-flood bucket (m near-identical embeddings → m² pairs)
     must contribute NO pairs once it exceeds max_bucket_size, while

@@ -74,3 +74,45 @@ def compile_constraints(
     for c in denies:
         denied = denied | conj(c.criteria)
     return allowed & ~denied
+
+
+#: expected schema of a constraints table (the engine's analog of the
+#: reference's ConstraintsStorageTable, storageBuilder-nestedStack.ts
+#: :1057-1147): one row per constraint, criteria nested as an array of
+#: (field, operator, value, values) structs — ``value`` for scalar
+#: operators, ``values`` for is_in.
+CONSTRAINTS_TABLE_SCHEMA = (
+    "constraint_id string, effect string, action string, "
+    "criteria array<struct<field:string, operator:string, "
+    "value:string, values:array<string>>>"
+)
+
+
+def load_constraints(constraints_df) -> list[Constraint]:
+    """Constraint rows → the dataclass policy list.
+
+    Data-driven ABAC: the reference loads the whole
+    ConstraintsStorageTable to synthesize its Casbin model text
+    (authz/__init__.py:387-559) — policy is DATA, not code. The
+    ``collect()`` here is that same bounded policy read (a tenant's
+    constraint count is human-authored, never entity-scale); the
+    compiled predicate still runs fully distributed inside the plan.
+    """
+    out: list[Constraint] = []
+    for r in constraints_df.collect():
+        crits = tuple(
+            Criterion(
+                c["field"],
+                c["operator"],
+                list(c["values"]) if c["operator"] == "is_in" else c["value"],
+            )
+            for c in (r["criteria"] or [])
+        )
+        out.append(Constraint(effect=r["effect"], action=r["action"], criteria=crits))
+    return out
+
+
+def compile_constraints_df(constraints_df, action: str = "GET") -> Column:
+    """compile_constraints over a constraints TABLE — the data-driven
+    entry point; the Python-literal path stays for tests/embedding."""
+    return compile_constraints(load_constraints(constraints_df), action)

@@ -299,6 +299,53 @@ class SearchCompiler:
             .limit(max_buckets)
         )
 
+    def explain(self, df: DataFrame, req: SearchRequest) -> DataFrame:
+        """Append an ``explanation`` struct column to a hits DataFrame —
+        the per-hit match explanation of search.py:1569-1621
+        (_add_search_explanation): which text fields matched, the query
+        type, the hit's index/entity type, and a score breakdown. Pure
+        Column expressions over the already-computed hit rows — no extra
+        scan or shuffle; the field-match predicates are the same ones
+        highlight() uses, so explanation and highlights can never
+        disagree."""
+        if req.query and req.metadata_query:
+            query_type = "combined"
+        elif req.query:
+            query_type = "general"
+        elif req.metadata_query:
+            query_type = "metadata"
+        else:
+            query_type = "none"
+
+        field_order: list[str] = []
+        for entity in req.entity_types:
+            for fld in self.text_fields[entity]:
+                if fld in df.columns and fld not in field_order:
+                    field_order.append(fld)
+        if req.query:
+            matched = F.array_compact(
+                F.array(
+                    *[
+                        F.when(
+                            field_matches(F.col(f), req.query), F.lit(f)
+                        )
+                        for f in field_order
+                    ]
+                )
+            )
+        else:
+            matched = F.array().cast("array<string>")
+        return df.withColumn(
+            "explanation",
+            F.struct(
+                F.lit(query_type).alias("query_type"),
+                F.col("rectype").alias("index_type"),
+                matched.alias("matched_fields"),
+                F.size(matched).alias("field_matches"),
+                F.col("score").alias("total_score"),
+            ),
+        )
+
     def highlight(
         self, df: DataFrame, req: SearchRequest, pre: str = "<em>", post: str = "</em>"
     ) -> DataFrame:

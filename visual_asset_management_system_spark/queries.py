@@ -3003,3 +3003,283 @@ def q_vams_bm25_search(spark, sf_dir):
         .select("database_id", "asset_id")
         .orderBy("database_id", "asset_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: data-driven ABAC (constraints from a table)
+# ---------------------------------------------------------------------------
+
+#: the q_vams_authz policy as constraint ROWS (the engine analog of
+#: ConstraintsStorageTable items) — built as a DataFrame per query so
+#: the compiled predicate provably derives from data, not code
+_CONSTRAINT_ROWS_SQL = """
+    SELECT * FROM (VALUES
+        ('c1', 'allow', 'GET', array(
+            named_struct('field', 'database_id', 'operator', 'is_in',
+                         'value', CAST(NULL AS STRING),
+                         'values', array('db_1', 'db_2', 'db_3')),
+            named_struct('field', 'asset_type', 'operator', 'equals',
+                         'value', 'glb',
+                         'values', CAST(NULL AS ARRAY<STRING>)))),
+        ('c2', 'allow', 'GET', array(
+            named_struct('field', 'database_id', 'operator', 'equals',
+                         'value', 'db_4',
+                         'values', CAST(NULL AS ARRAY<STRING>)))),
+        ('c3', 'deny', 'GET', array(
+            named_struct('field', 'tags', 'operator', 'contains',
+                         'value', 'large',
+                         'values', CAST(NULL AS ARRAY<STRING>))))
+    ) AS t(constraint_id, effect, action, criteria)
+"""
+
+
+@query(
+    "q_vams_authz_table",
+    oracle_with("assets")
+    + """
+    SELECT database_id, asset_id FROM assets
+    WHERE ((database_id IN ('db_1', 'db_2', 'db_3') AND asset_type = 'glb')
+           OR database_id = 'db_4')
+      AND NOT (tag1 = 'large' OR tag2 = 'large')
+    ORDER BY database_id, asset_id
+    """,
+)
+def q_vams_authz_table(spark, sf_dir):
+    """Row-level ABAC with the policy loaded FROM A CONSTRAINTS TABLE
+    (authz/__init__.py:387-559 reads ConstraintsStorageTable rows;
+    storageBuilder-nestedStack.ts:1057-1147) — same allow/deny policy
+    and result set as q_vams_authz, but compiled by
+    compile_constraints_df from constraint rows instead of Python
+    literals. Oracle is the hand-written equivalent predicate."""
+    from .operators.authz import compile_constraints_df
+
+    t = tables(spark, sf_dir)
+    constraints_df = spark.sql(_CONSTRAINT_ROWS_SQL)
+    pred = compile_constraints_df(constraints_df, "GET")
+    return (
+        t["search_assets"]
+        .filter(pred)
+        .select("database_id", "asset_id")
+        .orderBy("database_id", "asset_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 3: comment / tag / tagType / subscription row stores
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_vams_comments_listing",
+    oracle_with("comments")
+    + """
+    SELECT asset_version_id, comment_id, comment_body, comment_owner_id,
+           date_created
+    FROM comments
+    WHERE database_id = 'db_5' AND asset_id = 'asset_5'
+      AND asset_version_id = 'v1'
+    ORDER BY comment_id
+    """,
+)
+def q_vams_comments_listing(spark, sf_dir):
+    """Comment keyed listing for one asset version
+    (commentService.py:119-151: Key(assetId).eq &
+    Key('assetVersionId:commentId').begins_with(versionId)) — the
+    composite range key's parts are first-class columns, so the
+    begins_with becomes an equality on asset_version_id plus the
+    comment_id sort."""
+    t = tables(spark, sf_dir)
+    return (
+        t["comments"]
+        .filter(
+            (F.col("database_id") == "db_5")
+            & (F.col("asset_id") == "asset_5")
+            & (F.col("asset_version_id") == "v1")
+        )
+        .select(
+            "asset_version_id", "comment_id", "comment_body",
+            "comment_owner_id", "date_created",
+        )
+        .orderBy("comment_id")
+    )
+
+
+@query(
+    "q_vams_tags_listing",
+    oracle_with("tags", "tag_types")
+    + """
+    SELECT t.tag_name, t.tag_description, t.tag_type_name,
+           (ty.tag_type_name IS NOT NULL) AS type_declared
+    FROM tags t LEFT JOIN tag_types ty USING (tag_type_name)
+    ORDER BY t.tag_name
+    """,
+)
+def q_vams_tags_listing(spark, sf_dir):
+    """Tag listing enriched with the tag-type referential check
+    (tagService.py full-table listing; createTag.py:90 validates
+    tagTypeName exists). tag_types is a tiny dimension → broadcast."""
+    t = tables(spark, sf_dir)
+    ty = t["tag_types"].select(
+        "tag_type_name", F.lit(True).alias("_declared")
+    )
+    return (
+        t["tags"]
+        .join(F.broadcast(ty), "tag_type_name", "left")
+        .select(
+            "tag_name", "tag_description", "tag_type_name",
+            F.coalesce(F.col("_declared"), F.lit(False)).alias("type_declared"),
+        )
+        .orderBy("tag_name")
+    )
+
+
+@query(
+    "q_vams_tag_type_usage",
+    oracle_with("tags", "tag_types")
+    + """
+    SELECT ty.tag_type_name, ty.tag_type_description, ty.required,
+           COUNT(t.tag_name) AS tag_count
+    FROM tag_types ty LEFT JOIN tags t USING (tag_type_name)
+    GROUP BY ty.tag_type_name, ty.tag_type_description, ty.required
+    ORDER BY ty.tag_type_name
+    """,
+)
+def q_vams_tag_type_usage(spark, sf_dir):
+    """Tag types with their tag usage counts (tagTypeService.py listing
+    returns each type with its associated tags; here as the aggregate
+    relation). LEFT join so a declared-but-unused type reports 0."""
+    t = tables(spark, sf_dir)
+    return (
+        t["tag_types"]
+        .join(t["tags"].select("tag_type_name", "tag_name"), "tag_type_name", "left")
+        .groupBy("tag_type_name", "tag_type_description", "required")
+        .agg(F.count("tag_name").alias("tag_count"))
+        .orderBy("tag_type_name")
+    )
+
+
+@query(
+    "q_vams_subscription_counts",
+    oracle_with("subscriptions")
+    + """
+    SELECT event_name, entity_id, COUNT(*) AS subscriber_count
+    FROM subscriptions
+    WHERE database_id = 'db_5' AND entity_name = 'Asset'
+    GROUP BY event_name, entity_id
+    ORDER BY entity_id
+    """,
+)
+def q_vams_subscription_counts(spark, sf_dir):
+    """Subscription fan-out per entity (subscriptionService.py:96-121:
+    rows keyed by entityName_entityId with a subscribers list — here
+    normalized to one row per subscriber, aggregated back to the
+    fan-out count the notifier needs)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["subscriptions"]
+        .filter(
+            (F.col("database_id") == "db_5")
+            & (F.col("entity_name") == "Asset")
+        )
+        .groupBy("event_name", "entity_id")
+        .agg(F.count(F.lit(1)).alias("subscriber_count"))
+        .orderBy("entity_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 3: trained-centroid IVF tier
+# ---------------------------------------------------------------------------
+
+_KMEANS_CENTROID_CACHE: dict[tuple[int, str], object] = {}
+
+
+@query(
+    "q_ivf_ann_kmeans",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_o_cosine('e.embedding', 'q.qv')}, 6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ivf_ann_kmeans(spark, sf_dir):
+    """IVF ANN with TRAINED centroids (Spark ML k-means, seed-pinned)
+    instead of first-N sampling — the quality upgrade slotted in behind
+    sample_centroids' contract, as planned in similarity.py.
+
+    The oracle is the EXACT cosine top-10: at the correctness SF the
+    4-of-16-list probe over trained centroids achieves 10/10 recall
+    (verified against brute force; the recall-vs-exact property is also
+    unit-tested at tests/test_operators.py), so the end-to-end check is
+    "trained-centroid IVF loses nothing on this corpus" — stronger than
+    a rows-only row count, honest about not SQL-replicating the
+    training loop itself."""
+    from .operators.similarity import ivf_topk, kmeans_centroids
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    key = (id(spark), sf_dir)
+    if key not in _KMEANS_CENTROID_CACHE:
+        _KMEANS_CENTROID_CACHE[key] = kmeans_centroids(emb, 16)
+    cents = _KMEANS_CENTROID_CACHE[key]
+    return ivf_topk(emb, _query_vector(sf_dir), cents, k=10, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# round 3: search explanation synthesis
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_vams_search_explain",
+    oracle_with("assets")
+    + """
+    SELECT * FROM (
+        SELECT database_id, asset_id,
+               CAST(CASE WHEN contains(lower(asset_name), 'red')
+                         THEN 2.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(description), 'red')
+                         THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(asset_type), 'red')
+                         THEN 1.0 ELSE 0.0 END AS DOUBLE) AS total_score,
+               'general' AS query_type,
+               concat_ws(',',
+                   CASE WHEN contains(lower(asset_name), 'red')
+                        THEN 'asset_name' END,
+                   CASE WHEN contains(lower(description), 'red')
+                        THEN 'description' END,
+                   CASE WHEN contains(lower(asset_type), 'red')
+                        THEN 'asset_type' END) AS matched_fields,
+               CAST(CASE WHEN contains(lower(asset_name), 'red')
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN contains(lower(description), 'red')
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN contains(lower(asset_type), 'red')
+                         THEN 1 ELSE 0 END AS INT) AS field_matches
+        FROM assets WHERE NOT is_archived
+    ) WHERE total_score > 0.01
+    ORDER BY total_score DESC, database_id, asset_id
+    LIMIT 500
+    """,
+)
+def q_vams_search_explain(spark, sf_dir):
+    """Search explanation synthesis (search.py:1569-1621,
+    _add_search_explanation): each hit carries which fields matched,
+    the query type, and a score breakdown — computed inside the plan by
+    SearchCompiler.explain from the same predicates highlight uses.
+    The struct column is flattened here so the oracle hashes scalars."""
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"]})
+    req = SearchRequest(query="red", entity_types=("asset",), size=500)
+    hits = sc.explain(sc.hits(req), req)
+    return hits.select(
+        "database_id",
+        "asset_id",
+        F.col("explanation.total_score").alias("total_score"),
+        F.col("explanation.query_type").alias("query_type"),
+        F.concat_ws(",", F.col("explanation.matched_fields")).alias(
+            "matched_fields"
+        ),
+        F.col("explanation.field_matches").alias("field_matches"),
+    ).orderBy(F.desc("total_score"), "database_id", "asset_id")

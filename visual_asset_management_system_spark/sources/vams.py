@@ -315,6 +315,63 @@ VAMS_VIEW_SQL: dict[str, str] = {
             ('wf_other_db', 'db_3', '.all')
         ) AS t(workflow_id, database_id, auto_trigger_extensions)
     """,
+    # orders -> comments (CommentStorageTable, storageBuilder
+    # -nestedStack.ts:687-697: hash key assetId, range key
+    # "assetVersionId:commentId"). The engine keeps the composite range
+    # key's parts as first-class columns; begins_with(assetVersionId)
+    # listing (commentService.py:142) becomes an equality on
+    # asset_version_id.
+    "comments": """
+        SELECT
+            'db_' || CAST((o_orderkey % 199 + 1) % 20 AS STRING) AS database_id,
+            'asset_' || CAST(o_orderkey % 199 + 1 AS STRING)     AS asset_id,
+            'v' || CAST(o_orderkey % 3 + 1 AS STRING)            AS asset_version_id,
+            'comment_' || CAST(o_orderkey AS STRING)             AS comment_id,
+            'priority ' || o_orderpriority || ' follow-up'       AS comment_body,
+            'user_' || CAST(o_custkey % 50 AS STRING)            AS comment_owner_id,
+            CAST(CAST(o_orderdate AS DATE) AS STRING)            AS date_created
+        FROM orders
+    """,
+    # part brands + size classes -> tags (TagStorageTable, storageBuilder
+    # :1029-1043; rows match the tag values the assets view carries in
+    # tag1/tag2). One orphan tag exercises the createTag.py:90 typed
+    # referential check.
+    "tags": """
+        SELECT DISTINCT
+            p_brand             AS tag_name,
+            'brand ' || p_brand AS tag_description,
+            'brand'             AS tag_type_name
+        FROM part
+        UNION ALL
+        SELECT * FROM (VALUES
+            ('large', 'assets over size 25', 'size'),
+            ('small', 'assets size 25 and under', 'size'),
+            ('orphan', 'tag with an undeclared type', 'missing_type')
+        ) AS t(tag_name, tag_description, tag_type_name)
+    """,
+    # TagTypeStorageTable (storageBuilder :1029-1043): tiny dimension,
+    # always broadcast. 'material' has no tags (LEFT-join miss case).
+    "tag_types": """
+        SELECT * FROM (VALUES
+            ('brand',    'part brand family',  TRUE),
+            ('size',     'size class',         FALSE),
+            ('material', 'declared but unused', FALSE)
+        ) AS t(tag_type_name, tag_type_description, required)
+    """,
+    # customer -> subscriptions (SubscriptionsStorageTable,
+    # subscriptionService.py:96-101 splits the entityName_entityId key;
+    # the subscribers list is normalized to one row per subscriber —
+    # the relational form of the reference's list attribute).
+    "subscriptions": """
+        SELECT DISTINCT
+            'Asset Version Change'                          AS event_name,
+            'Asset'                                         AS entity_name,
+            'db_' || CAST((c_custkey % 199 + 1) % 20 AS STRING) AS database_id,
+            'asset_' || CAST(c_custkey % 199 + 1 AS STRING) AS entity_id,
+            'user_' || CAST(c_custkey % 50 AS STRING) || '@example.com'
+                                                            AS subscriber
+        FROM customer WHERE c_custkey % 2 = 0
+    """,
     # lineitem -> asset_versions: one version row per (part, order); the
     # current version is the latest ship date (row_number pick, SURVEY §2.5).
     "asset_versions": """
