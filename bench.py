@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q_events_sessionize",
     "q_vams_simple_search",
     "q_vams_text_search",
+    "q_vams_bm25_search",
     "q_vams_file_metadata_query",
     "q_vams_facets",
     "q_vams_metadata_pivot",
@@ -60,6 +61,14 @@ def main() -> None:
     t = tables(spark, SF_DIR)
     t["search_assets"].count()
     t["search_files"].count()
+    # the BM25 inverted index is maintained state too (same CDC story)
+    from visual_asset_management_system_spark.queries import (  # noqa: E402
+        asset_inverted_index,
+    )
+
+    postings, stats = asset_inverted_index(t)
+    postings.count()
+    stats.count()
     # likewise the ANN bucket layout: a write-path artifact (partition-
     # pruned probes read it), not per-query work
     from visual_asset_management_system_spark.queries import (  # noqa: E402

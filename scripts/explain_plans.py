@@ -34,6 +34,10 @@ DEFAULT = [
     "q_knn_cosine",
     "q_lsh_ann",
     "q_ngram_jaccard_topk",
+    "q_vams_bm25_search",
+    "q_vams_search_explain",
+    "q_vams_tags_listing",
+    "q_vams_authz_table",
 ]
 
 
