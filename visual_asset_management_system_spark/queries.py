@@ -3283,3 +3283,183 @@ def q_vams_search_explain(spark, sf_dir):
         ),
         F.col("explanation.field_matches").alias("field_matches"),
     ).orderBy(F.desc("total_score"), "database_id", "asset_id")
+
+
+# ---------------------------------------------------------------------------
+# round 3: end-to-end training-data preprocessing pipeline
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_pipeline_preprocess",
+    f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    ), base AS (
+        SELECT doc_id, text, {_O_TOKS} AS toks, {_O_BPE_WORDS} AS words
+        FROM all_docs
+    ), feats AS (
+        SELECT doc_id, text, toks, words,
+            {_o_lang_count(("der", "die", "und"))} AS c_de,
+            {_o_lang_count(("the", "and", "of"))} AS c_en,
+            {_o_lang_count(("el", "los", "que"))} AS c_es,
+            {_o_lang_count(("le", "la", "et"))} AS c_fr,
+            ROUND(
+                0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 100000
+                             THEN 1.0 ELSE 0.0 END)
+              + 0.25 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / GREATEST(length(text), 1))
+              + 0.25 * LEAST((len(list_filter(toks,
+                              t -> lower(t) IN ({_O_STOPS})))
+                              / GREATEST(len(toks), 1)) * 4.0, 1.0)
+              + 0.25 * (CASE WHEN length(text) / GREATEST(len(toks), 1) >= 3
+                              AND length(text) / GREATEST(len(toks), 1) <= 12
+                             THEN 1.0 ELSE 0.0 END), 4) AS quality
+        FROM base
+    ), langed AS (
+        SELECT *,
+            CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                 WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr) THEN 'de'
+                 WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr) THEN 'en'
+                 WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr) THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+        FROM feats
+    ), filtered AS (
+        SELECT * FROM langed WHERE lang_pred = 'en' AND quality >= 0.5
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY {_O_FP}
+                                     ORDER BY doc_id) AS rn
+        FROM filtered
+    )
+    SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(words) + COALESCE(list_sum(list_transform(words,
+             w -> CASE WHEN length(w) > 4
+                       THEN CAST(FLOOR(length(w) / 4) AS BIGINT) - 1
+                       ELSE 0 END)), 0) AS BIGINT) AS bpe_tokens,
+        quality
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q_pipeline_preprocess(spark, sf_dir):
+    """End-to-end training-data preprocessing as ONE declarative plan —
+    the composition a corpus build actually runs: language-ID filter →
+    quality filter → exact-dedup representative drop → per-doc token
+    accounting. Every stage is the same operator its standalone query
+    oracle-checks (q_doc_lang / q_doc_stats / q_dedup_drop); composing
+    them costs exactly one shuffle (the dedup window over the
+    fingerprint) on top of pure codegen-eligible Column stages, because
+    the filters run BEFORE the shuffle — at 100 TB the dedup window
+    sees only the ~surviving fraction of the corpus. The corpus is
+    doubled (id+1e6 copies) so the dedup stage provably drops rows."""
+    from .operators.dedup import drop_exact_duplicates
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    staged = (
+        doubled.withColumn("lang_pred", lang_id(F.col("text")))
+        .withColumn("quality", quality_score(F.col("text")))
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    )
+    kept = drop_exact_duplicates(staged)
+    return kept.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
+        "quality",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# round 3: database / role / pipeline row stores
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_vams_database_listing",
+    oracle_with("databases", "assets")
+    + """
+    SELECT d.database_id, d.description, d.default_bucket_id,
+           d.restrict_metadata_outside_schemas,
+           COUNT(a.asset_id) AS asset_count
+    FROM databases d
+    LEFT JOIN (SELECT database_id, asset_id FROM assets
+               WHERE NOT is_archived) a USING (database_id)
+    GROUP BY d.database_id, d.description, d.default_bucket_id,
+             d.restrict_metadata_outside_schemas
+    ORDER BY d.database_id
+    """,
+)
+def q_vams_database_listing(spark, sf_dir):
+    """Database listing with LIVE asset counts (databaseService.py; the
+    reference persists assetCount as a maintained counter,
+    createDatabase.py:65 — the engine computes it from the source of
+    truth, so it can never drift). LEFT join keeps empty databases."""
+    t = tables(spark, sf_dir)
+    live = t["assets"].filter(~F.col("is_archived")).select(
+        "database_id", "asset_id"
+    )
+    return (
+        t["databases"]
+        .join(live, "database_id", "left")
+        .groupBy(
+            "database_id", "description", "default_bucket_id",
+            "restrict_metadata_outside_schemas",
+        )
+        .agg(F.count("asset_id").alias("asset_count"))
+        .orderBy("database_id")
+    )
+
+
+@query(
+    "q_vams_role_membership",
+    oracle_with("roles", "user_roles")
+    + """
+    SELECT r.role_name, r.role_description,
+           COUNT(u.user_id) AS member_count
+    FROM roles r LEFT JOIN user_roles u USING (role_name)
+    GROUP BY r.role_name, r.role_description
+    ORDER BY r.role_name
+    """,
+)
+def q_vams_role_membership(spark, sf_dir):
+    """Role listing with membership counts (roleService.py listing +
+    userRolesService.py:69-130 user→roles rows, normalized). LEFT join
+    reports declared-but-unassigned roles as 0. The broadcast hint goes
+    on the BUILD (right) side — an outer join cannot build its
+    preserved side, so hinting `roles` here would be silently dropped
+    (the graph.py:85 lesson)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["roles"]
+        .join(F.broadcast(t["user_roles"]), "role_name", "left")
+        .groupBy("role_name", "role_description")
+        .agg(F.count("user_id").alias("member_count"))
+        .orderBy("role_name")
+    )
+
+
+@query(
+    "q_vams_pipelines_enabled",
+    oracle_with("pipelines")
+    + """
+    SELECT database_id, pipeline_id, pipeline_type
+    FROM pipelines WHERE enabled
+    ORDER BY database_id, pipeline_id
+    """,
+)
+def q_vams_pipelines_enabled(spark, sf_dir):
+    """Enabled-pipeline keyed listing (pipelineService.py /
+    enablePipeline.py: the execution planner reads only enabled rows
+    per database)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["pipelines"]
+        .filter(F.col("enabled"))
+        .select("database_id", "pipeline_id", "pipeline_type")
+        .orderBy("database_id", "pipeline_id")
+    )

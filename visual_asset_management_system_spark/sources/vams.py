@@ -372,6 +372,54 @@ VAMS_VIEW_SQL: dict[str, str] = {
                                                             AS subscriber
         FROM customer WHERE c_custkey % 2 = 0
     """,
+    # part -> databases dimension (DatabaseStorageTable,
+    # createDatabase.py:59-68: databaseId, description, defaultBucketId,
+    # restriction flags, assetCount, dateCreated). The stored assetCount
+    # is a maintained counter in the reference; the engine computes it
+    # live (q_vams_database_listing), so the view carries only intrinsic
+    # attributes. Functional dependence on database_id keeps DISTINCT
+    # exact.
+    "databases": """
+        SELECT DISTINCT
+            'db_' || CAST(p_partkey % 20 AS STRING)              AS database_id,
+            'database ' || CAST(p_partkey % 20 AS STRING)        AS description,
+            'bucket_' || CAST((p_partkey % 20) % 5 AS STRING)    AS default_bucket_id,
+            ((p_partkey % 20) % 2 = 0)       AS restrict_metadata_outside_schemas,
+            ((p_partkey % 20) % 3 = 0)       AS restrict_file_uploads_to_extensions
+        FROM part
+    """,
+    # RolesStorageTable (createRole.py) — tiny dimension; 'auditor' has
+    # no members (LEFT-join miss case).
+    "roles": """
+        SELECT * FROM (VALUES
+            ('admin',   'full control'),
+            ('editor',  'create and modify assets'),
+            ('viewer',  'read-only'),
+            ('auditor', 'declared but unassigned')
+        ) AS t(role_name, role_description)
+    """,
+    # customer -> user_roles (UserRolesStorageTable,
+    # userRolesService.py:69-130: userId -> role names, normalized to
+    # one row per (user, role)).
+    "user_roles": """
+        SELECT DISTINCT
+            'user_' || CAST(c_custkey % 50 AS STRING)            AS user_id,
+            CASE c_custkey % 3 WHEN 0 THEN 'admin'
+                 WHEN 1 THEN 'editor' ELSE 'viewer' END          AS role_name
+        FROM customer
+    """,
+    # PipelineStorageTable (createPipeline.py / enablePipeline.py):
+    # registered per-database pipelines with an enabled toggle.
+    "pipelines": """
+        SELECT * FROM (VALUES
+            ('pl_preview',   'db_1', 'preview-generation', TRUE),
+            ('pl_metadata',  'db_1', 'metadata-extraction', TRUE),
+            ('pl_voxelize',  'db_1', 'geometry', FALSE),
+            ('pl_thumbs',    'db_2', 'preview-generation', TRUE),
+            ('pl_disabled',  'db_2', 'geometry', FALSE),
+            ('pl_other',     'db_3', 'metadata-extraction', TRUE)
+        ) AS t(pipeline_id, database_id, pipeline_type, enabled)
+    """,
     # lineitem -> asset_versions: one version row per (part, order); the
     # current version is the latest ship date (row_number pick, SURVEY §2.5).
     "asset_versions": """
