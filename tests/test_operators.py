@@ -211,6 +211,48 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_bm25_bucketed_postings_prune_by_term(spark, tmp_path):
+    """The materialized postings layout must bucket-prune query-time
+    term lookups (SelectedBucketsCount < total in the scan) and return
+    the same scores as the unbucketed path — the claim SCALE.md makes
+    for the BM25 tier at 100 TB."""
+    import re
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        bm25_scores,
+        build_inverted_index,
+        write_postings,
+    )
+    from visual_asset_management_system_spark.plans.compiler import (
+        DEFAULT_TEXT_FIELDS,
+    )
+
+    t = tables(spark, SF)
+    postings, stats = build_inverted_index(
+        t["search_assets"], ["database_id", "asset_id"],
+        DEFAULT_TEXT_FIELDS["asset"],
+    )
+    write_postings(
+        postings, "test_postings_bucketed", num_buckets=16,
+        path=str(tmp_path / "postings"),
+    )
+    bucketed = spark.table("test_postings_bucketed")
+
+    keys = ["database_id", "asset_id"]
+    pruned = bm25_scores(bucketed, stats, "red metallic", keys)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "no bucket pruning in plan"
+    assert int(m.group(1)) < int(m.group(2))
+
+    flat = bm25_scores(postings, stats, "red metallic", keys)
+    norm = lambda df: sorted(  # noqa: E731
+        (r["database_id"], r["asset_id"], round(r["score"], 9))
+        for r in df.collect()
+    )
+    assert norm(pruned) == norm(flat)
+
+
 def test_kmeans_ivf_recall_vs_exact(spark):
     """Trained-centroid IVF (Spark ML k-means, seed-pinned) must be
     deterministic across fits and keep top-10 overlap ≥ 8/10 with exact

@@ -770,3 +770,82 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
     assert r["user_id"] == 7 and r["n_events"] == 2 and r["sum_value"] == 3.0
     assert r["session_start"].isoformat() == "2024-01-01T10:00:00"
     assert r["session_end"].isoformat() == "2024-01-01T10:10:00"
+
+
+def test_cdc_maintains_inverted_index(spark, tmp_path):
+    """The BM25 postings table is maintained state under the SAME
+    partial-rewrite CDC merge as the search tables: postings are keyed
+    by the entity key (many rows per key — one per term), so a
+    re-index replaces exactly the changed asset's postings. After the
+    merge, scores derived from the maintained postings must equal a
+    from-scratch rebuild."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        bm25_scores,
+        build_inverted_index,
+        postings_stats,
+    )
+
+    sink = str(tmp_path / "postings")
+    v1 = spark.createDataFrame(
+        [
+            ("db_1", "a1", "red fox"),
+            ("db_1", "a2", "blue sky"),
+            ("db_1", "a3", "red wine"),
+        ],
+        "database_id string, asset_id string, body string",
+    )
+    v2 = spark.createDataFrame(
+        [
+            ("db_1", "a1", "green tea"),   # a1 re-written: loses 'red'
+            ("db_1", "a2", "blue sky"),
+            ("db_1", "a3", "red wine"),
+        ],
+        "database_id string, asset_id string, body string",
+    )
+
+    def recompute_for(source):
+        def recompute(keys):
+            sub = source.join(keys, ["database_id", "asset_id"], "left_semi")
+            p, _ = build_inverted_index(
+                sub, ["database_id", "asset_id"], {"body": 1.0}
+            )
+            return p
+        return recompute
+
+    schema = (
+        "seq long, event_name string, source string, database_id string, "
+        "asset_id string, new_image string, event_time timestamp"
+    )
+    seed = spark.createDataFrame(
+        [(i, "INSERT", "assets", "db_1", f"a{i}", None, None) for i in (1, 2, 3)],
+        schema,
+    )
+    apply_cdc_batch(seed, recompute_for(v1), sink)
+
+    change = spark.createDataFrame(
+        [(10, "MODIFY", "assets", "db_1", "a1", None, None)], schema
+    )
+    apply_cdc_batch(change, recompute_for(v2), sink)
+
+    maintained = spark.read.parquet(sink).drop("_part")
+    fresh, _ = build_inverted_index(v2, ["database_id", "asset_id"], {"body": 1.0})
+    norm = lambda df: sorted(map(tuple, df.select(  # noqa: E731
+        "database_id", "asset_id", "term", "tf", "dl").collect()))
+    assert norm(maintained) == norm(fresh)
+
+    # and query-time scoring over the maintained index matches a rebuild
+    stats = postings_stats(maintained, ["database_id", "asset_id"])
+    got = {
+        r["asset_id"]: round(r["score"], 9)
+        for r in bm25_scores(
+            maintained, stats, "red", ["database_id", "asset_id"]
+        ).collect()
+    }
+    fresh_stats = postings_stats(fresh, ["database_id", "asset_id"])
+    want = {
+        r["asset_id"]: round(r["score"], 9)
+        for r in bm25_scores(
+            fresh, fresh_stats, "red", ["database_id", "asset_id"]
+        ).collect()
+    }
+    assert got == want and set(got) == {"a3"}

@@ -103,6 +103,38 @@ def build_inverted_index(
     return postings, stats
 
 
+def postings_stats(postings: DataFrame, id_cols: list[str]) -> DataFrame:
+    """Re-derive the (n_docs, avgdl) stats row from a postings table —
+    postings carry each doc's ``dl``, so the index is ONE CDC-maintained
+    artifact and stats need no separate bookkeeping. This is a full
+    aggregation over distinct docs: run it at rebuild/compaction time,
+    not per query — BM25's global constants tolerate staleness between
+    refreshes (standard practice; idf shifts negligibly per batch)."""
+    doc_len = postings.select(*id_cols, "dl").distinct()
+    return doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
+def write_postings(
+    postings: DataFrame,
+    table_name: str,
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist postings hash-bucketed on ``term`` — the layout that
+    makes query-time term lookup sublinear in the dictionary: a query's
+    ``term IN (...)`` filter bucket-prunes the scan to the probed
+    buckets (plan shows ``SelectedBucketsCount: k out of n``; asserted
+    in tests/test_operators.py). Same mechanism as the entity-key
+    bucketing (operators/bucketing.py); on Delta/Iceberg the layout
+    comes from clustering on term."""
+    from .bucketing import write_bucketed_table
+
+    write_bucketed_table(postings, table_name, ["term"], num_buckets, path)
+
+
 def bm25_scores(
     postings: DataFrame,
     stats: DataFrame,
