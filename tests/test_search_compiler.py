@@ -250,3 +250,28 @@ def test_bm25_compiler_tier(spark):
         SearchCompiler({"asset": t["search_assets"]}).hits(req).collect()
     with pytest.raises(ValueError, match="relevance"):
         SearchRequest(query="x", relevance="tfidf")
+
+
+def test_bm25_query_and_index_analyzers_agree(spark):
+    """The query-side (Python) and index-side (JVM) analyzers must
+    produce the same token SET for the same string — hit parity depends
+    on it (a doc matches iff the sets intersect). Adversarial corpus:
+    unicode case, digits, punctuation runs, empty/degenerate strings."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        tokenize,
+        tokenize_query,
+    )
+
+    corpus = [
+        "Red METALLIC box", "a-b_c.d,e;f", "  leading  runs   ",
+        "", "...", "x", "123 abc123 45x", "Ünïcödé Straße İstanbul",
+        "tab\tand\nnewline", "mixed: CASE, With? wild*cards!",
+        "don't stop-motion", "a" * 300,
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(corpus)], "i int, s string")
+    jvm = {
+        r["i"]: set(r["toks"])
+        for r in df.select("i", tokenize(F.col("s")).alias("toks")).collect()
+    }
+    for i, s in enumerate(corpus):
+        assert jvm[i] == set(tokenize_query(s)), (i, s, jvm[i], tokenize_query(s))

@@ -79,3 +79,47 @@ def test_export_and_reconcile(spark, tmp_path):
     legs = svc.reconcile(t["files"].filter(~F.col("is_archived")))
     assert "missing_in_storage" in legs and "to_register" in legs
     assert legs["to_register"].count() >= 0
+
+
+def test_round3_surface(spark):
+    """BM25 search, explanations, and the new row-store operations all
+    run through the façade and return sane shapes."""
+    t = tables(spark, SF)
+    svc = CatalogService(t, enable_bm25=True)
+
+    bm25 = svc.search(
+        SearchRequest(query="red", relevance="bm25", entity_types=("asset",))
+    )
+    assert "score" in bm25.columns and bm25.count() > 0
+
+    explained = svc.search_with_explanations(
+        SearchRequest(query="red", entity_types=("asset",))
+    )
+    row = explained.select("explanation.*").first()
+    assert row["query_type"] == "general" and row["field_matches"] >= 1
+
+    assert svc.comments_for_version("db_5", "asset_5", "v1").count() > 0
+    tags = svc.tags()
+    assert {r["type_declared"] for r in tags.collect()} == {True, False}
+    assert svc.subscribers("Asset", "asset_5").count() >= 0
+    dbs = svc.databases()
+    assert dbs.count() == 20 and "asset_count" in dbs.columns
+    assert svc.roles_for_user("user_4").count() >= 1
+    assert svc.enabled_pipelines("db_1").count() == 2
+
+
+def test_data_driven_constraints_match_literals(spark):
+    """constraints_df (the ConstraintsStorageTable path) must compile to
+    the same row filter as the equivalent Python literals."""
+    from visual_asset_management_system_spark.queries import (
+        _CONSTRAINT_ROWS_SQL,
+        _LINK_CONSTRAINTS,
+    )
+
+    t = tables(spark, SF)
+    lit_svc = CatalogService(t, constraints=_LINK_CONSTRAINTS)
+    df_svc = CatalogService(t, constraints_df=spark.sql(_CONSTRAINT_ROWS_SQL))
+    req = SearchRequest(entity_types=("asset",), size=2000)
+    lit_ids = {tuple(r) for r in lit_svc.search(req).select("database_id", "asset_id").collect()}
+    df_ids = {tuple(r) for r in df_svc.search(req).select("database_id", "asset_id").collect()}
+    assert lit_ids == df_ids and lit_ids

@@ -55,14 +55,38 @@ class CatalogService:
         self,
         tables: dict[str, DataFrame],
         constraints: list[Constraint] | None = None,
+        constraints_df: DataFrame | None = None,
+        enable_bm25: bool = False,
     ) -> None:
         self.t = tables
-        self.auth: Column | None = (
-            compile_constraints(constraints, "GET") if constraints else None
-        )
+        if constraints_df is not None:
+            # data-driven policy (ConstraintsStorageTable analog,
+            # authz/__init__.py:387-559) wins over the literal path
+            from .operators.authz import compile_constraints_df
+
+            self.auth: Column | None = compile_constraints_df(
+                constraints_df, "GET"
+            )
+        else:
+            self.auth = (
+                compile_constraints(constraints, "GET") if constraints else None
+            )
+        inverted = None
+        if enable_bm25:
+            from .operators.inverted_index import build_inverted_index
+            from .plans.compiler import DEFAULT_TEXT_FIELDS
+
+            inverted = {
+                "asset": build_inverted_index(
+                    tables["search_assets"],
+                    ["database_id", "asset_id"],
+                    DEFAULT_TEXT_FIELDS["asset"],
+                )
+            }
         self._compiler = SearchCompiler(
             {"asset": tables["search_assets"], "file": tables["search_files"]},
             auth_predicate=self.auth,
+            inverted_indexes=inverted,
         )
 
     # -- search (handlers/search/search.py) --------------------------------
@@ -77,6 +101,75 @@ class CatalogService:
     def mappings(self) -> DataFrame:
         """GET /search — index mappings (search.py:1782-1800)."""
         return index_mappings(self._compiler.search_tables)
+
+    def search_with_explanations(self, req: SearchRequest) -> DataFrame:
+        """POST /search with per-hit match explanations
+        (search.py:1569-1621 _add_search_explanation)."""
+        return self._compiler.explain(self._compiler.hits(req), req)
+
+    # -- comments / tags / subscriptions (handlers/comments|tags|
+    #    tagTypes|subscription/) -------------------------------------------
+    def comments_for_version(
+        self, database_id: str, asset_id: str, asset_version_id: str
+    ) -> DataFrame:
+        """GET comments for one asset version (commentService.py:119-151,
+        begins_with on the composite range key → version equality)."""
+        return self.t["comments"].filter(
+            (F.col("database_id") == database_id)
+            & (F.col("asset_id") == asset_id)
+            & (F.col("asset_version_id") == asset_version_id)
+        )
+
+    def tags(self) -> DataFrame:
+        """GET tags enriched with the type referential check
+        (tagService.py; createTag.py:90)."""
+        ty = self.t["tag_types"].select(
+            "tag_type_name", F.lit(True).alias("_declared")
+        )
+        return (
+            self.t["tags"]
+            .join(F.broadcast(ty), "tag_type_name", "left")
+            .withColumn(
+                "type_declared", F.coalesce(F.col("_declared"), F.lit(False))
+            )
+            .drop("_declared")
+        )
+
+    def subscribers(self, entity_name: str, entity_id: str) -> DataFrame:
+        """checkSubscriptionService semantics: who is subscribed to this
+        entity's events."""
+        return self.t["subscriptions"].filter(
+            (F.col("entity_name") == entity_name)
+            & (F.col("entity_id") == entity_id)
+        )
+
+    # -- databases / roles / pipelines (handlers/databases|roles|
+    #    userRoles|pipelines/) ---------------------------------------------
+    def databases(self) -> DataFrame:
+        """GET databases with live asset counts (databaseService.py;
+        the reference's persisted assetCount computed from truth)."""
+        live = self.t["assets"].filter(~F.col("is_archived")).select(
+            "database_id", "asset_id"
+        )
+        return (
+            self.t["databases"]
+            .join(live, "database_id", "left")
+            .groupBy(*self.t["databases"].columns)
+            .agg(F.count("asset_id").alias("asset_count"))
+        )
+
+    def roles_for_user(self, user_id: str) -> DataFrame:
+        """get_all_roles_for_user (userRolesService.py:69-88)."""
+        return self.t["user_roles"].filter(
+            F.col("user_id") == user_id
+        ).join(F.broadcast(self.t["roles"]), "role_name", "left")
+
+    def enabled_pipelines(self, database_id: str) -> DataFrame:
+        """Enabled pipelines for one database (pipelineService.py /
+        enablePipeline.py)."""
+        return self.t["pipelines"].filter(
+            (F.col("database_id") == database_id) & F.col("enabled")
+        )
 
     # -- assets (handlers/assets/*.py) --------------------------------------
     def get_asset(self, database_id: str, asset_id: str) -> DataFrame:
