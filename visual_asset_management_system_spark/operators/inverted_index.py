@@ -74,29 +74,35 @@ def build_inverted_index(
     One shuffle on the entity key to attach dl, one aggregation for
     stats — build-time cost, paid once per rebuild, not per query.
     """
+    if not text_fields:
+        raise ValueError("text_fields must not be empty")
     ids = [F.col(c) for c in id_cols]
     dl_expr = None
+    for fld, weight in text_fields.items():
+        contrib = F.size(tokenize(F.col(fld))).cast("double") * F.lit(
+            float(weight)
+        )
+        dl_expr = contrib if dl_expr is None else dl_expr + contrib
+    # dl rides along through the explode (constant per doc), so the
+    # per-(doc, term) aggregation is the ONLY shuffle — no doc-length
+    # join back onto the exploded table (which would re-shuffle the
+    # biggest intermediate in the build)
+    with_dl = df.withColumn("_dl", dl_expr)
     exploded: DataFrame | None = None
     for fld, weight in text_fields.items():
-        toks = tokenize(F.col(fld))
-        term_rows = df.select(
+        term_rows = with_dl.select(
             *ids,
-            F.explode(toks).alias("term"),
+            F.explode(tokenize(F.col(fld))).alias("term"),
             F.lit(float(weight)).alias("_w"),
+            F.col("_dl"),
         )
         exploded = term_rows if exploded is None else exploded.unionByName(term_rows)
-        contrib = F.size(toks).cast("double") * F.lit(float(weight))
-        dl_expr = contrib if dl_expr is None else dl_expr + contrib
-    if exploded is None:
-        raise ValueError("text_fields must not be empty")
 
-    doc_len = df.select(*ids, dl_expr.alias("dl"))
-    postings = (
-        exploded.groupBy(*id_cols, "term")
-        .agg(F.sum("_w").alias("tf"))
-        .join(doc_len, id_cols)
+    postings = exploded.groupBy(*id_cols, "term").agg(
+        F.sum("_w").alias("tf"),
+        F.first("_dl").alias("dl"),
     )
-    stats = doc_len.agg(
+    stats = df.select(dl_expr.alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )

@@ -3463,3 +3463,26 @@ def q_vams_pipelines_enabled(spark, sf_dir):
         .select("database_id", "pipeline_id", "pipeline_type")
         .orderBy("database_id", "pipeline_id")
     )
+
+
+@query(
+    "q_vams_enabled_features",
+    oracle_with("app_features")
+    + """
+    SELECT string_agg(feature_name, ',' ORDER BY feature_name)
+               AS features_enabled,
+           COUNT(*) AS feature_count
+    FROM app_features
+    """,
+)
+def q_vams_enabled_features(spark, sf_dir):
+    """The config surface (configService.py:19-70): the app-feature
+    table scanned and aggregated into the single featuresEnabled
+    response row — full scan, sorted deterministic join."""
+    t = tables(spark, sf_dir)
+    return t["app_features"].agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("feature_name"))).alias(
+            "features_enabled"
+        ),
+        F.count(F.lit(1)).alias("feature_count"),
+    )

@@ -420,6 +420,14 @@ VAMS_VIEW_SQL: dict[str, str] = {
             ('pl_other',     'db_3', 'metadata-extraction', TRUE)
         ) AS t(pipeline_id, database_id, pipeline_type, enabled)
     """,
+    # AppFeatureEnabledStorageTable (configService.py:19-70: full scan
+    # aggregated into the featuresEnabled response).
+    "app_features": """
+        SELECT * FROM (VALUES
+            ('alpha-preview'), ('graph-view'), ('bulk-metadata'),
+            ('comments'), ('export')
+        ) AS t(feature_name)
+    """,
     # lineitem -> asset_versions: one version row per (part, order); the
     # current version is the latest ship date (row_number pick, SURVEY §2.5).
     "asset_versions": """
