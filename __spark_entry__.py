@@ -11,6 +11,7 @@ get the driver's rows-only check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,38 +38,64 @@ def entry(spark: SparkSession) -> DataFrame:
 #      BIGINT-cast oracle fix; the one-hop family after the broadcast
 #      rework in operators/graph.py);
 #   3. the remaining twice-driver-green entries, registration order.
-_DRIVER_GREEN = {
-    # green in CORRECTNESS_r01 and/or r02 (driver-confirmed at least once)
-    "q01_pricing_summary", "q03_shipping_priority",
-    "q05_local_supplier_volume", "q_top_parts_revenue", "q_window_rank",
-    "q_window_running_total", "q_cube_returns", "q_rollup_orders",
-    "q_distinct_counts", "q_percentiles", "q_set_except",
-    "q_set_intersect", "q_theta_join", "q_range_band_join",
-    "q_offset_pagination", "q_events_tumbling", "q_events_hopping",
-    "q_events_sessionize", "q_events_asof", "q_vams_simple_search",
-    "q_vams_text_search", "q_vams_facets", "q_vams_search_totals",
-    "q_vams_metadata_facets", "q_vams_metadata_pivot",
-    "q_vams_metadata_query", "q_vams_metadata_exists",
-    "q_vams_file_metadata_query", "q_vams_file_attr_value_search",
-    "q_vams_descendants", "q_vams_latest_versions", "q_vams_version_asof",
-    "q_vams_file_asset_join", "q_vams_orphans", "q_vams_graph_export",
-    "q_vams_keyset_page", "q_vams_auto_register", "q_vams_authz",
-    "q_vams_point_lookup", "q_vams_keyed_listing", "q_vams_dual_search",
-    "q_vams_highlight", "q_vams_relationship_flags",
-    "q_vams_schema_validation", "q_vams_typed_validation",
-    "q_vams_version_file_counts", "q_vams_scalar_funcs",
-}
 _RECHECK = [
-    "q_vams_link_auth_counts",   # r2 red row; oracle SUMs now CAST BIGINT
-    "q_vams_one_hop",            # one-hop join strategy reworked this round
+    # manual overrides: driver-green entries whose ENGINE code changed
+    # this round, so their standing green row no longer certifies them
+    "q_vams_one_hop",            # one-hop join strategy reworked (graph.py)
     "q_vams_one_hop_enriched",
+    # green only in round 1 and pushed out of the window ever since —
+    # the r2 verdict explicitly asks for fresh CORRECTNESS_r03 rows
+    "q_dedup_exact",
+    "q_ngram_jaccard_topk",
+    "q_knn_cosine",
+    "q_lsh_ann",
+    "q_doc_stats",
+    "q_doc_lang",
+    "q_doc_fingerprint",
+    "q_workflow_pipeline",
+    "q_multimodal_bytes",
 ]
 
 
+def _driver_green() -> set[str]:
+    """Names with a fully-green row in ANY prior CORRECTNESS_r*.json.
+
+    Self-maintaining across rounds: a red row (hash/schema/rows
+    mismatch) or a never-recorded name sorts to the front of the next
+    round's window automatically. A row counts green only if rows and
+    schema matched and the value hash did not fail (rows-only entries
+    have no hash and count on rows+schema)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    red: set[str] = set()
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match") is not False
+                and row.get("err") is None
+            )
+            (green if ok else red).add(name)
+    # any red occurrence anywhere outranks an older green row
+    return green - red
+
+
 def _driver_order(names: list[str]) -> list[str]:
-    never = [n for n in names if n not in _DRIVER_GREEN and n not in _RECHECK]
+    checked = _driver_green()
+    never = [n for n in names if n not in checked and n not in _RECHECK]
     recheck = [n for n in _RECHECK if n in names]
-    rest = [n for n in names if n in _DRIVER_GREEN and n not in recheck]
+    rest = [n for n in names if n in checked and n not in recheck]
     return never + recheck + rest
 
 
