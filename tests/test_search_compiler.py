@@ -275,3 +275,28 @@ def test_bm25_query_and_index_analyzers_agree(spark):
     }
     for i, s in enumerate(corpus):
         assert jvm[i] == set(tokenize_query(s)), (i, s, jvm[i], tokenize_query(s))
+
+
+def test_explain_query_type_classification(spark, compiler):
+    """query_type mirrors _add_search_explanation: combined / general /
+    metadata / none; matched_fields empty without a text query."""
+    cases = [
+        (SearchRequest(query="red", metadata_query="status:O",
+                       entity_types=("asset",)), "combined"),
+        (SearchRequest(query="red", entity_types=("asset",)), "general"),
+        (SearchRequest(metadata_query="status:O",
+                       entity_types=("asset",)), "metadata"),
+        (SearchRequest(entity_types=("asset",)), "none"),
+    ]
+    for req, want in cases:
+        row = (
+            compiler.explain(compiler.hits(req), req)
+            .select("explanation.*")
+            .first()
+        )
+        assert row is not None, want
+        assert row["query_type"] == want
+        if req.query is None:
+            assert row["matched_fields"] == [] and row["field_matches"] == 0
+        else:
+            assert row["field_matches"] >= 1
