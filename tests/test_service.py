@@ -91,6 +91,9 @@ def test_round3_surface(spark):
         SearchRequest(query="red", relevance="bm25", entity_types=("asset",))
     )
     assert "score" in bm25.columns and bm25.count() > 0
+    # dual-entity BM25: both indexes are built, the union scores both
+    dual = svc.search(SearchRequest(query="glb", relevance="bm25", size=2000))
+    assert {r["rectype"] for r in dual.collect()} == {"asset", "file"}
 
     explained = svc.search_with_explanations(
         SearchRequest(query="red", entity_types=("asset",))

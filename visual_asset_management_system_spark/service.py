@@ -74,14 +74,15 @@ class CatalogService:
         inverted = None
         if enable_bm25:
             from .operators.inverted_index import build_inverted_index
-            from .plans.compiler import DEFAULT_TEXT_FIELDS
+            from .plans.compiler import DEFAULT_TEXT_FIELDS, SearchCompiler as _SC
 
             inverted = {
-                "asset": build_inverted_index(
-                    tables["search_assets"],
-                    ["database_id", "asset_id"],
-                    DEFAULT_TEXT_FIELDS["asset"],
+                entity: build_inverted_index(
+                    tables[f"search_{entity}s"],
+                    _SC.ENTITY_KEYS[entity],
+                    DEFAULT_TEXT_FIELDS[entity],
                 )
+                for entity in ("asset", "file")
             }
         self._compiler = SearchCompiler(
             {"asset": tables["search_assets"], "file": tables["search_files"]},
