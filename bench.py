@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "q_vams_facets",
     "q_vams_metadata_pivot",
     "q_doc_stats",
+    "q_pipeline_preprocess",
     "q_dedup_exact",
     "q_knn_cosine",
     "q_lsh_ann",
