@@ -57,6 +57,61 @@ def test_one_hop_classification(spark):
     assert ("asset_48", "parent") in rels
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    """Window math: consecutive chunks share exactly `overlap` tokens,
+    concatenating chunks minus overlaps reconstructs the token stream,
+    and a short/empty doc yields exactly one chunk."""
+    from visual_asset_management_system_spark.operators.text import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, words), (2, "tiny doc"), (3, "")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_tokens=10, overlap=2).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    # 25 tokens, window 10, step 8 → ceil(23/8) = 3 chunks
+    c = by_doc[1]
+    assert sorted(c) == [0, 1, 2]
+    t0, t1, t2 = (c[i].split() for i in range(3))
+    assert t0 == [f"w{i}" for i in range(10)]
+    assert t0[-2:] == t1[:2] and t1[-2:] == t2[:2]  # overlap = 2
+    rebuilt = t0 + t1[2:] + t2[2:]
+    assert rebuilt == words.split()
+    assert by_doc[2] == {0: "tiny doc"}
+    assert by_doc[3] == {0: ""}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_connected_components_long_chain_and_clusters(spark):
+    """A 300-node chain must converge within the default 20 rounds —
+    only possible with pointer jumping (plain neighbor-min propagation
+    needs 300 rounds) — and disjoint clusters must keep distinct
+    min-labels."""
+    from visual_asset_management_system_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(299)]
+    tri = [("z1", "z2"), ("z2", "z3"), ("z3", "z1")]  # cycle-safe too
+    pair = [("y1", "y2")]
+    df = spark.createDataFrame(chain + tri + pair, "src string, dst string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert len(got) == 300 + 3 + 2
+    assert all(got[f"n{i:04d}"] == "n0000" for i in range(300))
+    assert got["z1"] == got["z2"] == got["z3"] == "z1"
+    assert got["y1"] == got["y2"] == "y1"
+
+
 def test_one_hop_enrichment_broadcasts_not_shuffles(spark):
     """The enrichment join must never shuffle the assets table: an outer
     join cannot build its preserved side, so the broadcast hint on the

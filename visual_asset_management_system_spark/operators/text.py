@@ -159,3 +159,40 @@ def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
         ),
     ).otherwise(empty)
     return F.sort_array(F.array_distinct(mins))
+
+
+def chunk_documents(
+    df,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Token-window document chunking: (id, chunk_id, chunk_text).
+
+    The context-window preparation step of a training/RAG corpus build:
+    each document becomes ⌈(n − overlap)/(chunk − overlap)⌉ windows of
+    ``chunk_tokens`` whitespace tokens, consecutive windows sharing
+    ``overlap`` tokens; documents shorter than one window yield exactly
+    one chunk. Pure Column expressions (sequence → slice → posexplode),
+    no shuffle — chunking is embarrassingly parallel and stays inside
+    whole-stage codegen; output size is bounded by input tokens ×
+    (1 + overlap/(chunk − overlap)).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(step))).cast("int"), F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    windows = F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_tokens)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(windows).alias("chunk_id", "chunk_text"),
+    )

@@ -3486,3 +3486,79 @@ def q_vams_enabled_features(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("feature_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3: connected components (dedup clusters / related-asset groups)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_vams_related_components",
+    # the reach CTE is recursive → RECURSIVE must head the WITH clause
+    oracle_with("asset_links").replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , edges AS (
+        SELECT from_database_id || ':' || from_asset_id AS a,
+               to_database_id || ':' || to_asset_id AS b
+        FROM asset_links WHERE relationship_type = 'related'
+    ), sym AS (
+        SELECT a, b FROM edges UNION SELECT b, a FROM edges
+    ), nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node AS src, node FROM nodes
+        UNION
+        SELECT r.src, s.b AS node FROM reach r JOIN sym s ON r.node = s.a
+    )
+    SELECT src AS node, MIN(node) AS component
+    FROM reach GROUP BY src ORDER BY src
+    """,
+)
+def q_vams_related_components(spark, sf_dir):
+    """Connected components over the related-asset graph — the cluster
+    view the reference's per-node 1-hop listing cannot express, and the
+    same operator that turns near-dup PAIRS (minhash/simhash/embedding)
+    into duplicate CLUSTERS with a canonical MIN representative. Oracle
+    is the recursive reachability closure + MIN; the engine runs
+    pointer-jumping min-label propagation (O(log diameter) rounds,
+    operators/graph.py)."""
+    from .operators.graph import connected_components
+
+    t = tables(spark, sf_dir)
+    edges = t["asset_links"].filter(
+        F.col("relationship_type") == "related"
+    ).select(
+        F.concat_ws(":", "from_database_id", "from_asset_id").alias("a"),
+        F.concat_ws(":", "to_database_id", "to_asset_id").alias("b"),
+    )
+    return connected_components(edges, "a", "b").orderBy("node")
+
+
+@query(
+    "q_doc_chunks",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_O_TOKS} AS toks FROM documents
+    ), sized AS (
+        SELECT doc_id, toks,
+               GREATEST(CAST(CEIL((len(toks) - 8) / 56.0) AS INT), 1)
+                   AS n_chunks
+        FROM base
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+           array_to_string(toks[((i - 1) * 56 + 1):((i - 1) * 56 + 64)], ' ')
+               AS chunk_text
+    FROM sized, UNNEST(generate_series(1, n_chunks)) AS t(i)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Token-window chunking of the documents corpus (64-token windows,
+    8-token overlap) — the context-window preparation step of a corpus
+    build (operators/text.py chunk_documents). Oracle replicates the
+    window math with DuckDB list slicing."""
+    from .operators.text import chunk_documents
+
+    t = tables(spark, sf_dir)
+    return chunk_documents(
+        t["documents"].select("doc_id", "text"), chunk_tokens=64, overlap=8
+    ).orderBy("doc_id", "chunk_id")
