@@ -57,6 +57,45 @@ def test_one_hop_classification(spark):
     assert ("asset_48", "parent") in rels
 
 
+def test_hash_sample_and_split_are_deterministic(spark):
+    """Content-hash sampling: stable across runs and repartitions,
+    ~rate-accurate, salt-independent; splits partition the corpus
+    exactly (every row in exactly one split, fractions respected)."""
+    from visual_asset_management_system_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in hash_sample(df, 0.3, "doc_id").collect()}
+    s2 = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(13), 0.3, "doc_id").collect()
+    }
+    assert s1 == s2                      # layout-independent
+    assert abs(len(s1) / 10000 - 0.3) < 0.02
+    other = {
+        r["doc_id"] for r in hash_sample(df, 0.3, "doc_id", salt="b").collect()
+    }
+    assert other != s1                   # different salt → different sample
+    assert abs(len(s1 & other) / 10000 - 0.09) < 0.02  # ~independent
+
+    split = hash_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 10000
+    assert abs(counts["train"] / 10000 - 0.8) < 0.02
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(df, {"a": 0.5, "b": 0.4}, "doc_id")
+    with _pytest.raises(ValueError):
+        hash_sample(df, 1.5, "doc_id")
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     """Window math: consecutive chunks share exactly `overlap` tokens,
     concatenating chunks minus overlaps reconstructs the token stream,

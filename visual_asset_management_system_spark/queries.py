@@ -3562,3 +3562,51 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(
         t["documents"].select("doc_id", "text"), chunk_tokens=64, overlap=8
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# round 3: deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_doc_sample_split",
+    """
+    WITH hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|corpus_v1'),
+                               1, 8))::UBIGINT AS h
+        FROM documents
+    ), assigned AS (
+        SELECT doc_id,
+               CASE WHEN h < CAST(0.8 * 4294967296 AS UBIGINT) THEN 'train'
+                    WHEN h < CAST(0.9 * 4294967296 AS UBIGINT) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM hashed
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def q_doc_sample_split(spark, sf_dir):
+    """Deterministic train/val/test split of the documents corpus by
+    content hash (operators/sampling.py): a document's split can never
+    change between runs, repartitions, or engines — the oracle
+    reproduces the exact assignment, not just the proportions."""
+    from .operators.sampling import hash_split
+
+    t = tables(spark, sf_dir)
+    assigned = hash_split(
+        t["documents"].select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        "doc_id",
+        salt="corpus_v1",
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("split")
+    )
