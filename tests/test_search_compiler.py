@@ -252,6 +252,33 @@ def test_bm25_compiler_tier(spark):
         SearchRequest(query="x", relevance="tfidf")
 
 
+def test_bm25_stoplist_drops_ubiquitous_terms_only(spark):
+    """max_df_ratio removes terms above the doc-frequency cap from the
+    postings while leaving rare-term scores bit-identical (dl and
+    corpus stats computed before the drop)."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        bm25_scores,
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the common token w{i}") for i in range(10)],
+        "id long, body string",
+    )
+    full_p, full_s = build_inverted_index(docs, ["id"], {"body": 1.0})
+    cut_p, cut_s = build_inverted_index(
+        docs, ["id"], {"body": 1.0}, max_df_ratio=0.5
+    )
+    cut_terms = {r["term"] for r in cut_p.select("term").distinct().collect()}
+    assert "the" not in cut_terms and "common" not in cut_terms
+    assert all(f"w{i}" in cut_terms for i in range(10))
+    score = lambda p, s, q: {  # noqa: E731
+        r["id"]: r["score"] for r in bm25_scores(p, s, q, ["id"]).collect()
+    }
+    assert score(cut_p, cut_s, "w3") == score(full_p, full_s, "w3")
+    assert score(cut_p, cut_s, "the") == {}  # all-stopword query → no hits
+
+
 def test_bm25_query_and_index_analyzers_agree(spark):
     """The query-side (Python) and index-side (JVM) analyzers must
     produce the same token SET for the same string — hit parity depends

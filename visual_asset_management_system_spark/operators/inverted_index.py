@@ -64,6 +64,7 @@ def build_inverted_index(
     df: DataFrame,
     id_cols: list[str],
     text_fields: dict[str, float],
+    max_df_ratio: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build (postings, stats) for an entity DataFrame.
 
@@ -73,6 +74,15 @@ def build_inverted_index(
     term) aggregation sums weights, so tf = Σ_field weight × count.
     One shuffle on the entity key to attach dl, one aggregation for
     stats — build-time cost, paid once per rebuild, not per query.
+
+    ``max_df_ratio`` is the build-time stop-list (the 100 TB
+    mitigation SCALE.md documents for stopword-grade terms): terms
+    present in more than this fraction of documents are dropped from
+    the postings, bounding any query term's posting list. BM25's idf
+    makes such terms contribute ~nothing to scores, so recall loss is
+    confined to queries made ENTIRELY of dropped terms — the standard
+    trade. dl and (n_docs, avgdl) are computed BEFORE the drop so
+    length normalization is unaffected.
     """
     if not text_fields:
         raise ValueError("text_fields must not be empty")
@@ -106,6 +116,16 @@ def build_inverted_index(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
+    if max_df_ratio is not None:
+        if not 0.0 < max_df_ratio <= 1.0:
+            raise ValueError("max_df_ratio must be in (0, 1]")
+        # one aggregation on the same term key the postings already
+        # shuffle on; the broadcast keep-list is |dictionary|-bounded
+        dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+        keep = dfreq.crossJoin(F.broadcast(stats.select("n_docs"))).filter(
+            F.col("_df") <= F.col("n_docs") * max_df_ratio
+        ).select("term")
+        postings = postings.join(keep, "term", "left_semi")
     return postings, stats
 
 

@@ -72,3 +72,27 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted corpus mixing: deterministic per-source subsampling +
+    tagged union — the mixture-assembly step of a training-corpus
+    build (hit target source proportions by per-source sampling
+    rates). Each source is sampled with its OWN salt (= the source
+    name), so inclusion decisions are independent across sources and
+    reproducible run-to-run; the union is a no-shuffle concatenation.
+    Source frames must share a schema (unionByName).
+    """
+    out: DataFrame | None = None
+    for name, (df, rate) in sources.items():
+        part = hash_sample(df, rate, key_col, salt=name).withColumn(
+            source_col, F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("sources must not be empty")
+    return out

@@ -3610,3 +3610,51 @@ def q_doc_sample_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q_corpus_mix",
+    f"""
+    WITH tagged AS (
+        SELECT doc_id, text, 'web' AS source FROM documents
+        WHERE doc_id % 2 = 0
+          AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|web'), 1, 8)
+              )::UBIGINT < CAST(0.5 * 4294967296 AS UBIGINT)
+        UNION ALL
+        SELECT doc_id, text, 'books' AS source FROM documents
+        WHERE doc_id % 2 = 1
+          AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|books'), 1, 8)
+              )::UBIGINT < CAST(0.9 * 4294967296 AS UBIGINT)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len({_O_TOKS})) AS BIGINT) AS total_tokens
+    FROM tagged GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_mix(spark, sf_dir):
+    """Corpus mixture assembly (operators/sampling.py mix_corpora):
+    two synthetic sub-corpora sampled at different rates with
+    independent salts, unioned with a source tag, summarized per
+    source. The oracle reproduces the exact per-document inclusion
+    decisions, not just the proportions."""
+    from .operators.sampling import mix_corpora
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    mixed = mix_corpora(
+        {
+            "web": (docs.filter(F.col("doc_id") % 2 == 0), 0.5),
+            "books": (docs.filter(F.col("doc_id") % 2 == 1), 0.9),
+        },
+        "doc_id",
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("bigint")).alias(
+                "total_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
