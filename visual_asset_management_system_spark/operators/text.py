@@ -196,3 +196,25 @@ def chunk_documents(
         F.col(id_col),
         F.posexplode(windows).alias("chunk_id", "chunk_text"),
     )
+
+
+def repetition_score(text: Column, n: int = 3) -> Column:
+    """Fraction of repeated n-grams in [0, 1] — the repetition-quality
+    signal web-scale corpus filters use (high values flag boilerplate,
+    keyword stuffing, and degenerate generations). 0 when every n-gram
+    is unique, approaching 1 for pathological repetition; documents
+    with fewer than n tokens score 0. Pure array expressions — shares
+    :func:`word_shingles`-style slicing but keeps DUPLICATES (the
+    whole point is counting them), so it cannot reuse the
+    dedup shingle helper, which distincts."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    toks = tokens(F.lower(text))
+    m = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(m - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        m >= n, F.round((total - distinct) / total, 6)
+    ).otherwise(F.lit(0.0))

@@ -3658,3 +3658,54 @@ def q_corpus_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_doc_repetition",
+    f"""
+    WITH base AS (
+        SELECT doc_id, list_transform({_O_TOKS}, t -> lower(t)) AS toks
+        FROM (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            -- planted pathological repeater so the filter has work
+            SELECT 9000001, 'spam spam spam spam spam spam spam spam'
+        )
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(0, GREATEST(len(toks) - 3, 0)),
+                       i -> array_to_string(toks[(i + 1):(i + 3)], ' '))
+               ELSE [] END AS g
+        FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN len(g) > 0 THEN
+               ROUND((len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE), 6)
+           ELSE 0.0 END AS rep_ratio
+    FROM grams
+    ORDER BY rep_ratio DESC, doc_id
+    LIMIT 200
+    """,
+)
+def q_doc_repetition(spark, sf_dir):
+    """Repeated-3-gram ratio per document (operators/text.py
+    repetition_score) — the Gopher-style repetition quality filter; the
+    planted all-'spam' doc must top the ranking. Oracle replicates the
+    window slicing with DuckDB list ops."""
+    from .operators.text import repetition_score
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(9000001, "spam spam spam spam spam spam spam spam")],
+            "doc_id long, text string",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id", repetition_score(F.col("text")).alias("rep_ratio")
+        )
+        .orderBy(F.desc("rep_ratio"), "doc_id")
+        .limit(200)
+    )
