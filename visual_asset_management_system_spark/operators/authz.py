@@ -100,15 +100,34 @@ def load_constraints(constraints_df) -> list[Constraint]:
     """
     out: list[Constraint] = []
     for r in constraints_df.collect():
-        crits = tuple(
-            Criterion(
-                c["field"],
-                c["operator"],
-                list(c["values"]) if c["operator"] == "is_in" else c["value"],
+        cid = r["constraint_id"]
+        if r["effect"] not in ("allow", "deny"):
+            raise ValueError(
+                f"constraint {cid!r}: unknown effect {r['effect']!r}"
             )
-            for c in (r["criteria"] or [])
+        crits = []
+        for c in r["criteria"] or []:
+            op = c["operator"]
+            if op not in ("equals", "contains", "starts_with", "is_in"):
+                raise ValueError(f"constraint {cid!r}: unknown operator {op!r}")
+            if op == "is_in":
+                if c["values"] is None:
+                    raise ValueError(
+                        f"constraint {cid!r}: is_in criterion on "
+                        f"{c['field']!r} has NULL values array"
+                    )
+                val: object = list(c["values"])
+            else:
+                if c["value"] is None:
+                    raise ValueError(
+                        f"constraint {cid!r}: {op} criterion on "
+                        f"{c['field']!r} has NULL value"
+                    )
+                val = c["value"]
+            crits.append(Criterion(c["field"], op, val))
+        out.append(
+            Constraint(effect=r["effect"], action=r["action"], criteria=tuple(crits))
         )
-        out.append(Constraint(effect=r["effect"], action=r["action"], criteria=crits))
     return out
 
 

@@ -3578,8 +3578,8 @@ def q_doc_chunks(spark, sf_dir):
         FROM documents
     ), assigned AS (
         SELECT doc_id,
-               CASE WHEN h < CAST(0.8 * 4294967296 AS UBIGINT) THEN 'train'
-                    WHEN h < CAST(0.9 * 4294967296 AS UBIGINT) THEN 'val'
+               CASE WHEN h < CAST(FLOOR(0.8 * 4294967296) AS UBIGINT) THEN 'train'
+                    WHEN h < CAST(FLOOR(0.9 * 4294967296) AS UBIGINT) THEN 'val'
                     ELSE 'test' END AS split
         FROM hashed
     )
@@ -3619,12 +3619,12 @@ def q_doc_sample_split(spark, sf_dir):
         SELECT doc_id, text, 'web' AS source FROM documents
         WHERE doc_id % 2 = 0
           AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|web'), 1, 8)
-              )::UBIGINT < CAST(0.5 * 4294967296 AS UBIGINT)
+              )::UBIGINT < CAST(FLOOR(0.5 * 4294967296) AS UBIGINT)
         UNION ALL
         SELECT doc_id, text, 'books' AS source FROM documents
         WHERE doc_id % 2 = 1
           AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|books'), 1, 8)
-              )::UBIGINT < CAST(0.9 * 4294967296 AS UBIGINT)
+              )::UBIGINT < CAST(FLOOR(0.9 * 4294967296) AS UBIGINT)
     )
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(len({_O_TOKS})) AS BIGINT) AS total_tokens

@@ -90,11 +90,16 @@ def apply_cdc_batch(
         recompute(keys).join(removes, list(key_cols), "left_anti"), list(key_cols)
     )
 
+    # recover BEFORE the fresh-sink check: a crash can leave the sink's
+    # only _part directory in .trash with the live dir missing — without
+    # recovery first, an empty-looking sink would be fully overwritten
+    # (surviving rows never restored) and the stale trash could later
+    # resurrect an outdated partition
+    _recover_and_sweep_trash(sink_dir)
+
     if not os.path.isdir(sink_dir) or not os.listdir(sink_dir):
         fresh.write.partitionBy("_part").mode("overwrite").parquet(sink_dir)
         return
-
-    _recover_and_sweep_trash(sink_dir)
 
     touched = sorted(
         r["_part"]
@@ -140,6 +145,7 @@ def _recover_and_sweep_trash(sink_dir: str) -> list[int]:
             continue
         dst = os.path.join(sink_dir, d)
         if not os.path.isdir(dst):
+            os.makedirs(sink_dir, exist_ok=True)
             os.replace(os.path.join(trash, d), dst)
             restored.append(int(d.split("=", 1)[1]))
     shutil.rmtree(trash, ignore_errors=True)
@@ -393,6 +399,12 @@ def apply_routed_cdc_batch(
             continue
         sub = routed.filter(F.col("target") == target)
         if target == "file":
+            # recover before the expansion CAPTURES the sink's file-key
+            # listing: after an in-window crash, a replayed NULL-path
+            # event's expansion must see the file keys of the
+            # still-trashed partition, or those files are never
+            # re-indexed/deleted and stale index rows survive silently
+            _recover_and_sweep_trash(sink_dirs[target])
             sub = _expand_null_path_file_events(
                 sub, sink_dirs[target], file_keys_of_assets
             )
