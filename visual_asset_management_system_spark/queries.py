@@ -592,7 +592,8 @@ def q_offset_pagination(spark, sf_dir):
     """,
 )
 def q_events_tumbling(spark, sf_dir):
-    # events.ts arrives as bigint nanos (nanosAsLong): pure integer
+    # events.ts arrives as bigint nanos (load_tables conforms every
+    # physical encoding to epoch_ns — sources/tpch.py): pure integer
     # truncation — ns values exceed double's exact range, so no floats
     t = tables(spark, sf_dir)
     return (

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TPCH_TABLES = (
     "region",
@@ -31,17 +32,64 @@ TPCH_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Declared on-read contract per table: {column: canonical type}. The
+#: fixtures are driver-generated and their physical encodings have drifted
+#: between rounds (events.ts shipped as INT64 nanos, later as
+#: timestamp[us]); the engine does not control them, so every load conforms
+#: columns to this map instead of trusting the parquet footer. Adding a row
+#: here is the whole fix for the next dtype drift.
+#:
+#: ``epoch_ns`` means "bigint nanoseconds since the epoch": bigint columns
+#: pass through, timestamp/timestamp_ntz columns are converted exactly via
+#: unix_micros (session timezone is pinned to UTC below, so the NTZ→TZ cast
+#: is the identity on the stored value — matching DuckDB's epoch_us(ts)).
+EXPECTED_SCHEMA: dict[str, dict[str, str]] = {
+    "events": {"ts": "epoch_ns"},
+}
+
+
+def _conform(df: DataFrame, table: str) -> DataFrame:
+    rules = EXPECTED_SCHEMA.get(table)
+    if not rules:
+        return df
+    dtypes = dict(df.dtypes)
+    for col, target in rules.items():
+        if col not in dtypes:
+            raise ValueError(
+                f"{table}.{col} missing from fixture (have {sorted(dtypes)})"
+            )
+        actual = dtypes[col]
+        if target == "epoch_ns":
+            if actual == "bigint":  # INT64-nanos encoding (nanosAsLong)
+                continue
+            if actual in ("timestamp", "timestamp_ntz"):
+                df = df.withColumn(
+                    col,
+                    F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000),
+                )
+                continue
+            raise TypeError(
+                f"{table}.{col}: cannot normalize dtype {actual!r} to epoch_ns"
+            )
+        if actual != target:
+            df = df.withColumn(col, F.col(col).cast(target))
+    return df
+
 
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
 ) -> dict[str, DataFrame]:
-    """Load every driver table as a DataFrame keyed by name."""
-    # events.ts is INT64 TIMESTAMP(NANOS) parquet, which vanilla Spark
-    # rejects; read it as bigint nanos (exact integer math) regardless of
-    # how the caller built the session.
+    """Load every driver table as a DataFrame keyed by name, conformed to
+    ``EXPECTED_SCHEMA`` regardless of the fixture's physical encoding."""
+    # If events.ts is INT64 TIMESTAMP(NANOS) parquet (one historical
+    # encoding), vanilla Spark rejects it; read as bigint nanos instead.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The epoch_ns conversion and the DuckDB differential both assume UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return {
-        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        name: _conform(
+            spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), name
+        )
         for name in TPCH_TABLES
     }
 
