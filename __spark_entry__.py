@@ -40,20 +40,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. the remaining twice-driver-green entries, registration order.
 _RECHECK = [
     # manual overrides: driver-green entries whose ENGINE code changed
-    # this round, so their standing green row no longer certifies them
-    "q_vams_one_hop",            # one-hop join strategy reworked (graph.py)
-    "q_vams_one_hop_enriched",
-    # green only in round 1 and pushed out of the window ever since —
-    # the r2 verdict explicitly asks for fresh CORRECTNESS_r03 rows
-    "q_dedup_exact",
-    "q_ngram_jaccard_topk",
-    "q_knn_cosine",
-    "q_lsh_ann",
-    "q_doc_stats",
-    "q_doc_lang",
-    "q_doc_fingerprint",
-    "q_workflow_pipeline",
-    "q_multimodal_bytes",
+    # since their last driver check, so the standing green row no longer
+    # certifies them. (r04 re-greened the previous list — pruned.)
+    # These three last saw the driver in round 2; authz.py and cdc.py
+    # changed in rounds 3-4 (VERDICT r04 item 8).
+    "q_vams_authz",
+    "q_vams_highlight",
+    "q_vams_schema_validation",
 ]
 
 
@@ -69,10 +62,12 @@ def _driver_green() -> set[str]:
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
-    red: set[str] = set()
+    # the MOST RECENT row per name wins: a red row in r02 must not keep
+    # a name re-greened in r04 pinned to the priority window forever
+    latest: dict[str, tuple[int, bool]] = {}
     for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
+            rnd = int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
             with open(p) as f:
                 data = json.load(f)
         except (OSError, ValueError):
@@ -80,15 +75,15 @@ def _driver_green() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            ok = (
+            ok = bool(
                 row.get("rows_match")
                 and row.get("schema_match", True)
                 and row.get("hash_match") is not False
                 and row.get("err") is None
             )
-            (green if ok else red).add(name)
-    # any red occurrence anywhere outranks an older green row
-    return green - red
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, ok)
+    return {n for n, (_, ok) in latest.items() if ok}
 
 
 def _driver_order(names: list[str]) -> list[str]:

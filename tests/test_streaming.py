@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -362,6 +363,40 @@ def test_cdc_crash_between_renames_recovers_from_trash(spark, tmp_path):
     apply_cdc_batch(batch2, recompute, sink)
     after = {r["asset_id"] for r in spark.read.parquet(sink).collect()}
     assert after == before | {"asset_10"}
+    assert not os.path.isdir(trash)
+
+
+def test_compact_sink_recovers_trash_when_sink_dir_missing(spark, tmp_path):
+    """compact_sink must run trash recovery BEFORE its missing-sink early
+    return: a crash mid-swap can leave a partition's only copy in the
+    .trash sibling while the live sink dir is absent entirely."""
+    from visual_asset_management_system_spark.streaming.cdc import compact_sink
+
+    sink = str(tmp_path / "sink_gone")
+    recompute = _recompute_factory(spark)
+    schema = (
+        "seq long, event_name string, source string, database_id string, "
+        "asset_id string, new_image string, event_time timestamp"
+    )
+    batch = spark.createDataFrame(
+        [(i, "INSERT", "assets", "db_1", f"asset_{i}", None, None) for i in range(4)],
+        schema,
+    )
+    apply_cdc_batch(batch, recompute, sink)
+    before = {r["asset_id"] for r in spark.read.parquet(sink).collect()}
+
+    # simulate the worst crash window: every live partition dir is in
+    # the trash sibling and the sink dir itself is gone
+    trash = sink + ".trash"
+    os.makedirs(trash, exist_ok=True)
+    for d in os.listdir(sink):
+        if d.startswith("_part="):
+            os.replace(os.path.join(sink, d), os.path.join(trash, d))
+    shutil.rmtree(sink)
+
+    compact_sink(spark, sink, max_files_per_partition=1)
+    after = {r["asset_id"] for r in spark.read.parquet(sink).collect()}
+    assert after == before
     assert not os.path.isdir(trash)
 
 

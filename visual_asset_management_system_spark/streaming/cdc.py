@@ -27,6 +27,28 @@ work per micro-batch is O(touched partitions), never O(table). The
 per-directory swap is the non-transactional analog of dynamic partition
 overwrite; a crash mid-swap leaves other partitions intact and the
 at-least-once replay + idempotent recompute repairs the touched one.
+
+Object-store deployment note (100 TB): the swap primitive here
+(``_swap_partition_dir`` + ``_recover_and_sweep_trash``) relies on
+POSIX ``rename`` atomicity, which S3/GCS-style object stores do not
+provide. The production mapping is one-to-one onto a lakehouse table
+format's transactional commit:
+
+    merged micro-batch write   → ``MERGE INTO sink USING batch ON keys``
+                                 (Delta/Iceberg/Hudi — copy-on-write of
+                                 exactly the touched files, like our
+                                 touched-partition rewrite)
+    _swap_partition_dir        → the format's atomic manifest/log commit
+                                 (no rename pair, no crash window)
+    _recover_and_sweep_trash   → unnecessary (commit is all-or-nothing);
+                                 orphaned staged files are handled by
+                                 VACUUM / expire-snapshots
+    compact_sink               → OPTIMIZE / rewrite-data-files
+
+Everything above the sink (routing, affected-key recompute, the merge
+plan itself) is storage-agnostic DataFrame code and transfers as-is;
+only the ~60 lines of directory-swap plumbing are the local-filesystem
+stand-in for that commit protocol.
 """
 
 from __future__ import annotations
@@ -199,9 +221,12 @@ def compact_sink(
     On a lakehouse runtime this is ``OPTIMIZE``/rewrite-data-files; on
     plain parquet it is a maintenance job scheduled off the write path.
     """
+    # Recovery FIRST: a crash between the swap's renames can leave a
+    # partition's only copy in the .trash sibling while the live sink
+    # dir itself is absent — an early return on isdir would skip it.
+    _recover_and_sweep_trash(sink_dir)
     if not os.path.isdir(sink_dir):
         return []
-    _recover_and_sweep_trash(sink_dir)
     crowded = []
     for d in os.listdir(sink_dir):
         if not d.startswith("_part="):
