@@ -347,6 +347,46 @@ def test_bm25_bucketed_postings_prune_by_term(spark, tmp_path):
     assert norm(pruned) == norm(flat)
 
 
+def test_postings_stats_match_build_stats_with_empty_docs(spark):
+    """The postings table must be a LOSSLESS encoding of the corpus:
+    re-deriving (n_docs, avgdl) from postings (the CDC-maintained path)
+    must equal the build-time stats bit-for-bit even when some docs have
+    zero tokens — the term="" sentinel rows carry their dl."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        bm25_scores,
+        build_inverted_index,
+        postings_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "red metallic paint"),
+            ("d2", ""),          # zero tokens
+            ("d3", None),        # NULL text → zero tokens
+            ("d4", "red paint"),
+            ("d5", "///"),       # punctuation only → zero tokens
+        ],
+        "doc_id string, body string",
+    )
+    postings, build_stats = build_inverted_index(docs, ["doc_id"], {"body": 1.0})
+    derived = postings_stats(postings, ["doc_id"])
+    b = build_stats.collect()[0]
+    d = derived.collect()[0]
+    assert (b["n_docs"], b["avgdl"]) == (d["n_docs"], d["avgdl"]) == (5, 1.0)
+
+    # sentinel rows never surface in scores: "" is not a query token
+    scored = bm25_scores(postings, derived, "red", ["doc_id"])
+    assert {r["doc_id"] for r in scored.collect()} == {"d1", "d4"}
+
+    # the stop-list must not drop the sentinels even when empty docs
+    # outnumber the max_df_ratio fraction
+    postings2, stats2 = build_inverted_index(
+        docs, ["doc_id"], {"body": 1.0}, max_df_ratio=0.25
+    )
+    d2 = postings_stats(postings2, ["doc_id"]).collect()[0]
+    assert (d2["n_docs"], d2["avgdl"]) == (5, 1.0)
+
+
 def test_kmeans_ivf_recall_vs_exact(spark):
     """Trained-centroid IVF (Spark ML k-means, seed-pinned) must be
     deterministic across fits and keep top-10 overlap ≥ 8/10 with exact

@@ -126,13 +126,36 @@ def build_inverted_index(
             F.col("_df") <= F.col("n_docs") * max_df_ratio
         ).select("term")
         postings = postings.join(keep, "term", "left_semi")
+
+    # Docs with no surviving postings rows — zero tokens, or every term
+    # stop-listed — would make the postings table a LOSSY encoding of
+    # the corpus: postings_stats re-derives (n_docs, avgdl) from
+    # postings, so a CDC-maintained index would drift from a
+    # from-scratch rebuild. Emit one sentinel posting (term="", tf=0)
+    # per absent doc — "" can never be a real token (the analyzer drops
+    # empty tokens) nor a query term, so scoring is unaffected. The
+    # anti-join is one extra doc-key shuffle, paid at build/rebuild
+    # time only.
+    present = postings.select(*id_cols).distinct()
+    sentinels = (
+        with_dl.join(present, id_cols, "left_anti")
+        .select(
+            *ids,
+            F.lit("").alias("term"),
+            F.lit(0.0).alias("tf"),
+            F.col("_dl").alias("dl"),
+        )
+    )
+    postings = postings.unionByName(sentinels)
     return postings, stats
 
 
 def postings_stats(postings: DataFrame, id_cols: list[str]) -> DataFrame:
     """Re-derive the (n_docs, avgdl) stats row from a postings table —
-    postings carry each doc's ``dl``, so the index is ONE CDC-maintained
-    artifact and stats need no separate bookkeeping. This is a full
+    postings carry each doc's ``dl`` (including the ``term=""`` sentinel
+    rows for zero-token docs, so the encoding is lossless and this
+    equals the build-time stats bit-for-bit), making the index ONE
+    CDC-maintained artifact with no separate stats bookkeeping. This is a full
     aggregation over distinct docs: run it at rebuild/compaction time,
     not per query — BM25's global constants tolerate staleness between
     refreshes (standard practice; idf shifts negligibly per batch)."""
