@@ -64,16 +64,25 @@ def _fake_decode(content: bytes | None) -> list[float]:
     A real implementation would decode the image/audio and run a feature
     extractor; this container has no codec libs, so we hash bytes into a
     fixed-dim vector. Deterministic: same bytes → same features.
+    feature[i] = (first-8-hex-digits of md5(content ‖ ascii(i)) mod
+    1000) / 1000 — chosen to be replicable in ANSI SQL (DuckDB md5) so
+    the differential oracle can verify the mapInPandas plumbing
+    end-to-end, not just row counts.
     """
+    import hashlib
+
     if content is None:
         return [0.0] * _FEATURE_DIM
-    out = []
-    h = 2166136261
-    for i in range(_FEATURE_DIM):
-        for b in content[i * 7 : i * 7 + 7] or b"\x00":
-            h = (h ^ b) * 16777619 % (1 << 32)
-        out.append((h % 1000) / 1000.0)
-    return out
+    return [
+        (
+            int(
+                hashlib.md5(content + str(i).encode()).hexdigest()[:8], 16
+            )
+            % 1000
+        )
+        / 1000.0
+        for i in range(_FEATURE_DIM)
+    ]
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:

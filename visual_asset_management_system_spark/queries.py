@@ -2878,13 +2878,24 @@ def q_ivf_ann(spark, sf_dir):
 
 # -- no-oracle entries (non-SQL-expressible; driver records rows-only) ------
 
-@query("q_multimodal_features")
+@query(
+    "q_multimodal_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           list_transform(range(0, 16), i -> ROUND(
+               (('0x' || substr(md5(text || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                % 1000) / 1000.0, 3)) AS features
+    FROM documents
+    ORDER BY media_id
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary media content
-    (operators/multimodal.py extract_features — the deterministic stub
-    kernel; the Spark plumbing under test is the mapInPandas batch
-    path). The per-byte FNV fold inside the kernel is not
-    SQL-expressible — rows-only check."""
+    (operators/multimodal.py extract_features — mapInPandas batch path).
+    The stub kernel's feature derivation is md5-based precisely so the
+    oracle can recompute every vector element in SQL: the differential
+    check verifies the full Arrow round-trip (binary column in, typed
+    array<float> out, batch iteration) value-for-value."""
     from .operators.multimodal import extract_features
 
     t = tables(spark, sf_dir)
@@ -2901,15 +2912,46 @@ def q_multimodal_features(spark, sf_dir):
     )
     return (
         extract_features(media)
-        .select("media_id", F.size("features").alias("feature_dim"))
+        .select(
+            "media_id",
+            F.transform(
+                "features", lambda x: F.round(x.cast("double"), 3)
+            ).alias("features"),
+        )
         .orderBy("media_id")
     )
 
 
-@query("q_minhash_pairs")
+@query(
+    "q_minhash_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '')) AS n
+        FROM documents
+    )
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    FROM toks WHERE n >= 32
+    ORDER BY id_a
+    """,
+)
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup pairs over documents ∪ a mutated copy (drop
-    the last 5 words) so true near-duplicates exist at every SF."""
+    """Planted-pair recovery through the ESTIMATE-path MinHash pipeline
+    (the 100 TB default: signatures computed once, banded LSH candidate
+    generation, jaccard estimated from signature agreement — dedup.py
+    minhash_dedup). The corpus is documents ∪ a mutated copy of each
+    (last 5 tokens dropped, id + 1,000,000); the contract is that every
+    planted pair whose original has ≥ 32 tokens is recovered.
+
+    Why 32 is safe: at L ≥ 32 tokens the pair's true shingle Jaccard is
+    ≥ (L−7)/(L−2) ≈ 0.83, so (a) a band of 4 rows collides with
+    probability 1−(1−0.83⁴)^16 ≈ 1−3e−5 and (b) the 64-component
+    signature-agreement estimate sits ~10σ above the 0.4 threshold —
+    recovery is deterministic in practice for any corpus (verified
+    against the exact all-pairs oracle at the correctness SF). Raw
+    non-planted pairs still flow through the same plan; only the OUTPUT
+    is restricted to the SQL-decidable planted subset."""
     t = tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "text")
     toks = F.split(F.trim("text"), r"\s+")
@@ -2919,25 +2961,63 @@ def q_minhash_pairs(spark, sf_dir):
             " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
         ).alias("text"),
     )
-    return minhash_dedup(
+    pairs = minhash_dedup(
         docs.unionByName(mutated), threshold=0.4, num_hashes=64, bands=16
-    ).orderBy("id_a", "id_b")
+    )
+    from .operators.text import token_count
+
+    eligible = docs.filter(token_count(F.lower("text")) >= 32).select(
+        F.col("doc_id").alias("id_a")
+    )
+    return (
+        pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+        .join(eligible, "id_a", "left_semi")
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
 
 
-@query("q_simhash_pairs")
+@query(
+    "q_simhash_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '')) AS n
+        FROM documents
+    )
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming
+    FROM toks WHERE n >= 1
+    ORDER BY id_a
+    """,
+)
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash invariance contract, SQL-decidable form: the signature is
+    a function of the token BAG (per-bit sums over xxhash64(token) —
+    dedup.py simhash_signatures), so a token-order-reversed copy of a
+    document has the IDENTICAL signature. The corpus is documents ∪ a
+    reversed copy (id + 1,000,000); every planted pair must come back at
+    hamming distance exactly 0, and the chunked pigeonhole join finds
+    distance-0 pairs with certainty (all chunks match). Non-planted
+    near-dup pairs still flow through the same plan; only the OUTPUT is
+    restricted to the planted subset the oracle can enumerate."""
     t = tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "text")
-    toks = F.split(F.trim("text"), r"\s+")
+    toks = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda tok: tok != ""
+    )
     mutated = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))
-        ).alias("text"),
+        F.concat_ws(" ", F.reverse(toks)).alias("text"),
     )
-    return simhash_near_duplicates(
+    pairs = simhash_near_duplicates(
         docs.unionByName(mutated), bits=32, max_hamming=3, chunks=4
-    ).orderBy("id_a", "id_b")
+    )
+    return (
+        pairs.filter(F.col("id_b") == F.col("id_a") + 1000000)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a")
+    )
 
 
 # ---------------------------------------------------------------------------
