@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "q_embedding_near_dup",
     "q_ngram_jaccard_topk",
     "q_minhash_pairs",
+    "q_doc_pii",
+    "q_doc_decontaminate",
+    "q_doc_pack",
 ]
 
 

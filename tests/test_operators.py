@@ -600,3 +600,92 @@ def test_keyset_pagination_walks_whole_table(spark):
             break
     assert len(seen) == orders.count()
     assert seen == sorted(seen)
+
+
+def test_pack_sequences_boundary_semantics(spark):
+    """Docs straddling a cut report the right span count; offsets chain
+    (next doc's offset = (prev cum) % seq_len)."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 100)),   # cum 100
+            (2, " ".join(["w"] * 100)),   # cum 200 — straddles the 128 cut
+            (3, " ".join(["w"] * 300)),   # cum 500 — spans 3 sequences
+            (4, "one"),                   # cum 501
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            docs, seq_len=128, n_buckets=1, bucket_col=F.lit(0)
+        ).collect()
+    }
+    assert (out[1]["seq_id"], out[1]["offset"], out[1]["n_seqs"]) == (0, 0, 1)
+    assert (out[2]["seq_id"], out[2]["offset"], out[2]["n_seqs"]) == (0, 100, 2)
+    assert (out[3]["seq_id"], out[3]["offset"], out[3]["n_seqs"]) == (1, 72, 3)
+    assert (out[4]["seq_id"], out[4]["offset"], out[4]["n_seqs"]) == (3, 116, 1)
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram dictionary must broadcast (no shuffle of the
+    corpus onto the ngram key) and flag only genuinely overlapping docs."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog today suffix"),
+            (2, "completely unrelated text with no overlapping spans at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    result = contamination(train, bench, n=8, min_overlap=1)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert {r["doc_id"] for r in result.collect()} == {1}
+
+
+def test_repeated_ngrams_caps_doc_list(spark):
+    """A span shared by more docs than the cap reports the true n_docs
+    but a truncated, sorted doc list."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        repeated_ngrams,
+    )
+
+    span = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(i, f"{span} tail{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    rows = repeated_ngrams(docs, n=10, min_docs=2, max_docs_listed=5).collect()
+    by_gram = {r["ngram"]: r for r in rows}
+    assert by_gram[span]["n_docs"] == 30
+    assert by_gram[span]["doc_ids"] == [0, 1, 2, 3, 4]
+
+
+def test_pii_redaction_masks_all_patterns(spark):
+    from visual_asset_management_system_spark.operators.pii import scan_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b%c@ex-ample.co.uk or 212-555-1234 ssn 078-05-1120 at 192.168.0.1"),
+            (2, "clean text with plain numbers 12345 and version 1.2 only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scan_corpus(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ssn"], r1["n_phone"], r1["n_ipv4"]) == (1, 1, 1, 1)
+    assert r1["redacted"] == "mail [EMAIL] or [PHONE] ssn [SSN] at [IPV4]"
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ssn"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0, 0)
+    assert r2["redacted"] == "clean text with plain numbers 12345 and version 1.2 only"

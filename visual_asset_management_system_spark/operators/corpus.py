@@ -1,0 +1,162 @@
+"""Corpus-construction operators: sequence packing, benchmark
+decontamination, cross-document repeated n-grams.
+
+The three remaining stages of a pre-training data pipeline after
+cleaning/dedup (public precedent: GPT-3 §2.2 / Dolma / FineWeb write-ups):
+
+- **pack_sequences** — concat-and-chunk packing: documents are
+  concatenated in a deterministic order and split into fixed
+  token-budget training sequences. The Spark shape is a running-total
+  window inside hash buckets: each bucket packs independently, so
+  parallelism = number of buckets and no global sort exists.
+- **contamination** — flag training documents sharing ≥ k distinct
+  n-grams with a benchmark/eval set (the overlap rule used for GPT-3
+  style decontamination). Benchmark n-grams are a broadcast-sized
+  relation; the corpus side is one explode + one semi-join + one
+  aggregation on the doc key.
+- **repeated_ngrams** — exact n-gram spans occurring in ≥ k distinct
+  documents (the signal behind suffix-array exact-substring dedup,
+  Lee et al. 2022, computed at fixed n): one explode + one groupBy on
+  the span key, map-side combinable; a cap bounds the per-span doc
+  list so one boilerplate span cannot blow up a reducer.
+
+All three are pure DataFrame plans over the same whitespace tokenizer
+as the rest of the text tier (operators/text.py) and carry full DuckDB
+oracles in the query registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import token_count, tokens
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    n_buckets: int = 64,
+    bucket_col: Column | None = None,
+) -> DataFrame:
+    """Assign each document a (bucket, seq_id, offset) under
+    concat-and-chunk packing with a ``seq_len``-token budget.
+
+    Documents are hash-assigned to ``n_buckets`` independent streams
+    (deterministic: pmod(xxhash64(id))), ordered by id within the
+    stream, conceptually concatenated, and cut every ``seq_len``
+    tokens. ``seq_id`` is the sequence the document STARTS in,
+    ``offset`` its token offset there; ``n_seqs`` how many sequences
+    it spans (long docs straddle cuts — the consumer slices).
+
+    100 TB: the window is per-bucket, so the sort is n/64-sized and
+    all buckets run in parallel; raise n_buckets with corpus size.
+    One shuffle (hash partition by bucket). ``bucket_col`` overrides
+    the bucket assignment (default xxhash64 of the id — uniform under
+    arbitrary id skew); pass a SQL-computable expression when a
+    differential oracle needs to replicate it.
+    """
+    toks = token_count(F.col(text_col)).cast("bigint")
+    bucket = (
+        bucket_col
+        if bucket_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), bucket.alias("bucket"), toks.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "bucket",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / seq_len).alias(
+                "seq_id"
+            ),
+            ((F.col("cum") - F.col("n_tokens")) % seq_len).alias("offset"),
+            (
+                F.floor((F.col("cum") - 1) / seq_len)
+                - F.floor((F.col("cum") - F.col("n_tokens")) / seq_len)
+                + 1
+            ).alias("n_seqs"),
+        )
+    )
+
+
+def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int):
+    """(id, ngram) — DISTINCT n-token spans per document."""
+    toks = tokens(F.lower(F.col(text_col)))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("ngram")
+    )
+
+
+def contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Training docs sharing ≥ ``min_overlap`` distinct ``n``-grams with
+    the benchmark set: (id, n_overlap), descending.
+
+    The benchmark n-gram dictionary is assumed broadcast-sized (eval
+    sets are ~10⁴ docs even at 100 TB training scale) — the join is a
+    broadcast semi-join against the exploded training corpus, then one
+    aggregation on the doc key. No corpus-×-benchmark product ever
+    exists.
+    """
+    bench_grams = (
+        _doc_ngrams(benchmark, text_col, id_col, n)
+        .select("ngram")
+        .distinct()
+    )
+    overlaps = _doc_ngrams(train, text_col, id_col, n).join(
+        F.broadcast(bench_grams), "ngram", "left_semi"
+    )
+    return (
+        overlaps.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(F.col("id").alias(id_col), "n_overlap")
+    )
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_docs: int = 2,
+    max_docs_listed: int = 20,
+) -> DataFrame:
+    """Exact n-token spans appearing in ≥ ``min_docs`` distinct docs:
+    (ngram, n_docs, doc_ids sorted, capped at ``max_docs_listed``).
+
+    One explode + one groupBy on the span; the doc-id list is capped so
+    a boilerplate span shared by millions of docs costs one truncated
+    array, not an unbounded reducer row (n_docs still reports the true
+    count).
+    """
+    return (
+        _doc_ngrams(df, text_col, id_col, n)
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.slice(
+                F.sort_array(F.collect_list("id")), 1, max_docs_listed
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

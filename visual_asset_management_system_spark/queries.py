@@ -3790,3 +3790,221 @@ def q_doc_repetition(spark, sf_dir):
         .orderBy(F.desc("rep_ratio"), "doc_id")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: corpus-construction tier — sequence packing, decontamination,
+# repeated n-gram spans, PII audit (operators/corpus.py, operators/pii.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_doc_pack",
+    """
+    WITH t AS (
+        SELECT doc_id, doc_id % 8 AS bucket,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t
+    )
+    SELECT doc_id, bucket, n_tokens,
+           (cum - n_tokens) // 512 AS seq_id,
+           (cum - n_tokens) % 512 AS offset,
+           ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1 AS n_seqs
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_doc_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/corpus.py
+    pack_sequences): docs hash-bucketed into independent streams,
+    running-token-total window per stream, cut every 512 tokens. The
+    oracle replicates the window math exactly; the bucket function here
+    is ``doc_id % 8`` so DuckDB can compute it (production default is
+    xxhash64 — same plan shape, just a different hash)."""
+    from .operators.corpus import pack_sequences
+
+    t = tables(spark, sf_dir)
+    return pack_sequences(
+        t["documents"],
+        seq_len=512,
+        n_buckets=8,
+        bucket_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_doc_decontaminate",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), train AS (
+        SELECT doc_id, toks FROM toks
+        UNION ALL
+        SELECT doc_id + 1000000, list_slice(toks, 1, GREATEST(len(toks) - 5, 1))
+        FROM toks WHERE doc_id % 11 = 0
+    ), grams AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform(
+                range(0, len(toks) - 8 + 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')
+            )) ELSE [] END) AS ngram
+        FROM train
+    ), bench AS (
+        SELECT DISTINCT ngram FROM grams
+        WHERE doc_id % 11 = 0 AND doc_id < 1000000
+    )
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM grams g JOIN bench b USING (ngram)
+    GROUP BY g.doc_id HAVING COUNT(*) >= 3
+    ORDER BY doc_id
+    """,
+)
+def q_doc_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination (operators/corpus.py
+    contamination): training docs sharing >= 3 distinct 8-grams with a
+    benchmark set (every 11th doc) are flagged. The train side includes
+    a mutated near-copy of each benchmark doc (last 5 tokens dropped,
+    id + 1,000,000) so the flag provably catches non-exact leakage.
+    Scale shape: benchmark grams broadcast, corpus explode + semi-join +
+    one doc-key aggregation."""
+    from .operators.corpus import contamination
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    toks = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda tok: tok != ""
+    )
+    mutated = bench.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    train = docs.unionByName(mutated)
+    return contamination(train, bench, n=8, min_overlap=3).orderBy("doc_id")
+
+
+@query(
+    "q_doc_repeated_ngrams",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), corpus AS (
+        SELECT doc_id, toks FROM toks
+        UNION ALL
+        SELECT doc_id + 1000000, list_slice(toks, 1, GREATEST(len(toks) - 5, 1))
+        FROM toks
+    ), grams AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 10 THEN list_distinct(list_transform(
+                range(0, len(toks) - 10 + 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + 10), ' ')
+            )) ELSE [] END) AS ngram
+        FROM corpus
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           list_slice(list_sort(list(doc_id)), 1, 20) AS doc_ids
+    FROM grams GROUP BY ngram HAVING COUNT(*) >= 2
+    ORDER BY ngram
+    """,
+)
+def q_doc_repeated_ngrams(spark, sf_dir):
+    """Cross-document exact repeated spans at fixed n=10 (operators/
+    corpus.py repeated_ngrams) — the fixed-n form of suffix-array
+    exact-substring dedup (Lee et al. 2022). Corpus = documents ∪
+    mutated copies so repeated spans provably exist. One explode + one
+    groupBy on the span; per-span doc list capped at 20 (n_docs keeps
+    the true count)."""
+    from .operators.corpus import repeated_ngrams
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda tok: tok != ""
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    return repeated_ngrams(
+        docs.unionByName(mutated), n=10, min_docs=2, max_docs_listed=20
+    ).orderBy("ngram")
+
+
+def _pii_oracle() -> str:
+    """PII-audit oracle built from the SAME pattern strings the engine
+    applies (operators/pii.py PII_PATTERNS) — byte-identical regexes in
+    both dialects (the pattern set is restricted to the Java∩RE2
+    subset), applied in the same declaration order."""
+    from .operators.pii import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(ptext, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    red = "ptext"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com call 415-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' ssn 123-45-6789 from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.'
+                    || CAST(doc_id % 200 AS VARCHAR) AS ptext
+        FROM documents
+    )
+    SELECT doc_id,
+           {counts},
+           md5({red}) AS red_fp
+    FROM planted
+    ORDER BY doc_id
+    """
+
+
+@query("q_doc_pii", _pii_oracle())
+def q_doc_pii(spark, sf_dir):
+    """PII audit + redaction (operators/pii.py scan_corpus): per-doc
+    counts of email/SSN/phone/IPv4 spans and the md5 of the redacted
+    text. Deterministic PII is planted per doc (id-derived email,
+    phone, SSN, dotted-quad) so every pattern provably fires; the
+    oracle re-runs the byte-identical patterns in DuckDB and checks
+    the redacted output fingerprint value-for-value. Pure projection —
+    no shuffle, codegen-eligible."""
+    from .operators.pii import scan_corpus
+
+    t = tables(spark, sf_dir)
+    planted = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 415-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789 from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+        ).alias("text"),
+    )
+    return (
+        scan_corpus(planted)
+        .withColumn("red_fp", F.md5(F.col("redacted")))
+        .drop("redacted")
+        .orderBy("doc_id")
+    )
