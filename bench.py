@@ -51,7 +51,24 @@ BENCH_QUERIES = [
 ]
 
 
+def _calibrate() -> float:
+    """Fixed single-thread CPU reference (seconds for a deterministic
+    matmul loop). Reported so cross-round comparisons can normalize for
+    host speed: bench runs land on shared-CPU VMs whose throughput has
+    been observed varying >2x between rounds — divide query seconds by
+    (calib_sec / historical calib) before calling something a
+    regression."""
+    import numpy as np
+
+    a = np.arange(512 * 512, dtype=np.float64).reshape(512, 512) / 1e6
+    t0 = time.time()
+    for _ in range(40):
+        a = np.tanh(a @ a % 1.0)
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
+    calib = _calibrate()
     spark = get_spark(app_name="spark-vams-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -126,6 +143,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_sec": calib,
     }
     if errors:
         out["errors"] = errors

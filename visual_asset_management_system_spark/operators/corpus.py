@@ -87,6 +87,9 @@ def pack_sequences(
 
 def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int):
     """(id, ngram) — DISTINCT n-token spans per document."""
+    from .partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     toks = tokens(F.lower(F.col(text_col)))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.when(
@@ -117,14 +120,18 @@ def contamination(
     aggregation on the doc key. No corpus-×-benchmark product ever
     exists.
     """
+    # join on xxhash64 of the span, not the span string: the broadcast
+    # dictionary is 8 bytes/entry instead of ~8 words of text, and the
+    # probe compares longs (a 64-bit collision would need ~4e9 distinct
+    # benchmark grams to be likely — eval sets are orders below that)
     bench_grams = (
         _doc_ngrams(benchmark, text_col, id_col, n)
-        .select("ngram")
+        .select(F.xxhash64("ngram").alias("gh"))
         .distinct()
     )
-    overlaps = _doc_ngrams(train, text_col, id_col, n).join(
-        F.broadcast(bench_grams), "ngram", "left_semi"
-    )
+    overlaps = _doc_ngrams(train, text_col, id_col, n).select(
+        "id", F.xxhash64("ngram").alias("gh")
+    ).join(F.broadcast(bench_grams), "gh", "left_semi")
     return (
         overlaps.groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))

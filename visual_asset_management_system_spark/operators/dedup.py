@@ -116,7 +116,9 @@ def minhash_signatures(
     the k× duplicated shingle expression tree (which is quadratic in
     codegen and was the naive formulation's bottleneck).
     """
-    hashed = df.select(
+    from .partitioning import ensure_min_parallelism
+
+    hashed = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
     ).select(
@@ -157,7 +159,12 @@ def minhash_lsh_candidates(
     aggregation on the same (band, band_hash) key the join shuffles on.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # the signature relation feeds both sides of the band self-join;
+    # eager localCheckpoint materializes it once (k longs per doc)
+    # instead of re-shingling the corpus per side
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
     banded = _banded(sig, bands, rows_per_band)
     if max_bucket_size is not None:
         ok_buckets = (
@@ -217,11 +224,28 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs with exact shingle-set Jaccard ≥ threshold.
 
     Joins the (small) candidate set back to the shingle arrays; the
-    intersect/union runs as array expressions per pair.
+    intersect/union runs as array expressions per pair. The candidate
+    list is checkpointed once (it feeds the id-prune AND the pair join)
+    and the corpus is semi-join-pruned to candidate-involved docs BEFORE
+    shingling — at scale only the near-dup fraction of the corpus is
+    ever re-shingled, and each side of the verify join re-shingles just
+    that fraction.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    from .partitioning import ensure_min_parallelism
+
+    candidates = candidates.localCheckpoint(eager=True)
+    ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        ensure_min_parallelism(df)
+        .join(ids, F.col(id_col) == ids["id"], "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
     )
     return (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -326,7 +350,9 @@ def simhash_signatures(
     longs per doc). Token multiplicity counts, matching classic SimHash.
     Documents with zero tokens are dropped (no signal to hash).
     """
-    hashed = df.select(
+    from .partitioning import ensure_min_parallelism
+
+    hashed = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
     ).select("id", F.xxhash64("t").alias("h"))

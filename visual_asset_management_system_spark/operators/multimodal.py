@@ -91,6 +91,8 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     Arrow-batched: each partition streams pandas batches through the
     kernel; binary payloads stay executor-side.
     """
+    from .partitioning import ensure_min_parallelism
+
     out_schema = T.StructType(
         media.schema.fields
         + [T.StructField("features", T.ArrayType(T.FloatType()), True)]
@@ -102,7 +104,9 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             pdf["features"] = pdf["content"].map(_fake_decode)
             yield pdf
 
-    return media.mapInPandas(kernel, out_schema)
+    # decode parallelism == partition parallelism: guard against few-
+    # split inputs or one Python worker does every Arrow batch
+    return ensure_min_parallelism(media).mapInPandas(kernel, out_schema)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

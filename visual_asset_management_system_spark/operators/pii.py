@@ -61,9 +61,12 @@ def scan_corpus(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-document PII audit: (*id, n_email, n_ssn, n_phone, n_ipv4,
-    redacted). Single projection — no shuffle."""
+    redacted). Single projection — the only shuffle is the
+    parallelism guard when the input has fewer splits than cores."""
+    from .partitioning import ensure_min_parallelism
+
     text = F.col(text_col)
-    return df.select(
+    return ensure_min_parallelism(df).select(
         F.col(id_col),
         *pii_counts(text),
         redact(text).alias("redacted"),

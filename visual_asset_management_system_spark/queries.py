@@ -2357,10 +2357,12 @@ def q_multimodal_frame_sample(spark, sf_dir):
     """,
 )
 def q_doc_stats(spark, sf_dir):
+    from .operators.partitioning import ensure_min_parallelism
+
     t = tables(spark, sf_dir)
     txt = F.col("text")
     return (
-        t["documents"]
+        ensure_min_parallelism(t["documents"])
         .select(
             "doc_id",
             token_count(txt).cast("bigint").alias("n_tokens"),
@@ -3442,17 +3444,24 @@ def q_pipeline_preprocess(spark, sf_dir):
     doubled = docs.unionByName(
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
+    from .operators.partitioning import ensure_min_parallelism
+
+    # token accounting computed in the SAME pre-shuffle pass as
+    # lang/quality: after the dedup window AQE coalesces the tiny
+    # shuffle to few partitions, so any CPU-heavy projection placed
+    # there would run nearly serially — carry two longs through the
+    # window instead
     staged = (
-        doubled.withColumn("lang_pred", lang_id(F.col("text")))
+        ensure_min_parallelism(doubled)
+        .withColumn("lang_pred", lang_id(F.col("text")))
         .withColumn("quality", quality_score(F.col("text")))
         .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+        .withColumn("n_tokens", token_count(F.col("text")))
+        .withColumn("bpe_tokens", bpe_token_estimate(F.col("text")))
     )
     kept = drop_exact_duplicates(staged)
     return kept.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
-        "quality",
+        "doc_id", "n_tokens", "bpe_tokens", "quality"
     ).orderBy("doc_id")
 
 
