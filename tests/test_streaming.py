@@ -884,3 +884,49 @@ def test_cdc_maintains_inverted_index(spark, tmp_path):
         ).collect()
     }
     assert got == want and set(got) == {"a3"}
+
+
+def test_dedup_stream_drops_replayed_ids_within_watermark(spark, tmp_path):
+    """At-least-once replays duplicate event ids; the streaming dedup
+    must emit each id once across micro-batches (state bounded by the
+    watermark horizon)."""
+    from visual_asset_management_system_spark.streaming.windows import (
+        dedup_events_stream,
+    )
+
+    src = str(tmp_path / "dd_events")
+    sink = str(tmp_path / "dd_sink")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    _write_events(
+        src,
+        [
+            _ev(1, 1, "click", 1.0, "2024-01-01T10:00:00Z"),
+            _ev(2, 1, "click", 2.0, "2024-01-01T10:01:00Z"),
+            _ev(1, 1, "click", 1.0, "2024-01-01T10:00:00Z"),  # same-batch dup
+        ],
+    )
+    q = run_stream_to_parquet(
+        dedup_events_stream(read_events_stream(spark, src)), sink, ckpt
+    )
+    q.awaitTermination(120)
+    assert sorted(
+        r["event_id"] for r in spark.read.parquet(sink).collect()
+    ) == [1, 2]
+
+    # batch 2: a cross-batch replay of id 2 (within the 30 min horizon)
+    # plus a genuinely new id
+    _write_events(
+        src,
+        [
+            _ev(2, 1, "click", 2.0, "2024-01-01T10:01:00Z"),
+            _ev(3, 1, "click", 3.0, "2024-01-01T10:05:00Z"),
+        ],
+    )
+    q2 = run_stream_to_parquet(
+        dedup_events_stream(read_events_stream(spark, src)), sink, ckpt
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        r["event_id"] for r in spark.read.parquet(sink).collect()
+    ) == [1, 2, 3]

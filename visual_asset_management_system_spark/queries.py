@@ -4017,3 +4017,29 @@ def q_doc_pii(spark, sf_dir):
         .drop("redacted")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_events_dedup",
+    """
+    WITH doubled AS (
+        SELECT event_id, epoch_us(ts) * 1000 AS ts, user_id, event_type,
+               value, props
+        FROM events
+        UNION ALL
+        SELECT event_id, epoch_us(ts) * 1000 AS ts, user_id, event_type,
+               value, props
+        FROM events
+    )
+    SELECT DISTINCT * FROM doubled ORDER BY event_id
+    """,
+)
+def q_events_dedup(spark, sf_dir):
+    """Batch mirror of the streaming replay-dedup (streaming/windows.py
+    dedup_events_stream): an at-least-once source is simulated by
+    doubling the events table; exact-duplicate rows collapse to one.
+    The streaming form bounds its seen-id state by the watermark
+    horizon; the batch form is one hash-distinct shuffle."""
+    t = tables(spark, sf_dir)
+    e = t["events"]
+    return e.unionByName(e).distinct().orderBy("event_id")
