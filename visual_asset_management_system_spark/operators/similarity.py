@@ -284,8 +284,10 @@ def pairwise_cosine_within_buckets(
     grade and belong to the cheaper exact-dedup pass. Costs one extra
     aggregation on the same ``bucket`` key the pair join shuffles on.
     """
+    from .partitioning import ensure_min_parallelism
+
     planes = _hyperplanes(dim, n_planes, seed)
-    b = embeddings.select(
+    b = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
