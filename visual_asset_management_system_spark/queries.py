@@ -4043,3 +4043,76 @@ def q_events_dedup(spark, sf_dir):
     t = tables(spark, sf_dir)
     e = t["events"]
     return e.unionByName(e).distinct().orderBy("event_id")
+
+
+@query(
+    "q_token_vocab_topk",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''
+        )) AS token
+        FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 100
+    """,
+)
+def q_token_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-100 tokens by frequency — the
+    dictionary/stopword-candidate profile every corpus build inspects.
+    One explode + one map-side-combinable groupBy + TakeOrdered (no
+    global sort)."""
+    from .operators.partitioning import ensure_min_parallelism
+    from .operators.text import tokens
+
+    t = tables(spark, sf_dir)
+    return (
+        ensure_min_parallelism(t["documents"])
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
+@query(
+    "q_corpus_vocab_stats",
+    """
+    WITH toks AS (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''
+        )) AS token
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS distinct_tokens,
+           ROUND(COUNT(DISTINCT token) / COUNT(*), 6) AS type_token_ratio,
+           CAST(MAX(length(token)) AS BIGINT) AS max_token_len
+    FROM toks
+    """,
+)
+def q_corpus_vocab_stats(spark, sf_dir):
+    """Corpus-level vocabulary statistics (total/distinct tokens,
+    type-token ratio) — one aggregation; the distinct count is exact
+    here because the oracle needs determinism (the 100 TB variant swaps
+    in approx_count_distinct at a declared error bound)."""
+    from .operators.partitioning import ensure_min_parallelism
+    from .operators.text import tokens
+
+    t = tables(spark, sf_dir)
+    toks = (
+        ensure_min_parallelism(t["documents"])
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+    )
+    return toks.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("token").alias("distinct_tokens"),
+        F.round(
+            F.countDistinct("token") / F.count(F.lit(1)), 6
+        ).alias("type_token_ratio"),
+        F.max(F.length("token")).cast("bigint").alias("max_token_len"),
+    )

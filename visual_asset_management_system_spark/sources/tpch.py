@@ -45,6 +45,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: is the identity on the stored value — matching DuckDB's epoch_us(ts)).
 EXPECTED_SCHEMA: dict[str, dict[str, str]] = {
     "events": {"ts": "epoch_ns"},
+    # type-sensitive numeric columns (decimal-vs-double drift would
+    # silently change aggregate hashing); casts are no-ops while the
+    # fixture already matches
+    "lineitem": {
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+    },
+    "orders": {"o_totalprice": "double"},
+    "documents": {"doc_id": "bigint", "text": "string"},
+    "embeddings": {"vec_id": "bigint"},
 }
 
 
