@@ -689,3 +689,42 @@ def test_pii_redaction_masks_all_patterns(spark):
     r2 = out[2]
     assert (r2["n_email"], r2["n_ssn"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0, 0)
     assert r2["redacted"] == "clean text with plain numbers 12345 and version 1.2 only"
+
+
+def test_minhash_index_update_equals_from_scratch(spark, tmp_path):
+    """Incremental maintenance invariant: feeding the corpus in batches
+    through minhash_index_update emits exactly the pair set a
+    from-scratch minhash_dedup computes over the union — each pair
+    once, when its later doc arrives."""
+    from visual_asset_management_system_spark.operators.dedup import (
+        minhash_index_update,
+    )
+
+    docs = tables(spark, SF)["documents"].select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mutated).localCheckpoint(eager=True)
+
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup(corpus, threshold=0.4).collect()
+    }
+
+    store = str(tmp_path / "sig_store")
+    got: set = set()
+    b1 = corpus.filter(F.col("doc_id") % 3 == 0)
+    b2 = corpus.filter(F.col("doc_id") % 3 == 1)
+    b3 = corpus.filter(F.col("doc_id") % 3 == 2)
+    for batch in (b1, b2, b3):
+        rows = minhash_index_update(
+            spark, store, batch, threshold=0.4
+        ).collect()
+        new = {(r["id_a"], r["id_b"], r["jaccard"]) for r in rows}
+        assert not (new & got), "a pair was emitted twice"
+        got |= new
+    assert got == want

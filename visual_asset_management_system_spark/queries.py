@@ -4116,3 +4116,58 @@ def q_corpus_vocab_stats(spark, sf_dir):
         ).alias("type_token_ratio"),
         F.max(F.length("token")).cast("bigint").alias("max_token_len"),
     )
+
+
+@query(
+    "q_events_session_native",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w >= 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sessions AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts_us) AS w_start_us,
+           MAX(ts_us) + 1800000000 AS w_end_us,
+           COUNT(*) AS n_events, {O_SUM('value')} AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    ORDER BY user_id, w_start_us
+    """,
+)
+def q_events_session_native(spark, sf_dir):
+    """Sessionization via Spark's BUILT-IN ``session_window`` (the
+    Catalyst-native gap-session operator, usable in batch and
+    streaming): one groupBy, no window-function cascade. Gap semantics:
+    a session extends while consecutive events are STRICTLY closer
+    than the gap; window end = last event + gap. The oracle replicates
+    that with the lag/cumsum construction (note ``>=`` — session_window
+    closes at exactly-gap spacing, unlike the ``>`` convention of
+    q_events_sessionize, which is why both operators exist)."""
+    t = tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts_t"),
+        "value",
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts_t", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("w_start_us"),
+            F.unix_micros("session_window.end").alias("w_end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "w_start_us")
+    )
