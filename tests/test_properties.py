@@ -95,3 +95,44 @@ def test_metadata_query_rejects_mixed_operators():
 
     with pytest.raises(MetadataQueryError):
         _parse("a:1 AND b:2 OR c:3")
+
+
+# -- PII pattern set ---------------------------------------------------------
+
+def _py_redact(text: str) -> str:
+    """Pure-Python model of operators/pii.redact — same patterns, same
+    order (cross-engine value parity is oracle-tested; this pins a
+    design property of the pattern set itself)."""
+    from visual_asset_management_system_spark.operators.pii import PII_PATTERNS
+
+    for kind, pat in PII_PATTERNS.items():
+        text = re.sub(pat, f"[{kind.upper()}]", text)
+    return text
+
+
+_pii_alphabet = st.sampled_from(
+    list(string.ascii_letters + string.digits + " .-@%+_[]()") 
+)
+
+
+@given(st.text(alphabet=_pii_alphabet, max_size=120))
+@settings(max_examples=300)
+def test_pii_redaction_idempotent(text):
+    """One redaction pass reaches a fixed point: replacement tokens and
+    surviving text never combine into a NEW match for any pattern (an
+    ordering bug between patterns would break this)."""
+    once = _py_redact(text)
+    assert _py_redact(once) == once
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=100)
+def test_pii_planted_forms_always_detected(n):
+    """The id-derived planted forms used by q_doc_pii match for every
+    conceivable id."""
+    from visual_asset_management_system_spark.operators.pii import PII_PATTERNS
+
+    assert re.search(PII_PATTERNS["email"], f"user{n}@example.com")
+    assert re.search(PII_PATTERNS["phone"], f"call 415-555-{n % 10000:04d} ")
+    assert re.search(PII_PATTERNS["ssn"], "ssn 123-45-6789 x")
+    assert re.search(PII_PATTERNS["ipv4"], f"from 10.0.{n % 256}.{n % 200} ")
