@@ -39,14 +39,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #      rework in operators/graph.py);
 #   3. the remaining twice-driver-green entries, registration order.
 _RECHECK = [
-    # manual overrides: driver-green entries whose ENGINE code changed
-    # since their last driver check, so the standing green row no longer
-    # certifies them. (r04 re-greened the previous list — pruned.)
-    # These three last saw the driver in round 2; authz.py and cdc.py
-    # changed in rounds 3-4 (VERDICT r04 item 8).
+    # manual overrides: driver-green entries whose standing green row is
+    # STALE — every name below last saw the driver in round 2 while
+    # engine code they depend on changed in rounds 3-5 (VERDICT r04
+    # item 8 names the first three explicitly; the rest are the
+    # remainder of the r02-era rotation block, refreshed while window
+    # capacity allows). r04 re-greened the previous _RECHECK list.
     "q_vams_authz",
     "q_vams_highlight",
     "q_vams_schema_validation",
+    "q_vams_auto_register",
+    "q_vams_dual_search",
+    "q_vams_keyed_listing",
+    "q_vams_keyset_page",
+    "q_vams_point_lookup",
+    "q_vams_relationship_flags",
+    "q_vams_scalar_funcs",
+    "q_vams_typed_validation",
+    "q_vams_version_file_counts",
 ]
 
 
