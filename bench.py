@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q_doc_pii",
     "q_doc_decontaminate",
     "q_doc_pack",
+    "q_corpus_build",
 ]
 
 

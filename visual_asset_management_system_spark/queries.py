@@ -4171,3 +4171,111 @@ def q_events_session_native(spark, sf_dir):
         )
         .orderBy("user_id", "w_start_us")
     )
+
+
+@query(
+    "q_corpus_build",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, text, toks,
+            {_o_lang_count(("der", "die", "und"))} AS c_de,
+            {_o_lang_count(("the", "and", "of"))} AS c_en,
+            {_o_lang_count(("el", "los", "que"))} AS c_es,
+            {_o_lang_count(("le", "la", "et"))} AS c_fr,
+            ROUND(
+                0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 100000
+                             THEN 1.0 ELSE 0.0 END)
+              + 0.25 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / GREATEST(length(text), 1))
+              + 0.25 * LEAST((len(list_filter(toks,
+                              t -> lower(t) IN ({_O_STOPS})))
+                              / GREATEST(len(toks), 1)) * 4.0, 1.0)
+              + 0.25 * (CASE WHEN length(text) / GREATEST(len(toks), 1) >= 3
+                              AND length(text) / GREATEST(len(toks), 1) <= 12
+                             THEN 1.0 ELSE 0.0 END), 4) AS quality
+        FROM base
+    ), langed AS (
+        SELECT * , CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                 WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr) THEN 'de'
+                 WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr) THEN 'en'
+                 WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr) THEN 'es'
+                 ELSE 'fr' END AS lang_pred
+        FROM feats
+    ), filtered AS (
+        SELECT * FROM langed WHERE lang_pred = 'en' AND quality >= 0.5
+    ), deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY {_O_FP}
+                                         ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    ), grams AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform(
+                range(0, len(toks) - 8 + 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')
+            )) ELSE [] END) AS ngram
+        FROM deduped
+    ), bench AS (
+        SELECT DISTINCT ngram FROM grams WHERE doc_id % 11 = 0
+    ), contaminated AS (
+        SELECT g.doc_id FROM grams g JOIN bench b USING (ngram)
+        WHERE g.doc_id % 11 <> 0
+        GROUP BY g.doc_id HAVING COUNT(*) >= 3
+    ), clean AS (
+        SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens
+        FROM deduped d
+        WHERE d.doc_id % 11 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), packed AS (
+        SELECT doc_id, n_tokens, doc_id % 8 AS bucket,
+               SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM clean
+    )
+    SELECT doc_id, bucket, n_tokens,
+           (cum - n_tokens) // 512 AS seq_id,
+           (cum - n_tokens) % 512 AS offset
+    FROM packed ORDER BY doc_id
+    """,
+)
+def q_corpus_build(spark, sf_dir):
+    """The END-TO-END corpus build as one declarative plan — the
+    composition a pre-training data pipeline actually ships: language
+    filter → quality filter → exact-dedup representative drop →
+    benchmark decontamination (benchmark = every 11th doc; the
+    benchmark docs themselves are excluded from the corpus) → concat-
+    and-chunk sequence packing. Every stage is the operator its
+    standalone query oracle-checks; total cost is three shuffles
+    (dedup window, contamination doc-agg, packing window) with every
+    filter BEFORE its shuffle, so each successive stage sees only the
+    surviving fraction — the property that makes the composition
+    viable at 100 TB."""
+    from .operators.corpus import contamination, pack_sequences
+    from .operators.dedup import drop_exact_duplicates
+    from .operators.partitioning import ensure_min_parallelism
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    staged = (
+        ensure_min_parallelism(docs)
+        .withColumn("lang_pred", lang_id(F.col("text")))
+        .withColumn("quality", quality_score(F.col("text")))
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    )
+    deduped = drop_exact_duplicates(staged)
+    bench = deduped.filter(F.col("doc_id") % 11 == 0)
+    train = deduped.filter(F.col("doc_id") % 11 != 0)
+    dirty = contamination(train, bench, n=8, min_overlap=3).select("doc_id")
+    clean = train.join(dirty, "doc_id", "left_anti")
+    return pack_sequences(
+        clean,
+        seq_len=512,
+        n_buckets=8,
+        bucket_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    ).select("doc_id", "bucket", "n_tokens", "seq_id", "offset").orderBy("doc_id")
