@@ -313,3 +313,54 @@ def pairwise_cosine_within_buckets(
         )
         .filter(F.col("cosine_sim") >= min_cosine)
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batch kNN: for EVERY row of ``queries``, the ``k`` nearest corpus
+    vectors by cosine — (query_id, vec_id, cosine_sim, rank).
+
+    The single-vector :func:`cosine_topk` covers interactive lookups;
+    this is the bulk form a labeling/retrieval pipeline runs (attach
+    neighbors to a whole query table). Scale shape: the query set is
+    broadcast (retrieval batches are ≤10⁵ rows even at 100 TB corpus
+    scale), the corpus is scanned ONCE, and per-query top-k is a
+    row_number window over (query_id) — partial per-partition heaps via
+    the window's rank filter, never a global sort of the product. For
+    query sets too large to broadcast, LSH-bucket both sides
+    (:func:`lsh_bucket`) and apply the same window within buckets.
+    """
+    from .partitioning import ensure_min_parallelism
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = ensure_min_parallelism(corpus).select(
+        F.col(corpus_id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        c.join(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("cv"), F.col("qv")), round_digits).alias(
+                "cosine_sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )

@@ -4279,3 +4279,40 @@ def q_corpus_build(spark, sf_dir):
         n_buckets=8,
         bucket_col=F.pmod(F.col("doc_id"), F.lit(8)),
     ).select("doc_id", "bucket", "n_tokens", "seq_id", "offset").orderBy("doc_id")
+
+
+@query(
+    "q_knn_join",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id % 97 = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({_o_cosine('e.embedding', 'q.qv')}, 6) AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, vec_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_knn_join(spark, sf_dir):
+    """Batch kNN join (operators/similarity.py knn_join): every 97th
+    embedding is a query row; each gets its exact top-5 corpus
+    neighbors in ONE corpus scan (broadcast query set + per-query
+    row_number window — no global sort of the product). Rank 1 is the
+    query vector itself (cosine 1.0) — kept deliberately as a
+    determinism anchor."""
+    from .operators.similarity import knn_join
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    queries_df = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_join(queries_df, emb, k=5).orderBy("query_id", "rank")
