@@ -151,18 +151,34 @@ def repeated_ngrams(
     """Exact n-token spans appearing in ≥ ``min_docs`` distinct docs:
     (ngram, n_docs, doc_ids sorted, capped at ``max_docs_listed``).
 
-    One explode + one groupBy on the span; the doc-id list is capped so
-    a boilerplate span shared by millions of docs costs one truncated
-    array, not an unbounded reducer row (n_docs still reports the true
-    count).
+    The doc list is a SALTED two-phase bounded collect: a naive
+    ``slice(sort_array(collect_list(id)))`` caps the OUTPUT but still
+    gathers every id of a hot span onto one reducer first — a
+    boilerplate span shared by millions of docs is an unbounded reducer
+    row. Phase 1 groups by (ngram, salt) and keeps only each salt's
+    lowest ``max_docs_listed`` ids plus a partial count; phase 2 merges
+    ≤ n_salts × cap ids per span and sums the counts. Reducer state is
+    bounded by construction; ``n_docs`` still reports the true count.
     """
-    return (
+    n_salts = 16
+    partial = (
         _doc_ngrams(df, text_col, id_col, n)
-        .groupBy("ngram")
+        .groupBy("ngram", F.pmod(F.xxhash64("id"), F.lit(n_salts)).alias("_salt"))
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.lit(1)).alias("_n"),
             F.slice(
                 F.sort_array(F.collect_list("id")), 1, max_docs_listed
+            ).alias("_ids"),
+        )
+    )
+    return (
+        partial.groupBy("ngram")
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_ids"))),
+                1,
+                max_docs_listed,
             ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") >= min_docs)
