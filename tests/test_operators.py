@@ -728,3 +728,28 @@ def test_minhash_index_update_equals_from_scratch(spark, tmp_path):
         assert not (new & got), "a pair was emitted twice"
         got |= new
     assert got == want
+
+
+def test_exact_duplicate_groups_bounded_mode(spark):
+    """The capped mode must agree with the audit mode on dup_count and
+    on the lowest-cap member ids."""
+    from visual_asset_management_system_spark.operators.dedup import (
+        exact_duplicate_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "flood text") for i in range(50)]
+        + [(100 + i, f"unique {i}") for i in range(5)]
+        + [(200, "pair"), (201, "pair")],
+        "doc_id long, text string",
+    )
+    full = {r["fp"]: r for r in exact_duplicate_groups(docs).collect()}
+    capped = {
+        r["fp"]: r
+        for r in exact_duplicate_groups(docs, max_ids_listed=10).collect()
+    }
+    assert set(full) == set(capped)
+    for fp, r in full.items():
+        c = capped[fp]
+        assert c["dup_count"] == r["dup_count"]
+        assert c["doc_ids"] == r["doc_ids"][:10]

@@ -31,16 +31,47 @@ from .text import fingerprint, tokens
 # exact dedup
 # --------------------------------------------------------------------------
 def exact_duplicate_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids_listed: int | None = None,
 ) -> DataFrame:
     """Groups of exact duplicates (normalized-text md5 collisions):
-    (fingerprint, dup_count, doc_ids sorted). Only groups with >1 doc."""
+    (fingerprint, dup_count, doc_ids sorted). Only groups with >1 doc.
+
+    ``max_ids_listed=None`` returns every member id — the audit
+    contract, but a duplicate FLOOD (boilerplate repeated 10⁸×) then
+    materializes one unbounded reducer row. At 100 TB pass a cap: the
+    collect becomes a salted two-phase bounded merge (the
+    corpus.repeated_ngrams pattern) — reducer state ≤ 16 × cap ids per
+    group, ``dup_count`` still exact."""
+    fps = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    if max_ids_listed is None:
+        return (
+            fps.groupBy("fp")
+            .agg(
+                F.count(F.lit(1)).alias("dup_count"),
+                F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            )
+            .filter(F.col("dup_count") > 1)
+        )
+    partial = fps.groupBy(
+        "fp", F.pmod(F.xxhash64(id_col), F.lit(16)).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.slice(
+            F.sort_array(F.collect_list(id_col)), 1, max_ids_listed
+        ).alias("_ids"),
+    )
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
+        partial.groupBy("fp")
         .agg(
-            F.count(F.lit(1)).alias("dup_count"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.sum("_n").alias("dup_count"),
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_ids"))),
+                1,
+                max_ids_listed,
+            ).alias("doc_ids"),
         )
         .filter(F.col("dup_count") > 1)
     )
