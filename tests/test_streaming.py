@@ -930,3 +930,54 @@ def test_dedup_stream_drops_replayed_ids_within_watermark(spark, tmp_path):
     assert sorted(
         r["event_id"] for r in spark.read.parquet(sink).collect()
     ) == [1, 2, 3]
+
+
+def test_minhash_dedup_stream_maintains_store(spark, tmp_path):
+    """Streaming docs through the maintained-signature dedup: pairs land
+    in the append log exactly when the later doc arrives; the final
+    pair set equals the from-scratch batch run."""
+    from visual_asset_management_system_spark.operators.dedup import (
+        minhash_dedup,
+        start_minhash_dedup_stream,
+    )
+
+    body = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(55))      # drop last 5
+    other = " ".join(f"word{i}" for i in range(60))
+    docs_dir = str(tmp_path / "docs_in")
+    os.makedirs(docs_dir)
+
+    def write_docs(name, rows):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    store = str(tmp_path / "sig_store")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_docs("b1.json", [(1, body), (2, other)])
+    q = start_minhash_dedup_stream(spark, docs_dir, store, pairs_dir, ckpt)
+    q.awaitTermination(120)
+    # no near-dup partner yet
+    import glob as _glob
+    assert not _glob.glob(os.path.join(pairs_dir, "*.parquet")) or (
+        spark.read.parquet(pairs_dir).count() == 0
+    )
+
+    write_docs("b2.json", [(3, near)])
+    q2 = start_minhash_dedup_stream(spark, docs_dir, store, pairs_dir, ckpt)
+    q2.awaitTermination(120)
+    got = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got == {(1, 3)}
+
+    batch = spark.createDataFrame(
+        [(1, body), (2, other), (3, near)], "doc_id long, text string"
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup(batch, threshold=0.5).collect()
+    }
+    assert got == want

@@ -563,3 +563,53 @@ def minhash_index_update(
     )
     sig_new.write.mode("append").parquet(store_dir)
     return pairs
+
+
+def start_minhash_dedup_stream(
+    spark,
+    docs_dir: str,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    docs_schema: str = "doc_id bigint, text string",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    trigger_once: bool = True,
+):
+    """Structured Streaming wrapper around :func:`minhash_index_update`:
+    a file-source document stream feeds the maintained signature store;
+    each micro-batch's NEW near-dup pairs are appended to ``pairs_dir``.
+
+    This closes the kappa loop for dedup exactly like the search-table
+    CDC (streaming/cdc.py start_search_table_stream): the same
+    incremental operator serves the batch backfill and the stream, and
+    the pair log is an append-only parquet audit trail. Checkpointing
+    gives effectively-once pair emission (a replayed batch re-probes the
+    store but its docs' signatures are already present, so re-emitted
+    pairs are exact duplicates of prior rows — dedupe on read or key
+    the sink by (id_a, id_b)).
+    """
+    stream = (
+        spark.readStream.schema(docs_schema).format("json").load(docs_dir)
+    )
+
+    def handle(batch, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pairs = minhash_index_update(
+            spark,
+            store_dir,
+            batch,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
