@@ -4316,3 +4316,55 @@ def q_knn_join(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_join(queries_df, emb, k=5).orderBy("query_id", "rank")
+
+
+@query(
+    "q_events_rollup_cascade",
+    f"""
+    WITH hourly AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_s, event_type,
+               COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,10))) AS sv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT (hour_s // 86400) * 86400 AS day_s, event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) AS sum_value
+    FROM hourly
+    GROUP BY day_s, event_type
+    ORDER BY day_s, event_type
+    """,
+)
+def q_events_rollup_cascade(spark, sf_dir):
+    """Hierarchical rollup cascade (the continuous-aggregate /
+    hypertable pattern): the DAILY aggregate is computed FROM the
+    HOURLY aggregate, not from raw events — at 100 TB the hourly tier
+    is ~3-6 orders smaller than raw, so each coarser tier costs a scan
+    of the tier below it, and a late-data refresh rewrites one hour
+    bucket then one day bucket (the CDC partial-rewrite merge applies
+    unchanged with hour_s as the partition key). count/sum are
+    decomposable, which is what makes the cascade exact — the oracle
+    verifies hourly→daily equals raw→daily. Integer epoch math, exact
+    decimal accumulation both tiers."""
+    t = tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            F.expr("(ts div 3600000000000) * 3600").alias("hour_s"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("sv"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.expr("(hour_s div 86400) * 86400").alias("day_s"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+        .orderBy("day_s", "event_type")
+    )
