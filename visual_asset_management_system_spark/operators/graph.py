@@ -379,3 +379,79 @@ def descendants(
         edges.unpersist()
     # exclude the root itself (the reference returns the subtree below it)
     return visited.filter(F.col("depth") > 0)
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank as an iterative DataFrame loop:
+    (node, rank) over the nodes appearing in ``edges``.
+
+    Per iteration: contributions rank/outdeg flow along edges, are
+    summed per target with order-independent decimal accumulation (the
+    engine's cross-engine _dsum convention — float sums must not depend
+    on partitioning), dangling mass (rank parked on nodes with no
+    out-edges) is redistributed uniformly via a broadcast 1-row frame
+    (in-plan — no per-iteration driver round-trip), and every node gets
+    (1-d)/N + d·(inflow + dangling/N). The per-iteration eager
+    localCheckpoint cuts lineage — without it the plan depth grows
+    linearly and analysis cost quadratically (the standard iterative-
+    algorithm discipline on Spark; GraphX materializes likewise).
+
+    N (node count) is read once up front — one scalar job, unavoidable
+    for the teleport term.
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    outdeg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ).localCheckpoint(eager=True)
+
+    teleport = (1.0 - damping) / n
+    n_f = float(n)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+        )
+        gathered = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s")
+        )
+        dang = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left_anti"
+        ).agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast("decimal(38,18)")).cast("double"),
+                F.lit(0.0),
+            ).alias("dang")
+        )
+        ranks = (
+            nodes.join(gathered, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dang") / F.lit(n_f))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", round_digits).alias("rank"))

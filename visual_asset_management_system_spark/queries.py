@@ -4368,3 +4368,69 @@ def q_events_rollup_cascade(spark, sf_dir):
         )
         .orderBy("day_s", "event_type")
     )
+
+
+def _pagerank_oracle(damping: float = 0.85, iters: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank oracle — 3 CTEs per iteration,
+    generated so the constants and expression tree are byte-identical
+    to the Spark loop (operators/graph.py pagerank). Every CTE is
+    MATERIALIZED: without it DuckDB inlines the iteration chain and the
+    plan grows 2^iters (each it{i+1} references it{i} twice)."""
+    prefix = oracle_with("asset_links").rstrip().rstrip("\n")
+    parts = ["""
+    edges AS MATERIALIZED (
+        SELECT from_database_id || '/' || from_asset_id AS src,
+               to_database_id || '/' || to_asset_id AS dst
+        FROM asset_links
+    ), nodes AS MATERIALIZED (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), outdeg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    it0 AS MATERIALIZED (
+        SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+    )"""]
+    for i in range(iters):
+        parts.append(f""",
+    c{i} AS MATERIALIZED (
+        SELECT e.dst AS node, r.rank / o.outdeg AS c
+        FROM edges e JOIN it{i} r ON e.src = r.node
+        JOIN outdeg o ON e.src = o.src
+    ), g{i} AS MATERIALIZED (
+        SELECT node, CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM c{i} GROUP BY node
+    ), dg{i} AS MATERIALIZED (
+        SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE),
+                        0.0) AS dang
+        FROM it{i} r LEFT JOIN outdeg o ON r.node = o.src
+        WHERE o.src IS NULL
+    ), it{i + 1} AS MATERIALIZED (
+        SELECT n.node,
+               (1.0 - {damping!r}) / (SELECT n FROM nn)
+               + {damping!r} * (COALESCE(g.s, 0.0)
+                                + dg.dang / (SELECT n FROM nn)) AS rank
+        FROM nodes n LEFT JOIN g{i} g USING (node) CROSS JOIN dg{i} dg
+    )""")
+    parts.append(f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM it{iters}
+    ORDER BY rank DESC, node
+    """)
+    return prefix + ", " + "".join(parts).lstrip()
+
+
+@query("q_vams_pagerank", _pagerank_oracle())
+def q_vams_pagerank(spark, sf_dir):
+    """PageRank over the asset-link graph (operators/graph.py
+    pagerank) — graph-centrality ranking as an iterative DataFrame
+    loop: decimal-accumulated contribution sums (order-independent),
+    in-plan dangling-mass redistribution, per-iteration lineage cuts.
+    The oracle is the same 10 iterations unrolled as generated CTEs
+    with byte-identical constants."""
+    from .operators.graph import pagerank
+
+    t = tables(spark, sf_dir)
+    edges = t["asset_links"].select(
+        F.concat_ws("/", "from_database_id", "from_asset_id").alias("src"),
+        F.concat_ws("/", "to_database_id", "to_asset_id").alias("dst"),
+    )
+    return pagerank(edges).orderBy(F.desc("rank"), "node")
