@@ -4268,7 +4268,16 @@ def q_corpus_build(spark, sf_dir):
         .withColumn("quality", quality_score(F.col("text")))
         .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
     )
-    deduped = drop_exact_duplicates(staged)
+    # the deduped corpus feeds FOUR consumers (benchmark grams, train
+    # grams, the anti-join, packing); eager localCheckpoint materializes
+    # the filtered+deduped survivors once — the natural staging point a
+    # production build would persist anyway. Re-spread first: AQE
+    # coalesces the byte-small dedup shuffle to few partitions, and the
+    # checkpoint would freeze that narrow layout under every consumer's
+    # CPU-heavy n-gram explode.
+    deduped = ensure_min_parallelism(
+        drop_exact_duplicates(staged)
+    ).localCheckpoint(eager=True)
     bench = deduped.filter(F.col("doc_id") % 11 == 0)
     train = deduped.filter(F.col("doc_id") % 11 != 0)
     dirty = contamination(train, bench, n=8, min_overlap=3).select("doc_id")
