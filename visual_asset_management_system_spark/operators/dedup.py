@@ -270,6 +270,11 @@ def ngram_jaccard_pairs(
         .unionByName(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # the pruned shingle relation feeds BOTH sides of the pair join;
+    # checkpoint materializes it once. Bounded: it holds only
+    # candidate-involved docs (the near-dup fraction at scale), which
+    # is what makes materializing it defensible where checkpointing the
+    # full corpus' shingles would not be.
     sh = (
         ensure_min_parallelism(df)
         .join(ids, F.col(id_col) == ids["id"], "left_semi")
@@ -277,6 +282,7 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("id"),
             word_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
+        .localCheckpoint(eager=True)
     )
     return (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
