@@ -4443,3 +4443,75 @@ def q_vams_pagerank(spark, sf_dir):
         F.concat_ws("/", "to_database_id", "to_asset_id").alias("dst"),
     )
     return pagerank(edges).orderBy(F.desc("rank"), "node")
+
+
+@query(
+    "q08_market_share",
+    f"""
+    WITH flat AS (
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON l_partkey = p_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'AMERICA' AND p_type LIKE '%BRASS%'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           ROUND({O_SUM("CASE WHEN supp_nation = 'BRAZIL' THEN volume ELSE 0 END")}
+                 / {O_SUM('volume')}, 6) AS mkt_share
+    FROM flat GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q08_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): a 7-relation join tree
+    the optimizer must reorder — region/nation dims broadcast, the
+    part filter prunes lineitem through the join, and the share is a
+    conditional-over-total aggregate in one pass. Exercises join
+    reordering + dual-purpose dimension (nation joined twice) — the
+    relational-core stress the single-table queries don't cover."""
+    t = tables(spark, sf_dir)
+    flat = (
+        t["part"]
+        .filter(F.col("p_type").like("%BRASS%"))
+        .join(t["lineitem"], F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t["nation"].alias("n1"),
+            F.col("n1.n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(t["region"], F.col("r_regionkey") == F.col("n1.n_regionkey"))
+        .join(
+            t["nation"].alias("n2"),
+            F.col("n2.n_nationkey") == F.col("s_nationkey"),
+        )
+        .filter(F.col("r_name") == "AMERICA")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    brazil = F.when(F.col("supp_nation") == "BRAZIL", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        flat.groupBy(F.col("o_year").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(brazil.cast("decimal(38,10)")).cast("double")
+                / F.sum(F.col("volume").cast("decimal(38,10)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
