@@ -4460,10 +4460,10 @@ def q_vams_pagerank(spark, sf_dir):
         JOIN nation n1 ON n1.n_nationkey = c_nationkey
         JOIN region   ON r_regionkey = n1.n_regionkey
         JOIN nation n2 ON n2.n_nationkey = s_nationkey
-        WHERE r_name = 'AMERICA' AND p_type LIKE '%BRASS%'
+        WHERE r_name = 'AMERICA' AND p_type LIKE '%ECO%'
     )
     SELECT CAST(o_year AS BIGINT) AS o_year,
-           ROUND({O_SUM("CASE WHEN supp_nation = 'BRAZIL' THEN volume ELSE 0 END")}
+           ROUND({O_SUM("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
                  / {O_SUM('volume')}, 6) AS mkt_share
     FROM flat GROUP BY o_year ORDER BY o_year
     """,
@@ -4478,7 +4478,7 @@ def q08_market_share(spark, sf_dir):
     t = tables(spark, sf_dir)
     flat = (
         t["part"]
-        .filter(F.col("p_type").like("%BRASS%"))
+        .filter(F.col("p_type").like("%ECO%"))
         .join(t["lineitem"], F.col("l_partkey") == F.col("p_partkey"))
         .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
@@ -4501,7 +4501,7 @@ def q08_market_share(spark, sf_dir):
             F.col("n2.n_name").alias("supp_nation"),
         )
     )
-    brazil = F.when(F.col("supp_nation") == "BRAZIL", F.col("volume")).otherwise(
+    brazil = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
         F.lit(0.0)
     )
     return (
