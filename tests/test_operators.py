@@ -611,10 +611,12 @@ def test_pack_sequences_boundary_semantics(spark):
 
     docs = spark.createDataFrame(
         [
+            (0, ""),                      # zero tokens, FIRST in bucket
             (1, " ".join(["w"] * 100)),   # cum 100
             (2, " ".join(["w"] * 100)),   # cum 200 — straddles the 128 cut
             (3, " ".join(["w"] * 300)),   # cum 500 — spans 3 sequences
             (4, "one"),                   # cum 501
+            (5, None),                    # NULL text, mid-stream
         ],
         "doc_id long, text string",
     )
@@ -624,10 +626,15 @@ def test_pack_sequences_boundary_semantics(spark):
             docs, seq_len=128, n_buckets=1, bucket_col=F.lit(0)
         ).collect()
     }
+    # zero-token docs span exactly the one sequence they sit in — the
+    # naive (cum-1)/L form floors to -1 at cum=0 in Spark but truncates
+    # to 0 in SQL; the n_eff form keeps every numerator non-negative
+    assert (out[0]["seq_id"], out[0]["offset"], out[0]["n_seqs"]) == (0, 0, 1)
     assert (out[1]["seq_id"], out[1]["offset"], out[1]["n_seqs"]) == (0, 0, 1)
     assert (out[2]["seq_id"], out[2]["offset"], out[2]["n_seqs"]) == (0, 100, 2)
     assert (out[3]["seq_id"], out[3]["offset"], out[3]["n_seqs"]) == (1, 72, 3)
     assert (out[4]["seq_id"], out[4]["offset"], out[4]["n_seqs"]) == (3, 116, 1)
+    assert (out[5]["seq_id"], out[5]["offset"], out[5]["n_seqs"]) == (3, 117, 1)
 
 
 def test_contamination_broadcasts_benchmark(spark):

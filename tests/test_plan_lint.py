@@ -1,12 +1,19 @@
 """Plan lint: structural rules every registered query's physical plan
-must satisfy. Planning only — no query is executed, so the whole
-registry is checked in one session.
+must satisfy.
+
+Lineage-cut checkpoints are DISABLED during the lint (operators/
+checkpointing.py) so the FULL plan is inspected — with checkpoints on,
+everything behind a localCheckpoint is an opaque RDD scan and the
+assertions would be vacuous for exactly the iterative/multi-consumer
+queries that need them most. Queries still planning-only except for
+unavoidable setup scalars (e.g. pagerank's node count).
 
 Rules:
-- NO CartesianProduct anywhere. The engine's two intentional cross
-  joins (BM25 stats, bulk-tally denominators) broadcast a 1-row frame
-  and therefore plan as BroadcastNestedLoopJoin, which is allowed; an
-  un-broadcast cartesian is always a bug at scale.
+- NO CartesianProduct anywhere. The engine's intentional cross joins
+  (BM25 stats, bulk-tally denominators, kNN query sets, dangling-mass
+  frames) broadcast a small frame and therefore plan as
+  BroadcastNestedLoopJoin, which is allowed; an un-broadcast cartesian
+  is always a bug at scale.
 - No row-at-a-time Python UDF (BatchEvalPython) — Python is allowed
   only as Arrow-batched stages (ArrowEvalPython / mapInPandas /
   FlatMapGroupsInPandas*).
@@ -16,18 +23,73 @@ from __future__ import annotations
 
 import pytest
 
+from visual_asset_management_system_spark.operators import checkpointing
 from visual_asset_management_system_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_cartesian_and_no_row_udf(spark, name):
-    plan = (
-        QUERIES[name](spark, SF)
-        ._jdf.queryExecution()
-        .sparkPlan()
-        .toString()
-    )
+#: queries whose UN-truncated plan grows combinatorially with loop
+#: depth (each iteration references the previous relation multiple
+#: times: pagerank ranks, BFS frontier+visited, CC labels) — linted
+#: with checkpoints ON here, and their loop BODY is linted at depth 1
+#: in test_iterative_loop_bodies below.
+_EXPONENTIAL_PLANS = {
+    "q_vams_pagerank",
+    "q_vams_descendants",
+    "q_vams_related_components",
+}
+
+
+def _lint(plan: str, name: str) -> None:
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time UDF"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_and_no_row_udf(spark, name):
+    # pass 1: checkpoints on (fast — truncated plans). If construction
+    # never hit a checkpoint, this IS the full plan; done. Otherwise
+    # re-plan under disabled() so the truncated subplans are inspected
+    # too (slow analysis, paid only by the ~10 checkpointing queries).
+    before = checkpointing.CALLS
+    df = QUERIES[name](spark, SF)
+    hit_checkpoint = checkpointing.CALLS > before
+    if hit_checkpoint and name not in _EXPONENTIAL_PLANS:
+        with checkpointing.disabled():
+            df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    _lint(plan, name)
+
+
+def test_iterative_loop_bodies(spark):
+    """Full-plan lint of one iteration of each checkpoint-exempted
+    iterative operator — the loop body is what repeats, so depth 1
+    covers the structure depth 10 would."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.graph import (
+        connected_components,
+        descendants,
+        pagerank,
+    )
+    from visual_asset_management_system_spark.queries import tables
+
+    t = tables(spark, SF)
+    edges = t["asset_links"].select(
+        F.concat_ws("/", "from_database_id", "from_asset_id").alias("src"),
+        F.concat_ws("/", "to_database_id", "to_asset_id").alias("dst"),
+    )
+    with checkpointing.disabled():
+        for label, df in [
+            ("pagerank[iters=1]", pagerank(edges, iters=1)),
+            (
+                "descendants[depth=1]",
+                descendants(t["asset_links"], "db_8", "asset_48", max_depth=1),
+            ),
+            (
+                "connected_components[rounds=1]",
+                connected_components(edges, max_iter=1),
+            ),
+        ]:
+            _lint(df._jdf.queryExecution().sparkPlan().toString(), label)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import token_count, tokens
+from .text import token_count
 
 
 def pack_sequences(
@@ -58,13 +58,23 @@ def pack_sequences(
     arbitrary id skew); pass a SQL-computable expression when a
     differential oracle needs to replicate it.
     """
-    toks = token_count(F.col(text_col)).cast("bigint")
+    # NULL text packs as a zero-token doc (token_count propagates NULL,
+    # which would void the row's seq assignment)
+    toks = F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("bigint")
     bucket = (
         bucket_col
         if bucket_col is not None
         else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
     )
     w = Window.partitionBy("bucket").orderBy(id_col)
+    # all divisions below have NON-NEGATIVE numerators (cum_start ≥ 0,
+    # n_eff ≥ 1), so floor == truncate and the SQL oracle's integer
+    # division agrees for every input. A zero-token doc uses n_eff=1:
+    # it spans exactly the one sequence it sits in (the naive
+    # (cum-1)/L form goes negative at cum=0, where Spark floors to -1
+    # but SQL truncates to 0 — a cross-engine divergence).
+    cum_start = F.col("cum") - F.col("n_tokens")
+    n_eff = F.greatest(F.col("n_tokens"), F.lit(1))
     return (
         df.select(F.col(id_col), bucket.alias("bucket"), toks.alias("n_tokens"))
         .withColumn("cum", F.sum("n_tokens").over(w))
@@ -72,13 +82,11 @@ def pack_sequences(
             id_col,
             "bucket",
             "n_tokens",
-            F.floor((F.col("cum") - F.col("n_tokens")) / seq_len).alias(
-                "seq_id"
-            ),
-            ((F.col("cum") - F.col("n_tokens")) % seq_len).alias("offset"),
+            F.floor(cum_start / seq_len).alias("seq_id"),
+            (cum_start % seq_len).alias("offset"),
             (
-                F.floor((F.col("cum") - 1) / seq_len)
-                - F.floor((F.col("cum") - F.col("n_tokens")) / seq_len)
+                F.floor((cum_start + n_eff - 1) / seq_len)
+                - F.floor(cum_start / seq_len)
                 + 1
             ).alias("n_seqs"),
         )
@@ -86,20 +94,51 @@ def pack_sequences(
 
 
 def _doc_ngrams(df: DataFrame, text_col: str, id_col: str, n: int):
-    """(id, ngram) — DISTINCT n-token spans per document."""
+    """(id, ngram) — DISTINCT n-token spans per document. Reuses
+    dedup.word_shingles (same lowercase/empty-doc-guard semantics the
+    differential oracles replicate — ONE definition to keep aligned)."""
+    from .dedup import word_shingles
     from .partitioning import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df)
-    toks = tokens(F.lower(F.col(text_col)))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("ngram")
+    return ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("ngram"),
+    )
+
+
+def bounded_sorted_collect(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    cap: int,
+    n_salts: int = 16,
+    count_alias: str = "n",
+    list_alias: str = "ids",
+) -> DataFrame:
+    """Skew-safe bounded list aggregation: per group, the TRUE row count
+    plus the ``cap`` lowest ids, with reducer state bounded by
+    construction.
+
+    A naive ``slice(sort_array(collect_list(id)))`` caps only the
+    OUTPUT — the collect still gathers every id of a hot group onto one
+    reducer first (a boilerplate n-gram or duplicate flood is an
+    unbounded reducer row). Phase 1 groups by (keys, salt) and keeps
+    each salt's lowest ``cap`` ids + a partial count; phase 2 merges
+    ≤ n_salts × cap ids per group and sums the counts. The lowest-cap
+    ids survive because every id's salt partial retains its own lowest
+    cap — the global lowest cap are among the salt winners.
+    """
+    partial = df.groupBy(
+        *group_cols, F.pmod(F.xxhash64(id_col), F.lit(n_salts)).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.slice(F.sort_array(F.collect_list(id_col)), 1, cap).alias("_ids"),
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("_n").alias(count_alias),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("_ids"))), 1, cap
+        ).alias(list_alias),
     )
 
 
@@ -160,26 +199,11 @@ def repeated_ngrams(
     ≤ n_salts × cap ids per span and sums the counts. Reducer state is
     bounded by construction; ``n_docs`` still reports the true count.
     """
-    n_salts = 16
-    partial = (
-        _doc_ngrams(df, text_col, id_col, n)
-        .groupBy("ngram", F.pmod(F.xxhash64("id"), F.lit(n_salts)).alias("_salt"))
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.slice(
-                F.sort_array(F.collect_list("id")), 1, max_docs_listed
-            ).alias("_ids"),
-        )
-    )
-    return (
-        partial.groupBy("ngram")
-        .agg(
-            F.sum("_n").alias("n_docs"),
-            F.slice(
-                F.sort_array(F.flatten(F.collect_list("_ids"))),
-                1,
-                max_docs_listed,
-            ).alias("doc_ids"),
-        )
-        .filter(F.col("n_docs") >= min_docs)
-    )
+    return bounded_sorted_collect(
+        _doc_ngrams(df, text_col, id_col, n),
+        ["ngram"],
+        "id",
+        max_docs_listed,
+        count_alias="n_docs",
+        list_alias="doc_ids",
+    ).filter(F.col("n_docs") >= min_docs)

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import maybe_checkpoint
+
 from .text import fingerprint, tokens
 
 
@@ -42,9 +44,9 @@ def exact_duplicate_groups(
     ``max_ids_listed=None`` returns every member id — the audit
     contract, but a duplicate FLOOD (boilerplate repeated 10⁸×) then
     materializes one unbounded reducer row. At 100 TB pass a cap: the
-    collect becomes a salted two-phase bounded merge (the
-    corpus.repeated_ngrams pattern) — reducer state ≤ 16 × cap ids per
-    group, ``dup_count`` still exact."""
+    collect becomes the shared salted two-phase bounded merge
+    (corpus.bounded_sorted_collect) — reducer state ≤ n_salts × cap
+    ids per group, ``dup_count`` still exact."""
     fps = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
     if max_ids_listed is None:
         return (
@@ -55,26 +57,16 @@ def exact_duplicate_groups(
             )
             .filter(F.col("dup_count") > 1)
         )
-    partial = fps.groupBy(
-        "fp", F.pmod(F.xxhash64(id_col), F.lit(16)).alias("_salt")
-    ).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.slice(
-            F.sort_array(F.collect_list(id_col)), 1, max_ids_listed
-        ).alias("_ids"),
-    )
-    return (
-        partial.groupBy("fp")
-        .agg(
-            F.sum("_n").alias("dup_count"),
-            F.slice(
-                F.sort_array(F.flatten(F.collect_list("_ids"))),
-                1,
-                max_ids_listed,
-            ).alias("doc_ids"),
-        )
-        .filter(F.col("dup_count") > 1)
-    )
+    from .corpus import bounded_sorted_collect
+
+    return bounded_sorted_collect(
+        fps,
+        ["fp"],
+        id_col,
+        max_ids_listed,
+        count_alias="dup_count",
+        list_alias="doc_ids",
+    ).filter(F.col("dup_count") > 1)
 
 
 def drop_exact_duplicates(
@@ -195,7 +187,7 @@ def minhash_lsh_candidates(
     # instead of re-shingling the corpus per side
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=True)
+    ).transform(maybe_checkpoint)
     banded = _banded(sig, bands, rows_per_band)
     if max_bucket_size is not None:
         ok_buckets = (
@@ -264,7 +256,7 @@ def ngram_jaccard_pairs(
     """
     from .partitioning import ensure_min_parallelism
 
-    candidates = candidates.localCheckpoint(eager=True)
+    candidates = candidates.transform(maybe_checkpoint)
     ids = (
         candidates.select(F.col("id_a").alias("id"))
         .unionByName(candidates.select(F.col("id_b").alias("id")))
@@ -282,7 +274,7 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("id"),
             word_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
-        .localCheckpoint(eager=True)
+        .transform(maybe_checkpoint)
     )
     return (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -335,7 +327,7 @@ def minhash_dedup(
     # result DataFrame is garbage-collected — no per-call cache leak.
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=True)
+    ).transform(maybe_checkpoint)
     banded = _banded(sig, bands, rows_per_band)
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
@@ -519,7 +511,7 @@ def minhash_index_update(
 
     sig_new = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=True)
+    ).transform(maybe_checkpoint)
     rows_per_band = num_hashes // bands
 
     have_store = _os.path.isdir(store_dir) and any(
@@ -565,7 +557,7 @@ def minhash_index_update(
         .withColumn("jaccard", F.round(matches / F.lit(num_hashes), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(eager=True)  # materialize BEFORE the store grows
+        .transform(maybe_checkpoint)  # materialize BEFORE the store grows
     )
     sig_new.write.mode("append").parquet(store_dir)
     return pairs

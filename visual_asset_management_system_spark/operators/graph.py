@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import maybe_checkpoint
+
 
 def one_hop(
     asset_links: DataFrame,
@@ -151,7 +153,7 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(maybe_checkpoint)
     )
     try:
         for _ in range(max_iter):
@@ -183,7 +185,7 @@ def connected_components(
                         F.col("_jmin"),
                     ).alias("label"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(maybe_checkpoint)
             )
             no_change = (
                 nxt.alias("n")
@@ -370,7 +372,7 @@ def descendants(
                 .coalesce(1)
             )
             if use_checkpoint:
-                nxt = nxt.localCheckpoint(eager=True)
+                nxt = nxt.transform(maybe_checkpoint)
             if nxt.isEmpty():
                 break
             visited = visited.unionByName(nxt)
@@ -410,13 +412,13 @@ def pagerank(
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(maybe_checkpoint)
     )
     n = nodes.count()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     outdeg = (
         e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ).localCheckpoint(eager=True)
+    ).transform(maybe_checkpoint)
 
     teleport = (1.0 - damping) / n
     n_f = float(n)
@@ -452,6 +454,6 @@ def pagerank(
                     * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dang") / F.lit(n_f))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(maybe_checkpoint)
         )
     return ranks.select("node", F.round("rank", round_digits).alias("rank"))

@@ -3811,8 +3811,9 @@ def q_doc_repetition(spark, sf_dir):
     """
     WITH t AS (
         SELECT doc_id, doc_id % 8 AS bucket,
-               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                    x -> x <> '')) AS BIGINT) AS n_tokens
+               CAST(COALESCE(len(list_filter(
+                   string_split_regex(trim(text), '\\s+'),
+                   x -> x <> '')), 0) AS BIGINT) AS n_tokens
         FROM documents
     ), c AS (
         SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
@@ -3822,7 +3823,8 @@ def q_doc_repetition(spark, sf_dir):
     SELECT doc_id, bucket, n_tokens,
            (cum - n_tokens) // 512 AS seq_id,
            (cum - n_tokens) % 512 AS offset,
-           ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1 AS n_seqs
+           ((cum - n_tokens + GREATEST(n_tokens, 1) - 1) // 512)
+             - ((cum - n_tokens) // 512) + 1 AS n_seqs
     FROM c ORDER BY doc_id
     """,
 )
@@ -4275,9 +4277,11 @@ def q_corpus_build(spark, sf_dir):
     # coalesces the byte-small dedup shuffle to few partitions, and the
     # checkpoint would freeze that narrow layout under every consumer's
     # CPU-heavy n-gram explode.
-    deduped = ensure_min_parallelism(
-        drop_exact_duplicates(staged)
-    ).localCheckpoint(eager=True)
+    from .operators.checkpointing import maybe_checkpoint
+
+    deduped = maybe_checkpoint(
+        ensure_min_parallelism(drop_exact_duplicates(staged))
+    )
     bench = deduped.filter(F.col("doc_id") % 11 == 0)
     train = deduped.filter(F.col("doc_id") % 11 != 0)
     dirty = contamination(train, bench, n=8, min_overlap=3).select("doc_id")
