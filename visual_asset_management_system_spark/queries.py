@@ -4751,9 +4751,21 @@ def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated scalar aggregate (per-part average
     quantity) decorrelated to a groupBy + equi-join. Both engines
     compute the threshold with the same decimal-exact sum / count
-    division, so the `<` boundary is bit-identical cross-engine."""
+    division, so the `<` boundary is bit-identical cross-engine.
+
+    Scale note: the per-part average is only needed for the ~1/25 of
+    parts in the brand, so the aggregate input is semi-joined down to
+    those parts FIRST — the big groupBy shuffles a brand-sized slice of
+    lineitem, not the whole fact table (Catalyst does not infer this
+    reduction through the aggregate on its own). The oracle averages
+    over all parts then filters, proving the reduction is lossless."""
     t = tables(spark, sf_dir)
-    li = t["lineitem"]
+    brand_parts = (
+        t["part"].filter(F.col("p_brand") == "Brand#19").select("p_partkey")
+    )
+    li = t["lineitem"].join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
     part_avg = (
         li.groupBy(F.col("l_partkey").alias("pa_partkey"))
         .agg(
@@ -4766,10 +4778,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
             ).alias("qty_floor")
         )
     )
-    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#19").select("p_partkey")
     return (
-        li.join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
+        li.join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_floor"))
         .agg(
             F.round(
