@@ -4947,3 +4947,231 @@ def q22_idle_rich_customers(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-granularity aggregation / window navigation / reshaping /
+# time-series regularization
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND({O_SUM('o_totalprice')}, 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form cube/rollup specialize):
+    three granularities in ONE aggregation pass — Catalyst plans an
+    Expand (one row per set per input row) feeding a single
+    map-combinable hash aggregate, not three scans. grouping_id
+    disambiguates a NULL dimension value from a NULL 'all' placeholder;
+    both engines emit the same MSB-first bitmask.
+
+    The currency sum is rounded to cents on BOTH sides: the decimal
+    accumulations are bit-identical, but DuckDB's DECIMAL→DOUBLE cast
+    can land one ulp off the correctly-rounded double (observed on this
+    very fixture), and this cell straddles the comparison's
+    10-significant-digit boundary — rounding to the currency's true
+    precision removes the cast from the contract."""
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q_window_navigation",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           o_totalprice - LAG(o_totalprice) OVER w AS delta_price,
+           CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS price_quartile
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def q_window_navigation(spark, sf_dir):
+    """Window navigation functions: lag/lead offsets over an ordered
+    per-customer frame plus ntile bucketing under a SECOND ordering —
+    two window specs over one partitioning key, so the plan sorts the
+    partition twice but shuffles it once. Every window order ends in
+    the unique orderkey, keeping offsets deterministic cross-engine;
+    the lag subtraction is same-input IEEE arithmetic, so delta needs
+    no rounding."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias(
+                "delta_price"
+            ),
+            F.ntile(4).over(wq).cast("bigint").alias("price_quartile"),
+            "o_orderdate",
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .drop("o_orderdate")
+    )
+
+
+@query(
+    "q_unpivot_segment_measures",
+    f"""
+    WITH seg AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers,
+               {O_SUM('c_acctbal')} AS total_balance,
+               MAX(c_acctbal) AS max_balance
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, 'n_customers' AS measure, n_customers AS value FROM seg
+    UNION ALL
+    SELECT c_mktsegment, 'total_balance', total_balance FROM seg
+    UNION ALL
+    SELECT c_mktsegment, 'max_balance', max_balance FROM seg
+    ORDER BY c_mktsegment, measure
+    """,
+)
+def q_unpivot_segment_measures(spark, sf_dir):
+    """Unpivot (melt): wide per-segment measures to long (measure,
+    value) rows via ``DataFrame.unpivot`` — Catalyst plans an Expand
+    over the aggregated (5-row) frame, NOT a re-scan per measure; the
+    oracle's UNION ALL form is the plan shape unpivot exists to avoid.
+    Measures share one double type, the unpivot type contract."""
+    t = tables(spark, sf_dir)
+    seg = (
+        t["customer"]
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            _dsum(F.col("c_acctbal"), "total_balance"),
+            F.max("c_acctbal").alias("max_balance"),
+        )
+    )
+    return seg.unpivot(
+        ["c_mktsegment"],
+        ["n_customers", "total_balance", "max_balance"],
+        "measure",
+        "value",
+    ).orderBy("c_mktsegment", "measure")
+
+
+@query(
+    "q_events_gap_fill",
+    f"""
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(epoch_us(date_trunc('hour', ts)) / 1000000 AS BIGINT) AS hour_s,
+               {O_SUM('value')} AS sum_value,
+               COUNT(*) AS n_events
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(hour_s) AS h0, MAX(hour_s) AS h1
+        FROM hourly GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, UNNEST(generate_series(h0, h1, 3600)) AS hour_s
+        FROM bounds
+    ), joined AS (
+        SELECT g.user_id, g.hour_s,
+               COALESCE(h.n_events, 0) AS n_events, h.sum_value
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour_s = h.hour_s
+    )
+    SELECT user_id, hour_s, n_events,
+           LAST_VALUE(sum_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM joined
+    ORDER BY user_id, hour_s
+    """,
+)
+def q_events_gap_fill(spark, sf_dir):
+    """Time-series regularization: densify each user's hourly series to
+    a gapless grid (per-user ``sequence`` + explode — the grid is
+    generated WHERE the user's rows live, never on the driver), then
+    LOCF-fill missing hours with ``last(value) IGNORE NULLS`` over an
+    ordered running frame. The TimescaleDB time_bucket_gapfill/locf
+    analog as a pure DataFrame plan: one aggregate, one per-user
+    bounds pass, one explode, one window — all partitioned by user, so
+    at 100 TB the grid never concentrates (skew bound = one user's
+    hour count)."""
+    t = tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .filter(F.col("user_id") < 20)
+        .groupBy(
+            "user_id",
+            F.expr("(ts div 3600000000000) * 3600").alias("hour_s"),
+        )
+        .agg(
+            _dsum(F.col("value"), "sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_s").alias("h0"), F.max("hour_s").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("hour_s"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hour_s"], "left").select(
+        "user_id",
+        "hour_s",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "sum_value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.select(
+            "user_id",
+            "hour_s",
+            "n_events",
+            F.last("sum_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+        .orderBy("user_id", "hour_s")
+    )
