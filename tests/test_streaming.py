@@ -981,3 +981,62 @@ def test_minhash_dedup_stream_maintains_store(spark, tmp_path):
         for r in minhash_dedup(batch, threshold=0.5).collect()
     }
     assert got == want
+
+
+def test_interval_join_streams_attributes_within_window(spark, tmp_path):
+    """Stream-stream interval join: purchases attribute to same-user
+    clicks within the window; outside-window and cross-user pairs never
+    appear. Inner join emits as soon as both sides arrive."""
+    from visual_asset_management_system_spark.streaming.windows import (
+        interval_join_streams,
+    )
+
+    src = str(tmp_path / "ij_events")
+    sink = str(tmp_path / "ijsink")
+    ckpt = str(tmp_path / "ijckpt")
+
+    _write_events(
+        src,
+        [
+            _ev(1, 1, "click", 1.0, "2024-01-01T10:00:00Z"),
+            _ev(2, 1, "purchase", 50.0, "2024-01-01T12:30:00Z"),  # +2.5h: in
+            _ev(3, 1, "purchase", 70.0, "2024-01-01T17:00:00Z"),  # +7h: out
+            _ev(4, 2, "purchase", 30.0, "2024-01-01T12:00:00Z"),  # no click
+            _ev(5, 2, "click", 1.0, "2024-01-01T13:00:00Z"),  # click AFTER
+        ],
+    )
+    events = read_events_stream(spark, src)
+    joined = interval_join_streams(
+        events.filter("event_type = 'purchase'"),
+        events.filter("event_type = 'click'"),
+        attribution_window="6 hours",
+    )
+    q = run_stream_to_parquet(joined, sink, ckpt)
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["purchase_id"], r["click_id"], r["purchase_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert rows == {(1, 2, 1, 50.0)}
+
+    # second micro-batch: a new purchase matching the OLD buffered click
+    # (still inside the join state horizon) joins retroactively
+    _write_events(
+        src,
+        [_ev(6, 2, "purchase", 90.0, "2024-01-01T14:00:00Z")],  # 1h after click 5
+    )
+    q2 = run_stream_to_parquet(
+        interval_join_streams(
+            read_events_stream(spark, src).filter("event_type = 'purchase'"),
+            read_events_stream(spark, src).filter("event_type = 'click'"),
+            attribution_window="6 hours",
+        ),
+        sink,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["purchase_id"], r["click_id"], r["purchase_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert rows == {(1, 2, 1, 50.0), (2, 6, 5, 90.0)}

@@ -5175,3 +5175,107 @@ def q_events_gap_fill(spark, sf_dir):
         )
         .orderBy("user_id", "hour_s")
     )
+
+
+@query(
+    "q_events_interval_join",
+    """
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delay_s,
+           p.value AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    ORDER BY user_id, purchase_id, click_id
+    """,
+)
+def q_events_interval_join(spark, sf_dir):
+    """Batch mirror of the stream-stream interval join
+    (streaming/windows.py interval_join_streams): purchase→click
+    attribution within a 6 h window. The equi-key (user_id) carries the
+    shuffle; the event-time band is a post-join filter on co-located
+    rows, so the plan is a plain SortMergeJoin, never a cartesian —
+    the same shape the streaming form maintains incrementally with
+    watermark-evicted state. Integer nanosecond math (events.ts is
+    conformed to epoch-ns bigint on load)."""
+    t = tables(spark, sf_dir)
+    e = t["events"]
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    window_ns = 6 * 3600 * 1_000_000_000
+    return (
+        p.join(
+            c,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.lit(window_ns)),
+        )
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+            ((F.col("p.ts") - F.col("c.ts")).cast("bigint") / F.lit(1_000_000_000))
+            .cast("bigint")
+            .alias("delay_s"),
+            F.col("p.value").alias("purchase_value"),
+        )
+        .orderBy("user_id", "purchase_id", "click_id")
+    )
+
+
+@query(
+    "q_approx_sketch_bounds",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_in_bounds,
+           TRUE AS median_in_bounds
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_approx_sketch_bounds(spark, sf_dir):
+    """Sketch tier: HyperLogLog++ distinct counting and quantile-sketch
+    medians, verified as PROPERTIES (the q_vams_bm25_search precedent:
+    a sketch's value is not SQL-reproducible, its error contract is).
+    The query computes the approximation AND its exact reference in one
+    aggregation pass, emitting deterministic bound checks the oracle
+    pins to TRUE:
+    - approx_count_distinct (HLL++, rsd 5%) within 15% (3 sigma) of the
+      exact distinct;
+    - approx_percentile(value, 0.5) between the exact 35th and 65th
+      percentiles.
+    Both sketches are deterministic for a given input, so the booleans
+    are stable rows, not flaky assertions. At 100 TB the sketches are
+    the ONLY viable plan shape — mergeable fixed-size state vs the
+    exact path's per-group value sets — which is why the engine carries
+    them despite the weaker oracle form."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("hll_users"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_med"),
+            F.expr("percentile(value, 0.35)").alias("p35"),
+            F.expr("percentile(value, 0.65)").alias("p65"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("hll_users") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users")
+            ).alias("hll_in_bounds"),
+            (
+                (F.col("approx_med") >= F.col("p35"))
+                & (F.col("approx_med") <= F.col("p65"))
+            ).alias("median_in_bounds"),
+        )
+        .orderBy("event_type")
+    )

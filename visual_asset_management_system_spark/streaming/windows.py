@@ -198,3 +198,43 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_streams(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    attribution_window: str = "6 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    same-user click in the preceding ``attribution_window``.
+
+    The canonical Structured Streaming two-stream join: BOTH sides are
+    watermarked and the join condition bounds the two event-times
+    against each other, which is exactly what lets the engine evict
+    buffered state — a click older than (watermark + window) can never
+    match a future purchase and is dropped. Without the time bound the
+    state would grow with stream length; with it, state is
+    O(rate × (window + watermark)) per side regardless of how long the
+    streams run. Inner join in append mode: a pair is emitted once,
+    when both sides have arrived.
+
+    Batch mirror with a full DuckDB oracle: q_events_interval_join.
+    """
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    return p.join(
+        c,
+        F.expr(
+            "p.user_id = c.user_id AND "
+            "p.ts >= c.ts AND "
+            f"p.ts <= c.ts + interval {attribution_window}"
+        ),
+    ).select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
