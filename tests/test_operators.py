@@ -760,3 +760,48 @@ def test_exact_duplicate_groups_bounded_mode(spark):
         c = capped[fp]
         assert c["dup_count"] == r["dup_count"]
         assert c["doc_ids"] == r["doc_ids"][:10]
+
+
+def test_zorder_clustering_confines_box_queries(spark):
+    """After cluster_by_zorder on (o_totalprice, o_custkey), a 2-D box
+    predicate's matching rows concentrate in a small fraction of
+    partitions (each partition owns a bounding box on the Morton
+    curve); under the scan's native layout the same rows spread across
+    essentially all partitions. This is the file-skipping mechanism:
+    min/max stats per partition + tight boxes => pruned scan."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.layout import (
+        cluster_by_zorder,
+    )
+    from visual_asset_management_system_spark.queries import tables
+
+    orders = tables(spark, "/root/testdata/sf0.01")["orders"]
+    # box: one-eighth slices of both dimensions (quantile-aligned so it
+    # maps to an aligned cell block of the 4-bit grid)
+    tp = orders.approxQuantile("o_totalprice", [0.25, 0.375], 0.001)
+    ck = orders.approxQuantile("o_custkey", [0.5, 0.625], 0.001)
+    box = (
+        (F.col("o_totalprice") >= tp[0])
+        & (F.col("o_totalprice") < tp[1])
+        & (F.col("o_custkey") >= ck[0])
+        & (F.col("o_custkey") < ck[1])
+    )
+
+    def touched(df):
+        return (
+            df.withColumn("pid", F.spark_partition_id())
+            .filter(box)
+            .select("pid")
+            .distinct()
+            .count()
+        )
+
+    n_parts = 32
+    baseline = touched(orders.repartition(n_parts))  # hash layout
+    clustered = cluster_by_zorder(
+        orders, ["o_totalprice", "o_custkey"], bits=4, num_partitions=n_parts
+    )
+    zordered = touched(clustered)
+    assert baseline >= 0.75 * n_parts, f"box not selective? touched {baseline}"
+    assert zordered <= 8, f"z-order touched {zordered}/{n_parts} partitions"

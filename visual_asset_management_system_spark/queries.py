@@ -5279,3 +5279,51 @@ def q_approx_sketch_bounds(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def _zorder_oracle_expr(qa: str, qb: str, bits: int) -> str:
+    """DuckDB bit-interleave expression mirroring layout._interleave."""
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({qa} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({qb} >> {j}) & 1) << {2 * j + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "q_zorder_histogram",
+    f"""
+    WITH q AS (
+        SELECT NTILE(16) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS qa,
+               NTILE(16) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS qb
+        FROM orders
+    )
+    SELECT {_zorder_oracle_expr('qa', 'qb', 4)} AS zval,
+           COUNT(*) AS n_rows
+    FROM q GROUP BY zval ORDER BY zval
+    """,
+)
+def q_zorder_histogram(spark, sf_dir):
+    """Morton-code histogram over (o_totalprice, o_custkey): both
+    dimensions rank-quantized to 4 bits (equal-population ntile with a
+    unique-key tiebreak so both engines bucket identically), bits
+    interleaved JVM-side (operators/layout.py). 256 equal-population
+    cells verify the interleave math bit-for-bit cross-engine; the
+    layout pass (cluster_by_zorder) range-partitions on exactly this
+    code, and its pruning effect is asserted in
+    tests/test_operators.py::test_zorder_clustering_confines_box_queries."""
+    from .operators.layout import zorder_key
+
+    t = tables(spark, sf_dir)
+    wq_a = Window.orderBy("o_totalprice", "o_orderkey")
+    wq_b = Window.orderBy("o_custkey", "o_orderkey")
+    q = t["orders"].select(
+        (F.ntile(16).over(wq_a) - 1).cast("bigint").alias("qa"),
+        (F.ntile(16).over(wq_b) - 1).cast("bigint").alias("qb"),
+    )
+    return (
+        q.select(zorder_key(["qa", "qb"], bits=4).alias("zval"))
+        .groupBy("zval")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("zval")
+    )
