@@ -5327,3 +5327,99 @@ def q_zorder_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("zval")
     )
+
+
+@query(
+    "q_vams_scd2_intervals",
+    oracle_with("asset_versions")
+    + """
+    SELECT database_id, asset_id, asset_version_id,
+           date_created AS effective_from,
+           LEAD(date_created) OVER w AS effective_to,
+           CAST(LEAD(date_created) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM asset_versions
+    WHERE database_id = 'db_3'
+    WINDOW w AS (PARTITION BY database_id, asset_id
+                 ORDER BY date_created, asset_version_id)
+    ORDER BY database_id, asset_id, effective_from, asset_version_id
+    """,
+)
+def q_vams_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 interval construction: the version LOG becomes a
+    dimension of [effective_from, effective_to) validity ranges via one
+    LEAD window — the standard warehouse build for point-in-time joins
+    (the as_of operator then becomes a plain range predicate instead of
+    a per-read window). One shuffle on the entity key; the database
+    filter prunes before it. Open intervals (current versions) carry
+    NULL effective_to and the is_current flag."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("database_id", "asset_id").orderBy(
+        "date_created", "asset_version_id"
+    )
+    return (
+        t["asset_versions"]
+        .filter(F.col("database_id") == "db_3")
+        .select(
+            "database_id",
+            "asset_id",
+            "asset_version_id",
+            F.col("date_created").alias("effective_from"),
+            F.lead("date_created").over(w).alias("effective_to"),
+            F.lead("date_created").over(w).isNull().alias("is_current"),
+        )
+        .orderBy(
+            "database_id", "asset_id", "effective_from", "asset_version_id"
+        )
+    )
+
+
+@query(
+    "q_events_anomaly",
+    f"""
+    WITH stats AS (
+        SELECT event_type,
+               {O_SUM('value')} / COUNT(*) AS mean_v,
+               SQRT(({O_SUM('value * value')}
+                     - {O_SUM('value')} * {O_SUM('value')} / COUNT(*))
+                    / (COUNT(*) - 1)) AS sd_v
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type AS event_type, value,
+           ROUND((value - mean_v) / sd_v, 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((value - mean_v) / sd_v) > 2.5
+    ORDER BY e.event_type, event_id
+    """,
+)
+def q_events_anomaly(spark, sf_dir):
+    """Statistical outlier detection: per-type z-scores against
+    broadcast moment statistics. The stddev is derived from decimal-
+    exact sum and sum-of-squares (never the engines' own STDDEV_SAMP,
+    whose accumulation order is engine-dependent), so mean, sd, and
+    every z-score are bit-identical IEEE arithmetic cross-engine — the
+    2.5-sigma cut cannot straddle. Plan: one map-combinable aggregate
+    (5 groups), broadcast back over the fact scan — no window over the
+    full partition, so a skewed event_type costs nothing."""
+    t = tables(spark, sf_dir)
+    e = t["events"]
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)")).cast(
+        "double"
+    )
+    stats = e.groupBy(F.col("event_type").alias("s_type")).agg(
+        (s1 / n).alias("mean_v"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("sd_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("sd_v")
+    return (
+        e.join(F.broadcast(stats), F.col("event_type") == F.col("s_type"))
+        .filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("event_type", "event_id")
+    )
