@@ -5423,3 +5423,73 @@ def q_events_anomaly(spark, sf_dir):
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@query(
+    "q_doc_char_lm_score",
+    f"""
+    WITH grams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, length(lower(text))),
+                                     i -> substring(lower(text), i, 2))) AS bg
+        FROM documents
+    ), model AS (
+        SELECT bg, COUNT(*) AS c FROM grams GROUP BY bg
+    ), total AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n FROM model
+    ), logp AS (
+        SELECT bg, ROUND(LN(c / n), 6) AS lp FROM model, total
+    )
+    SELECT g.doc_id AS doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND({O_SUM('lp')} / COUNT(*), 6) AS avg_logp
+    FROM grams g JOIN logp USING (bg)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def q_doc_char_lm_score(spark, sf_dir):
+    """Cheap-LM fluency filter (the CCNet/KenLM pattern, reduced to a
+    corpus-fit character-bigram model): per-document mean log
+    probability of its character bigrams under the corpus distribution
+    — gibberish and encoding damage score far below prose and can be
+    cut at a threshold. Two aggregates: the model (≤|alphabet|² rows,
+    broadcast back) and the per-doc score; bigram extraction is a pure
+    array expression (transform over sequence — no UDF).
+
+    Cross-engine float discipline: each bigram's log-prob is rounded to
+    a 1e-6 grid BEFORE decimal-exact accumulation — Java's and
+    DuckDB's `ln` may legitimately differ in the last ulp, and the
+    rounding makes that difference unobservable instead of hoping it
+    never straddles a comparison boundary."""
+    t = tables(spark, sf_dir)
+    grams = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(lower(text)) - 1),"
+                    " i -> substring(lower(text), i, 2))"
+                )
+            ).alias("bg"),
+        )
+    )
+    model = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").cast("double").alias("n"))
+    logp = model.join(F.broadcast(total)).select(
+        "bg", F.round(F.log(F.col("c") / F.col("n")), 6).alias("lp")
+    )
+    return (
+        grams.join(F.broadcast(logp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
