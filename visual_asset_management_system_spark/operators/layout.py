@@ -14,11 +14,12 @@ plain DataFrame transform over JVM bitwise expressions (no UDFs).
 Two pieces:
 
 - :func:`zorder_key` — the Morton code as a Column: each dimension is
-  rank-normalized to ``bits`` unsigned bits by the CALLER (quantile
-  bucketing via ``ntile`` — equal-population buckets keep the curve
-  balanced under any value distribution, exactly what Delta's
-  range-partition-id pass does), then the bit-planes are interleaved
-  with shift/and/or expressions unrolled at plan-build time.
+  rank-normalized to ``bits`` unsigned bits by the CALLER (equal-
+  population quantile bucketing keeps the curve balanced under any
+  value distribution; :func:`quantize_sampled` is the production path,
+  :func:`quantize` the exact ntile form the cross-engine oracle uses),
+  then the bit-planes are interleaved with shift/and/or expressions
+  unrolled at plan-build time.
 - :func:`cluster_by_zorder` — repartitionByRange + sortWithinPartitions
   on the code: the write-path layout pass. At 100 TB this runs as the
   table's OPTIMIZE job (one range shuffle); readers then prune via
@@ -68,6 +69,26 @@ def quantize(col: str, bits: int = 8) -> Column:
     ).cast("bigint")
 
 
+def quantize_sampled(df: DataFrame, col: str, bits: int = 8) -> Column:
+    """Rank-normalize via SAMPLED quantile bounds (the production path,
+    Delta's range-bounds pass): one approxQuantile job collects the
+    ``2**bits - 1`` split points (a few hundred doubles — driver-safe at
+    any data size), and bucketing is then a per-row fold over the
+    broadcast literal splits — no global window, no extra shuffle.
+    Approximate splits skew bucket POPULATIONS, which degrades pruning
+    tightness only, never correctness."""
+    splits = df.approxQuantile(
+        col, [i / 2**bits for i in range(1, 2**bits)], 0.001
+    )
+    arr = F.array(*[F.lit(float(s)) for s in splits])
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.when(F.col(col).cast("double") >= s, 1).otherwise(0).cast("bigint"),
+    )
+
+
 def cluster_by_zorder(
     df: DataFrame,
     dim_cols: list[str],
@@ -76,15 +97,17 @@ def cluster_by_zorder(
 ) -> DataFrame:
     """Physically cluster ``df`` along the Morton curve of ``dim_cols``.
 
-    Quantizes each dimension (equal-population), interleaves, then
-    range-partitions + sorts on the code. The quantized helper columns
-    are dropped; the original columns are untouched, so file-level
-    min/max statistics on them become tight after the re-layout —
-    that's what downstream scans prune with."""
+    Quantizes each dimension with the sampled-bounds pass
+    (:func:`quantize_sampled` — equal-population up to sampling error,
+    no global window), interleaves, then range-partitions + sorts on
+    the code. The quantized helper columns are dropped; the original
+    columns are untouched, so file-level min/max statistics on them
+    become tight after the re-layout — that's what downstream scans
+    prune with."""
     qcols = [f"__zq_{c}" for c in dim_cols]
     out = df
     for c, qc in zip(dim_cols, qcols):
-        out = out.withColumn(qc, quantize(c, bits))
+        out = out.withColumn(qc, quantize_sampled(df, c, bits))
     out = out.withColumn("__zval", _interleave([F.col(q) for q in qcols], bits))
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
