@@ -29,8 +29,12 @@ BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
+    "q21_waiting_supplier",
     "q_window_running_total",
     "q_events_sessionize",
+    "q_events_interval_join",
     "q_vams_simple_search",
     "q_vams_text_search",
     "q_vams_bm25_search",

@@ -805,3 +805,48 @@ def test_zorder_clustering_confines_box_queries(spark):
     zordered = touched(clustered)
     assert baseline >= 0.75 * n_parts, f"box not selective? touched {baseline}"
     assert zordered <= 8, f"z-order touched {zordered}/{n_parts} partitions"
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """The session's AQE skew-join config is load-bearing at scale —
+    verify it actually fires: a join where one key owns ~all rows on
+    both sides plans as a SortMergeJoin whose hot partition AQE splits
+    at runtime (the executed plan's AQEShuffleRead reports skewed
+    partition splits). Thresholds are lowered to make the 50k-row
+    planted skew cross the (byte-sized) production cutoffs."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "32KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        left = spark.range(50_000).select(
+            F.when(F.col("id") % 100 < 99, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("lv"),
+        )
+        right = spark.range(2_000).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        joined = left.join(right, "k")
+        # act on THIS DataFrame (count() would build a separate query
+        # execution and never finalize this one's adaptive plan)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in plan, f"AQE skew split absent:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
