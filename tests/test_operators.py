@@ -850,3 +850,36 @@ def test_aqe_splits_planted_skew_join(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
+    """Dynamic partition pruning: a fact table PARTITIONED on the join
+    key scans only the partitions the (filtered, broadcast) dimension
+    side actually selects — the runtime analog of static partition
+    pruning, and the mechanism that keeps star joins from reading 100 TB
+    of fact for a one-category dimension filter. Asserted on the plan:
+    the fact scan's PartitionFilters carries a dynamicpruning
+    expression."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.queries import tables
+
+    events = tables(spark, "/root/testdata/sf0.001")["events"]
+    fact_dir = str(tmp_path / "events_by_type")
+    events.write.partitionBy("event_type").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("click", "web"), ("view", "web"), ("purchase", "commerce"),
+         ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("category") == "commerce")), "event_type"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic pruning on the fact scan:\n{plan[:1500]}"
+    )
+    # and the pruned read returns exactly the selected partition's rows
+    n_purchase = events.filter(F.col("event_type") == "purchase").count()
+    assert joined.count() == n_purchase
