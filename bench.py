@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
     "q13_customer_distribution",
     "q18_large_volume_orders",
     "q21_waiting_supplier",

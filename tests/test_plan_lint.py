@@ -38,6 +38,13 @@ _EXPONENTIAL_PLANS = {
     "q_vams_pagerank",
     "q_vams_descendants",
     "q_vams_related_components",
+    # LSH candidates + exact-verify + connected components: the CC loop
+    # re-references the (already multi-consumer) pair relation each
+    # round — untruncated replanning is combinatorial. CC's loop body
+    # is linted at depth 1 in test_iterative_loop_bodies; the pre-CC
+    # pipeline is identical to q_ngram_jaccard_topk's, which is linted
+    # untruncated.
+    "q_dedup_representatives",
 }
 
 

@@ -4949,6 +4949,248 @@ def q22_idle_rich_customers(spark, sf_dir):
     )
 
 
+@query(
+    "q06_forecast_revenue",
+    f"""
+    SELECT {O_SUM('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global aggregate —
+    the canonical predicate-pushdown benchmark. All three predicates reach
+    the parquet scan as PushedFilters (date + two numeric ranges), so at
+    100 TB row-group statistics skip most of the table before decode; the
+    aggregate is a map-side partial with a 1-row exchange. Both engines
+    compare the identical stored doubles against the identical literals,
+    so the BETWEEN boundary is deterministic cross-engine."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "q07_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {O_SUM('volume')} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between a nation pair. The
+    nation table joins twice under different roles (supplier side /
+    customer side) — both broadcast, and the disjunctive pair predicate is
+    applied after both attachments so Catalyst can still push each
+    equality branch into the respective build side. The big
+    lineitem⋈orders⋈customer chain shuffles on its natural keys once
+    each; the final aggregate is tiny (pairs × years)."""
+    t = tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["supplier"]
+        .join(
+            t["lineitem"].filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q09_product_profit",
+    f"""
+    SELECT n_name,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           {O_SUM('l_extendedprice * (1 - l_discount)')} AS profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def q09_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: the fixture set has no partsupp, so
+    profit omits the supplycost term): substring-filtered part dimension
+    drives a 5-relation join, grouped by nation × order-year. The
+    ``p_name LIKE '%red%'`` filter prunes part before the join —
+    broadcast-eligible after the filter — and lineitem shuffles once on
+    l_orderkey for the orders attachment. Year extraction stays JVM-side
+    (`F.year`), no UDF."""
+    t = tables(spark, sf_dir)
+    red_parts = t["part"].filter(F.col("p_name").contains("red")).select("p_partkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("n_name", "o_year")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit")
+        )
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           {O_SUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter. The quarter filter pushes to the orders scan and the
+    returnflag filter to the lineitem scan; the top-k ORDER BY + LIMIT
+    compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort). c_custkey tiebreak makes the LIMIT edge deterministic."""
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {O_SUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (adapted to the fixture's part columns):
+    OR-of-ANDs predicate spanning both join sides. Catalyst's CNF
+    conversion extracts the single-side residuals — part gets
+    ``p_brand IN (…) AND p_size BETWEEN 1 AND 15``, lineitem gets
+    ``l_quantity BETWEEN 1 AND 30`` — and pushes both below the join, so
+    each scan prunes before the (broadcast) hash join evaluates the full
+    disjunction. That pre-join pruning is the entire point of this shape
+    at 100 TB."""
+    t = tables(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # multi-granularity aggregation / window navigation / reshaping /
 # time-series regularization
@@ -5492,4 +5734,228 @@ def q_doc_char_lm_score(spark, sf_dir):
             ).alias("avg_logp"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# behavioral analytics over the event stream: funnel + cohort retention
+# (the product-analytics staples every warehouse on this schema runs)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_events_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+    s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id)
+    SELECT * FROM (
+        SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*) FROM s3
+    ) ORDER BY step
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered-sequence funnel (view → click → purchase, strictly
+    increasing event time) — the sequential-pattern query that
+    MATCH_RECOGNIZE engines special-case, expressed as three cascaded
+    min-timestamp aggregates. Each stage joins on user_id only, so all
+    three shuffles land on the SAME key: under one partitioning the
+    chain co-partitions end-to-end, and every stage's output is ≤1 row
+    per user (monotonically shrinking). No per-user ordered buffering,
+    no window over the raw stream — at 100 TB the state is the user
+    dimension, not the event log."""
+    t = tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+
+    def _count(df, step, label):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"),
+            F.lit(label).alias("event_type"),
+            "n_users",
+        )
+
+    return (
+        _count(s1, 1, "view")
+        .unionByName(_count(s2, 2, "click"))
+        .unionByName(_count(s3, 3, "purchase"))
+        .orderBy("step")
+    )
+
+
+@query(
+    "q_events_retention",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    f AS (SELECT user_id, MIN(day) AS day0 FROM e GROUP BY user_id)
+    SELECT CAST(day0 // 7 AS BIGINT) AS cohort_week,
+           CAST((day - day0) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-seen week,
+    counted distinct per (cohort, weeks-since-first-seen). The first-seen
+    aggregate and the enrichment join share the user_id key (one
+    partitioning, no extra shuffle between them); the final distinct
+    count is over (cohort_week, week_offset, user_id) — partial
+    aggregation collapses each user's many events map-side before the
+    exchange. Day/week arithmetic is pure bigint division on the
+    epoch-ns contract column."""
+    t = tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id", F.expr("ts div 86400000000000").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("day0"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            F.expr("day0 div 7").alias("cohort_week"),
+            F.expr("(day - day0) div 7").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster representative selection (keep-best-per-cluster)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dedup_representatives",
+    r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), corpus AS (
+        SELECT doc_id, toks FROM toks
+        UNION ALL
+        SELECT doc_id + 1000000,
+               list_slice(toks, 1, GREATEST(len(toks) - 5, 1))
+        FROM toks
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+                   range(0, len(toks) - 3 + 1),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+               )) ELSE [] END AS sh
+        FROM corpus
+    ), pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.sh, b.sh))
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.9
+    ), sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node AS src, node FROM nodes
+        UNION
+        SELECT r.src, s.b AS node FROM reach r JOIN sym s ON r.node = s.a
+    ), comp AS (
+        SELECT src AS node, MIN(node) AS component FROM reach GROUP BY src
+    ), members AS (
+        SELECT comp.node, comp.component, CAST(len(c.toks) AS INT) AS n_toks
+        FROM comp JOIN corpus c ON c.doc_id = comp.node
+    )
+    SELECT component, node AS keep_doc_id, n_toks, n_members
+    FROM (
+        SELECT component, node, n_toks,
+               COUNT(*) OVER (PARTITION BY component) AS n_members,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY n_toks DESC, node) AS rn
+        FROM members
+    ) WHERE rn = 1
+    ORDER BY component
+    """,
+)
+def q_dedup_representatives(spark, sf_dir):
+    """Keep-best-per-cluster near-dedup — the selection policy
+    RefinedWeb/SlimPajama-style pipelines apply after pair generation:
+    near-dup pairs (banded-LSH candidates, exact shingle-Jaccard ≥ 0.9
+    verify) → connected components (pointer-jumping min-label,
+    operators/graph.py) → per-cluster representative = longest member
+    (doc_id tiebreak), with the cluster size for drop accounting. The
+    pair graph is the bounded near-dup fraction of the corpus, so the
+    component/argmax stages run on a relation orders of magnitude
+    smaller than the input; nothing in this plan touches all-pairs.
+    Oracle: quadratic exact Jaccard + recursive reachability closure."""
+    from .operators.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda tok: tok != ""
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    cands = minhash_lsh_candidates(corpus, num_hashes=64, bands=16)
+    pairs = ngram_jaccard_pairs(corpus, cands, threshold=0.9).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = corpus.select("doc_id", F.size(toks).alias("n_toks"))
+    members = comp.join(sizes, comp["node"] == sizes["doc_id"]).select(
+        "component", "node", "n_toks"
+    )
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.desc("n_toks"), "node")
+    return (
+        members.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keep_doc_id"),
+            "n_toks",
+            "n_members",
+        )
+        .orderBy("component")
     )
