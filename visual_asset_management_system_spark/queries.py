@@ -5959,3 +5959,230 @@ def q_dedup_representatives(spark, sf_dir):
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured parsing, distribution windows, histograms, fuzzy matching,
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_events_props_json",
+    """
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10
+                AS BIGINT) AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured payload analytics: the JSON ``props`` column is
+    parsed with a declared schema (``from_json``, JVM-side Jackson — no
+    Python in the loop) and aggregated by extracted-field bucket. At
+    100 TB the parse cost dominates, so the projection parses each blob
+    exactly once and prunes every other field at the scan; schema-on-read
+    stays a Column expression, never a UDF."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select(
+            F.from_json("props", "k INT").alias("p"),
+            "value",
+        )
+        .select(F.expr("CAST(p.k div 10 AS BIGINT)").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "q_value_histogram",
+    """
+    SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Equi-width histogram (10 × 50-unit buckets, open-ended top) over
+    the event value measure — the profiling primitive behind range-
+    partition planning and UI distribution charts. One map-combinable
+    groupBy on a computed key; bucket arithmetic is identical IEEE
+    double math in both engines so bin edges are deterministic."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select(
+            F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+            .cast("bigint")
+            .alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "sum_value"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_window_distribution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, pct_rank, o_orderkey
+    LIMIT 500
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions (percent_rank / cume_dist) per
+    priority class — the remaining SQL-window family not yet covered by
+    rank/ntile/lag. One shuffle on the partition key; the o_orderkey
+    tiebreak in the ORDER BY makes ranks (and the LIMIT edge)
+    deterministic under ties."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderpriority", "pct_rank", "o_orderkey")
+        .limit(500)
+    )
+
+
+@query(
+    "q_fuzzy_name_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    corpus AS (
+        SELECT p_name FROM names
+        UNION
+        SELECT substr(p_name, 1, 1) || substr(p_name, 3) FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM corpus a JOIN corpus b
+      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+    WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_name_match(spark, sf_dir):
+    """Fuzzy string matching (edit distance ≤ 2) with BLOCKED candidate
+    generation — never an all-pairs cross join: candidates must share a
+    first-character block and have compatible lengths (both cheap
+    equi/range predicates), and only survivors pay the O(len²)
+    levenshtein. Near-miss variants are planted (second character
+    deleted) so true fuzzy pairs exist at every SF, mirroring the
+    mutated-copy convention of the dedup queries. At 100 TB the blocking
+    key becomes the shuffle partition key and per-block skew is bounded
+    by the key-design (first char + length band), the same guard
+    discipline as the LSH buckets."""
+    t = tables(spark, sf_dir)
+    names = t["part"].select("p_name").distinct()
+    mutated = names.select(
+        F.concat(
+            F.substring("p_name", 1, 1), F.expr("substring(p_name, 3)")
+        ).alias("p_name")
+    )
+    corpus = names.unionByName(mutated).distinct().withColumn(
+        "blk", F.substring("p_name", 1, 1)
+    )
+    a = corpus.select(F.col("p_name").alias("name_a"), F.col("blk"))
+    b = corpus.select(F.col("p_name").alias("name_b"), F.col("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            )
+            & (F.levenshtein("name_a", "name_b") <= 2)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "q_embedding_quantize",
+    """
+    SELECT vec_id,
+           ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+                 / 127.0, 6) AS scale_r6,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE)
+                          / (list_max(list_transform(embedding,
+                                 y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+                          + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(embedding,
+                x -> abs(CAST(FLOOR(CAST(x AS DOUBLE)
+                          / (list_max(list_transform(embedding,
+                                 y -> abs(CAST(y AS DOUBLE)))) / 127.0)
+                          + 0.5) AS BIGINT)))) AS BIGINT) AS q_l1
+    FROM embeddings
+    ORDER BY vec_id
+    LIMIT 500
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column — the 4×
+    storage/bandwidth reduction step vector stores apply before ANN
+    serving. Per-vector symmetric scale = max|x|/127; codes are
+    floor(x/scale + 0.5) (explicit half-up on exact doubles, so both
+    engines produce bit-identical integer codes — verified via the exact
+    integer checksums q_sum/q_l1 rather than a float reconstruction
+    error that would only test rounding). Pure array expressions over
+    the vector column: no shuffle, no UDF, linear scan — the shape that
+    streams through 100 TB of vectors at NIC speed."""
+    t = tables(spark, sf_dir)
+    absd = lambda c: F.abs(c.cast("double"))  # noqa: E731
+    scale = F.array_max(F.transform("embedding", absd)) / F.lit(127.0)
+    code = lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    qsum = F.aggregate(
+        F.transform("embedding", code),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    ql1 = F.aggregate(
+        F.transform("embedding", code),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.abs(x),
+    )
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.round(scale, 6).alias("scale_r6"),
+            qsum.alias("q_sum"),
+            ql1.alias("q_l1"),
+        )
+        .orderBy("vec_id")
+        .limit(500)
+    )
