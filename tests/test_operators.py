@@ -883,3 +883,50 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, tmp_path):
     # and the pruned read returns exactly the selected partition's rows
     n_purchase = events.filter(F.col("event_type") == "purchase").count()
     assert joined.count() == n_purchase
+
+
+def test_phrase_match_positional_chain(spark):
+    """Phrase adjacency over positional postings: multi-term chains,
+    boundary positions, overlapping occurrences, and absent phrases."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join beats nested loop hash join"),  # 2 occurrences
+            (2, "hash and join but never adjacent"),       # terms, no phrase
+            (3, "a hash join"),                            # at end
+            (4, "hash join!"),                             # punctuation break
+            (5, "a a a a"),                                # overlap probe
+            (6, "no relevant terms here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    postings = positional_postings(docs, "doc_id", "text")
+
+    two = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(postings, ["hash", "join"]).collect()
+    }
+    assert two == {1: 2, 3: 1, 4: 1}
+
+    # 3-term chain exercises the shifted-intersect loop beyond 1 step
+    three = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(
+            postings, ["nested", "loop", "hash"]
+        ).collect()
+    }
+    assert three == {1: 1}
+
+    # overlapping matches each count: "a a a a" contains "a a" 3 times
+    overlap = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(postings, ["a", "a"]).collect()
+    }
+    assert overlap == {5: 3}
+
+    # absent phrase -> empty result, not an error
+    assert phrase_match(postings, ["zz", "qq"]).count() == 0

@@ -226,3 +226,60 @@ def bm25_scores(
         .groupBy(*id_cols)
         .agg(F.sum("_contrib").alias("score"))
     )
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings ``(id, term, positions array<int>)``.
+
+    The phrase-query extension of the BM25 postings (the reference's
+    OpenSearch query_string accepts quoted phrases — search.py's
+    query_string tier — which tf-only postings cannot answer). Same
+    maintenance story as the tf postings: built by the bulk rebuild,
+    CDC-replaced per entity, bucketed by ``term`` so a phrase probe
+    reads only its terms' buckets. One posexplode + one aggregation;
+    positions are collected sorted for deterministic array contents.
+    """
+    toks = tokenize(F.col(text_col))
+    return (
+        df.select(id_col, F.posexplode(toks).alias("pos", "term"))
+        .groupBy(id_col, "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_match(
+    postings: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-phrase containment over positional postings.
+
+    Returns ``(id, n_occurrences)`` for entities containing the token
+    sequence ``terms`` — the ``"quoted phrase"`` operator of a search
+    query language. Mechanism: fetch each term's postings row (``term
+    IN (...)`` prunes the scan to the phrase's buckets), then chain
+    adjacency as array algebra — ``starts`` holds the start positions
+    whose prefix matched so far, and term *i* keeps a start ``p`` only
+    if ``p + i`` is among its positions (``array_intersect`` of shifted
+    arrays). k-term phrase = k-1 co-partitioned joins on the entity key
+    over ONLY the phrase terms' postings; the corpus is never re-read.
+    """
+    if not terms:
+        raise ValueError("phrase must have at least one term")
+    base = (
+        postings.filter(F.col("term") == terms[0])
+        .select(id_col, F.col("positions").alias("starts"))
+    )
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == term).select(
+            id_col,
+            F.transform("positions", lambda p: p - i).alias(f"_shift{i}"),
+        )
+        base = base.join(nxt, id_col).select(
+            id_col,
+            F.array_intersect("starts", f"_shift{i}").alias("starts"),
+        )
+    return (
+        base.select(id_col, F.size("starts").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )

@@ -6186,3 +6186,71 @@ def q_embedding_quantize(spark, sf_dir):
         .orderBy("vec_id")
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------------------
+# phrase search over positional postings + date-histogram facet
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_doc_phrase_search",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                              '[^a-z0-9]+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), occ AS (
+        SELECT doc_id,
+               CAST(len(list_filter(range(1, len(toks)),
+                        i -> toks[i] = 'hash' AND toks[i+1] = 'join'))
+                    AS INT) AS n_occurrences
+        FROM toks
+    )
+    SELECT doc_id, n_occurrences FROM occ
+    WHERE n_occurrences > 0
+    ORDER BY doc_id
+    """,
+)
+def q_doc_phrase_search(spark, sf_dir):
+    """Exact-phrase search ("hash join") via positional postings — the
+    quoted-phrase operator of the reference's OpenSearch query_string
+    tier (backend/backend/handlers/search/search.py query_string path),
+    which tf-only BM25 postings cannot answer. The engine probes ONLY
+    the phrase terms' postings (term IN (...) pruned scan over the
+    maintained positional index) and chains adjacency as shifted-array
+    intersections — k-term phrase = k-1 joins co-partitioned on doc_id,
+    no corpus re-read, no explode at query time. Oracle recomputes
+    occurrences from first principles with the identical analyzer."""
+    from .operators.inverted_index import phrase_match, positional_postings
+
+    t = tables(spark, sf_dir)
+    postings = positional_postings(t["documents"], "doc_id", "text")
+    return phrase_match(postings, ["hash", "join"], "doc_id").orderBy("doc_id")
+
+
+@query(
+    "q_vams_date_facet",
+    oracle_with("files")
+    + """
+    SELECT strftime(last_modified, '%Y-%m') AS month,
+           COUNT(*) AS doc_count
+    FROM files
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_vams_date_facet(spark, sf_dir):
+    """Date-histogram facet (monthly buckets over file last_modified) —
+    the OpenSearch date_histogram aggregation of the search UI's
+    timeline filter, as one map-combinable groupBy on a truncated date
+    key. Month formatting stays JVM-side (date_format); no UDF; the
+    facet cardinality is months-in-range, so the exchange carries a few
+    dozen rows regardless of corpus size."""
+    t = tables(spark, sf_dir)
+    return (
+        t["files"]
+        .groupBy(F.date_format("last_modified", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("month")
+    )
