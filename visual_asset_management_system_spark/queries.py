@@ -5766,48 +5766,50 @@ def q_doc_char_lm_score(spark, sf_dir):
 def q_events_funnel(spark, sf_dir):
     """Ordered-sequence funnel (view → click → purchase, strictly
     increasing event time) — the sequential-pattern query that
-    MATCH_RECOGNIZE engines special-case, expressed as three cascaded
-    min-timestamp aggregates. Each stage joins on user_id only, so all
-    three shuffles land on the SAME key: under one partitioning the
-    chain co-partitions end-to-end, and every stage's output is ≤1 row
-    per user (monotonically shrinking). No per-user ordered buffering,
-    no window over the raw stream — at 100 TB the state is the user
-    dimension, not the event log."""
+    MATCH_RECOGNIZE engines special-case. Expressed as three STACKED
+    whole-partition window minimums over one user_id partitioning:
+    t1 = min view time, t2 = min click time after t1, t3 = min purchase
+    time after t2 — each step's condition references the previous
+    window's result, and because every window (and the per-user dedup
+    that follows) clusters on the same user_id key, Catalyst plans ONE
+    hash exchange of the type-filtered events for the whole funnel
+    (plan-audited: a cascaded aggregate-join form of this query costs 5
+    exchanges + 3 joins; this form costs 1 + the final 3-row rollup).
+    At 100 TB the shuffled relation is only the funnel types' events,
+    and per-user state is three timestamps."""
     t = tables(spark, sf_dir)
-    e = t["events"].select(
-        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    e = t["events"].filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", F.expr("ts div 1000").alias("ts_us"))
+    w = Window.partitionBy("user_id")
+    typ, ts = F.col("event_type"), F.col("ts_us")
+    e = e.withColumn("t1", F.min(F.when(typ == "view", ts)).over(w))
+    e = e.withColumn(
+        "t2",
+        F.min(F.when((typ == "click") & (ts > F.col("t1")), ts)).over(w),
     )
-    s1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t1"))
+    e = e.withColumn(
+        "t3",
+        F.min(F.when((typ == "purchase") & (ts > F.col("t2")), ts)).over(w),
     )
-    s2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts_us") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t2"))
-    )
-    s3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts_us") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t3"))
+    users = e.select("user_id", "t1", "t2", "t3").distinct()
+    counts = users.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
 
-    def _count(df, step, label):
-        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+    def _row(step, label, col):
+        return counts.select(
             F.lit(step).alias("step"),
             F.lit(label).alias("event_type"),
-            "n_users",
+            F.col(col).alias("n_users"),
         )
 
     return (
-        _count(s1, 1, "view")
-        .unionByName(_count(s2, 2, "click"))
-        .unionByName(_count(s3, 3, "purchase"))
+        _row(1, "view", "n1")
+        .unionByName(_row(2, "click", "n2"))
+        .unionByName(_row(3, "purchase", "n3"))
         .orderBy("step")
     )
 
@@ -5838,10 +5840,15 @@ def q_events_retention(spark, sf_dir):
     e = t["events"].select(
         "user_id", F.expr("ts div 86400000000000").alias("day")
     )
-    first = e.groupBy("user_id").agg(F.min("day").alias("day0"))
+    # first-seen via a whole-partition window min instead of an
+    # aggregate + self-join: one user_id exchange serves both the min
+    # and the per-user attach (plan-audited: the join form costs 3
+    # exchanges + a join, this form 2 exchanges and none)
+    e = e.withColumn(
+        "day0", F.min("day").over(Window.partitionBy("user_id"))
+    )
     return (
-        e.join(first, "user_id")
-        .select(
+        e.select(
             F.expr("day0 div 7").alias("cohort_week"),
             F.expr("(day - day0) div 7").alias("week_offset"),
             "user_id",
