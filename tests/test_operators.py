@@ -930,3 +930,48 @@ def test_phrase_match_positional_chain(spark):
 
     # absent phrase -> empty result, not an error
     assert phrase_match(postings, ["zz", "qq"]).count() == 0
+
+
+def test_phrase_match_randomized_against_bruteforce(spark):
+    """Randomized differential: phrase occurrence counts from the
+    positional-postings chain must equal a direct subsequence count on
+    the token lists, across random corpora and random phrase lengths."""
+    import random
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        phrase_match,
+        positional_postings,
+    )
+
+    rng = random.Random(20260814)
+    vocab = ["a", "b", "c", "d"]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    postings = positional_postings(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+
+    def brute(terms):
+        out = {}
+        for doc_id, text in corpus:
+            toks = text.split()
+            n = sum(
+                1
+                for i in range(len(toks) - len(terms) + 1)
+                if toks[i : i + len(terms)] == terms
+            )
+            if n:
+                out[doc_id] = n
+        return out
+
+    for _ in range(8):
+        k = rng.randint(1, 4)
+        phrase = [rng.choice(vocab) for _ in range(k)]
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_match(postings, phrase).collect()
+        }
+        assert got == brute(phrase), f"phrase={phrase}"
