@@ -1040,3 +1040,85 @@ def test_interval_join_streams_attributes_within_window(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert rows == {(1, 2, 1, 50.0), (2, 6, 5, 90.0)}
+
+
+def test_corpus_build_stream_equals_batch_pipeline(spark, tmp_path):
+    """Streaming the corpus build (filter → exact-dedup → near-dedup
+    against maintained state) over id-ordered batches accepts exactly
+    the documents the batch pipeline keeps, with rejects at every
+    stage exercised (language, quality, exact twin, near-dup)."""
+    from pyspark.sql import Window as W
+
+    from visual_asset_management_system_spark.operators.corpus import (
+        start_corpus_build_stream,
+    )
+    from visual_asset_management_system_spark.operators.dedup import (
+        minhash_dedup,
+    )
+    from visual_asset_management_system_spark.operators.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+
+    en_a = " ".join(
+        f"the quick fox and the calm dog of field{i} walk there" for i in range(6)
+    )
+    en_a_near = " ".join(en_a.split()[:-5])
+    en_b = " ".join(
+        f"a small bird and a tall tree of grove{i} stand here" for i in range(6)
+    )
+    en_b_near = " ".join(en_b.split()[:-5])
+    de = " ".join("der hund und die katze und das haus" for _ in range(8))
+    junk = "!!!! ???? ####"
+
+    rows = [
+        (1, en_a),       # accepted
+        (2, en_a),       # exact twin -> rejected
+        (3, en_a_near),  # near-dup of 1 -> rejected
+        (4, en_b),       # accepted
+        (5, de),         # lang reject
+        (6, junk),       # quality reject
+        (7, en_b_near),  # near-dup of 4 -> rejected
+    ]
+
+    docs_dir = str(tmp_path / "docs_in")
+    os.makedirs(docs_dir)
+
+    def write_docs(name, batch_rows):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for did, text in batch_rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    state = str(tmp_path / "state")
+    corpus_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    # id-ordered arrival (the event-log case the equivalence covers)
+    for name, lo, hi in [("b1.json", 1, 2), ("b2.json", 3, 5), ("b3.json", 6, 7)]:
+        write_docs(name, [r for r in rows if lo <= r[0] <= hi])
+        q = start_corpus_build_stream(spark, docs_dir, state, corpus_dir, ckpt)
+        q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()}
+
+    # batch reference: identical acceptance rule over the full corpus
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    filtered = docs.filter(
+        (lang_id(F.col("text")) == "en") & (quality_score(F.col("text")) >= 0.5)
+    )
+    w = W.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    exact = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = minhash_dedup(exact, threshold=0.5)
+    near_rejects = {r["id_b"] for r in pairs.collect()}
+    want = {
+        r["doc_id"] for r in exact.collect() if r["doc_id"] not in near_rejects
+    }
+
+    assert got == want
+    assert 1 in got and 4 in got        # survivors exist
+    assert {2, 3, 5, 6, 7} & got == set()  # every reject class rejected

@@ -207,3 +207,137 @@ def repeated_ngrams(
         count_alias="n_docs",
         list_alias="doc_ids",
     ).filter(F.col("n_docs") >= min_docs)
+
+
+# --------------------------------------------------------------------------
+# incremental (streaming) corpus construction
+# --------------------------------------------------------------------------
+
+def corpus_index_update(
+    spark,
+    state_dir: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """One incremental step of the corpus build: filter → exact-dedup →
+    near-dedup a batch of NEW documents against maintained state, and
+    return the accepted rows.
+
+    The kappa counterpart of the batch pipeline (queries.q_corpus_build
+    stages 1-3): the same acceptance rule — keep a doc iff it passes the
+    stateless lang/quality filters, its exact fingerprint was never seen
+    before, and it has NO near-dup pair with any earlier-id exact
+    survivor — evaluated one batch at a time against two maintained
+    stores under ``state_dir``:
+
+    - ``fingerprints/``: the exact-dedup membership set (one md5 per
+      accepted-or-shadowed text; blind parquet append, no rewrite);
+    - ``signatures/``: the MinHash signature store fed through
+      :func:`..dedup.minhash_index_update`, whose tested invariant
+      (batched probes emit exactly the from-scratch pair set) is what
+      makes streamed acceptance equal batch acceptance.
+
+    Scale shape: every store interaction is an anti-join or a banded
+    probe keyed on the batch (the small side — broadcast at a
+    batch:corpus ratio of 1:1000); state grows by one append per batch
+    and is never rewritten. Within-batch ordering is first-wins by id,
+    matching the batch pipeline's lowest-id representative rule.
+
+    Ordering caveat (inherent to any append-only acceptance stream): an
+    accepted document is never retracted, so across batches the rule is
+    first-ARRIVAL-wins. Streamed output equals the batch pipeline
+    bit-for-bit when ids are monotone with arrival order (the event-log
+    case, asserted by the equivalence test); under out-of-order arrival
+    the corpora differ only in which member of a dup cluster represents
+    it, never in cluster count.
+    """
+    import os as _os
+
+    from .dedup import minhash_index_update
+    from .text import fingerprint, lang_id, quality_score
+
+    fp_dir = _os.path.join(state_dir, "fingerprints")
+    sig_dir = _os.path.join(state_dir, "signatures")
+
+    filtered = (
+        new_docs.withColumn("_lang", lang_id(F.col(text_col)))
+        .withColumn("_q", quality_score(F.col(text_col)))
+        .filter((F.col("_lang") == lang) & (F.col("_q") >= min_quality))
+        .drop("_lang", "_q")
+        .withColumn("_fp", fingerprint(F.col(text_col)))
+    )
+    # exact dedup, first-wins by id within the batch...
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    batch_unique = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # ...then against the maintained fingerprint set
+    have_fp = _os.path.isdir(fp_dir) and any(
+        f.endswith(".parquet") for f in _os.listdir(fp_dir)
+    )
+    if have_fp:
+        seen = spark.read.parquet(fp_dir)
+        batch_unique = batch_unique.join(seen, "_fp", "left_anti")
+    batch_unique = batch_unique.localCheckpoint(eager=True)
+
+    # near-dup probe against (and append into) the signature store;
+    # a new doc is rejected iff it pairs with ANY earlier-id doc —
+    # emitted pairs are (id_a < id_b), so rejects are the id_b side
+    # whose partner is older (in-store) or earlier in this batch
+    pairs = minhash_index_update(
+        spark,
+        sig_dir,
+        batch_unique.select(id_col, text_col),
+        text_col=text_col,
+        id_col=id_col,
+        threshold=near_dup_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    rejects = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    accepted = batch_unique.join(rejects, id_col, "left_anti").drop("_fp")
+
+    batch_unique.select("_fp").write.mode("append").parquet(fp_dir)
+    return accepted
+
+
+def start_corpus_build_stream(
+    spark,
+    docs_dir: str,
+    state_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    docs_schema: str = "doc_id bigint, text string",
+    trigger_once: bool = True,
+    **update_kwargs,
+):
+    """Structured Streaming wrapper around :func:`corpus_index_update`:
+    a file-source document stream is filtered/deduped incrementally and
+    accepted rows are appended to ``corpus_dir`` — the full corpus
+    build (sans packing, which is a training-time layout pass) as a
+    continuously-maintained artifact, closing the same kappa loop as
+    the search-table CDC and the dedup stream."""
+    stream = (
+        spark.readStream.schema(docs_schema).format("json").load(docs_dir)
+    )
+
+    def handle(batch, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        accepted = corpus_index_update(spark, state_dir, batch, **update_kwargs)
+        accepted.write.mode("append").parquet(corpus_dir)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
