@@ -6261,3 +6261,133 @@ def q_vams_date_facet(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("doc_count"))
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution + prefix completion suggester
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_events_attribution",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, value
+        FROM events
+    ), att AS (
+        SELECT *,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS channel
+        FROM e
+    )
+    SELECT COALESCE(channel, 'none') AS channel,
+           COUNT(*) AS n_purchases,
+           {O_SUM('value')} AS attributed_value
+    FROM att WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding non-purchase event type. One whole-history
+    window (`last(..., ignorenulls=True)` over an unbounded-preceding
+    frame) on a single user_id partitioning — the same one-shuffle
+    discipline as the funnel; the rollup that follows is a tiny
+    channel-cardinality aggregate. The (ts, event_id) ordering tiebreak
+    makes attribution deterministic under timestamp collisions."""
+    t = tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _dsum(F.col("value"), "attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "q_vams_suggest",
+    oracle_with("assets")
+    + """
+    , toks AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(lower(asset_name), '[^a-z0-9]+'),
+                   t -> t <> '')) AS token
+        FROM assets WHERE NOT is_archived
+    ), freq AS (
+        SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+    ), pfx AS (
+        SELECT substr(token, 1, i) AS prefix, token, freq
+        FROM freq, UNNEST(range(1, LEAST(len(token), 4) + 1)) AS t(i)
+    ), ranked AS (
+        SELECT prefix, token AS suggestion, freq,
+               CAST(ROW_NUMBER() OVER (PARTITION BY prefix
+                    ORDER BY freq DESC, token) AS INT) AS rank
+        FROM pfx
+    )
+    SELECT prefix, suggestion, freq, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY prefix, rank
+    """,
+)
+def q_vams_suggest(spark, sf_dir):
+    """Prefix completion suggester — the OpenSearch completion-suggester
+    feature of the search UI's type-ahead box, as a precomputed
+    (prefix → top-3 tokens by corpus frequency) table over live asset
+    names. Build shape: tokenize once, aggregate token frequencies
+    (map-combinable), explode each DISTINCT token into ≤4 prefixes (the
+    explode runs on the token dictionary, not the corpus), rank per
+    prefix. Serving is then a point lookup on the prefix key — the
+    suggest index is maintained state exactly like the search tables."""
+    t = tables(spark, sf_dir)
+    toks = (
+        t["assets"]
+        .filter(~F.col("is_archived"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("asset_name"), "[^a-z0-9]+"),
+                    lambda x: x != "",
+                )
+            ).alias("token")
+        )
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    pfx = freq.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.length("token"), F.lit(4))),
+                lambda i: F.col("token").substr(F.lit(1), i),
+            )
+        ).alias("prefix"),
+        "token",
+        "freq",
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("freq"), "token")
+    return (
+        pfx.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("prefix", F.col("token").alias("suggestion"), "freq", "rank")
+        .orderBy("prefix", "rank")
+    )
