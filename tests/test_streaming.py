@@ -1122,3 +1122,65 @@ def test_corpus_build_stream_equals_batch_pipeline(spark, tmp_path):
     assert got == want
     assert 1 in got and 4 in got        # survivors exist
     assert {2, 3, 5, 6, 7} & got == set()  # every reject class rejected
+
+
+def test_corpus_index_update_out_of_order_rejects_either_side(spark, tmp_path):
+    """A new doc that near-dups an ALREADY-STORED doc is rejected even
+    when the new doc's id is smaller — the corpus never ends up with
+    both members of a dup cluster regardless of arrival order."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        corpus_index_update,
+    )
+
+    en = " ".join(
+        f"the quick fox and the calm dog of field{i} walk there" for i in range(6)
+    )
+    en_near = " ".join(en.split()[:-5])
+    state = str(tmp_path / "state")
+
+    b1 = spark.createDataFrame([(10, en)], "doc_id long, text string")
+    got1 = {r["doc_id"] for r in corpus_index_update(spark, state, b1).collect()}
+    assert got1 == {10}
+
+    # smaller id arrives later, near-dups the stored doc 10
+    b2 = spark.createDataFrame([(5, en_near)], "doc_id long, text string")
+    got2 = {r["doc_id"] for r in corpus_index_update(spark, state, b2).collect()}
+    assert got2 == set(), "out-of-order near-dup must be rejected"
+
+
+def test_corpus_index_update_replay_is_deterministic(spark, tmp_path):
+    """Replaying a batch under the same batch_key after its state
+    appends (the crash-between-state-and-checkpoint window) recomputes
+    the identical accepted set instead of an empty one."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        corpus_index_update,
+    )
+
+    en_a = " ".join(
+        f"the quick fox and the calm dog of field{i} walk there" for i in range(6)
+    )
+    en_b = " ".join(
+        f"a small bird and a tall tree of grove{i} stand here" for i in range(6)
+    )
+    state = str(tmp_path / "state")
+
+    b0 = spark.createDataFrame([(1, en_a)], "doc_id long, text string")
+    assert {r["doc_id"] for r in
+            corpus_index_update(spark, state, b0, batch_key="b0").collect()} == {1}
+
+    committed: list[set] = []
+    b1 = spark.createDataFrame([(2, en_b)], "doc_id long, text string")
+
+    def commit(accepted):
+        committed.append({r["doc_id"] for r in accepted.collect()})
+
+    first = corpus_index_update(
+        spark, state, b1, batch_key="b1", commit=commit
+    )
+    assert {r["doc_id"] for r in first.collect()} == {2}
+    # replay: state already holds b1's fingerprints/signatures
+    replay = corpus_index_update(
+        spark, state, b1, batch_key="b1", commit=commit
+    )
+    assert {r["doc_id"] for r in replay.collect()} == {2}
+    assert committed == [{2}, {2}], "commit must see the same rows on replay"

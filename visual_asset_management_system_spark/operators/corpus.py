@@ -224,6 +224,8 @@ def corpus_index_update(
     near_dup_threshold: float = 0.5,
     num_hashes: int = 64,
     bands: int = 16,
+    batch_key: str | None = None,
+    commit=None,
 ) -> DataFrame:
     """One incremental step of the corpus build: filter → exact-dedup →
     near-dedup a batch of NEW documents against maintained state, and
@@ -232,34 +234,42 @@ def corpus_index_update(
     The kappa counterpart of the batch pipeline (queries.q_corpus_build
     stages 1-3): the same acceptance rule — keep a doc iff it passes the
     stateless lang/quality filters, its exact fingerprint was never seen
-    before, and it has NO near-dup pair with any earlier-id exact
-    survivor — evaluated one batch at a time against two maintained
-    stores under ``state_dir``:
+    before, and it has NO near-dup pair with a previously-stored doc or
+    an earlier-id doc in the same batch — evaluated against two
+    maintained stores under ``state_dir``:
 
     - ``fingerprints/``: the exact-dedup membership set (one md5 per
       accepted-or-shadowed text; blind parquet append, no rewrite);
-    - ``signatures/``: the MinHash signature store fed through
-      :func:`..dedup.minhash_index_update`, whose tested invariant
-      (batched probes emit exactly the from-scratch pair set) is what
-      makes streamed acceptance equal batch acceptance.
+    - ``signatures/``: the MinHash signature store probed through
+      :func:`..dedup._minhash_probe`, whose tested invariant (batched
+      probes emit exactly the from-scratch pair set) is what makes
+      streamed acceptance equal batch acceptance.
+
+    Near-dup rejects take EITHER side of a probe pair: the batch doc
+    loses whenever its partner is already in the store (regardless of
+    id order — the store doc was accepted first and is never
+    retracted), and within the batch the greater id loses (first-wins
+    by id, matching the batch pipeline's lowest-id representative
+    rule). Under out-of-order arrival the stream may therefore keep a
+    different cluster representative than the batch pipeline, but never
+    both members of a cluster.
+
+    Crash safety (at-least-once replay): nothing is appended to either
+    store until AFTER the optional ``commit(accepted)`` callback (the
+    caller's sink write) returns, and both appends are tagged with
+    ``batch_key`` which the replay's store reads exclude — so a batch
+    replayed from ANY crash point recomputes the identical accepted
+    set. Re-appended store rows are benign duplicates (anti-join and
+    distinct'd-pair semantics are idempotent to them).
 
     Scale shape: every store interaction is an anti-join or a banded
     probe keyed on the batch (the small side — broadcast at a
     batch:corpus ratio of 1:1000); state grows by one append per batch
-    and is never rewritten. Within-batch ordering is first-wins by id,
-    matching the batch pipeline's lowest-id representative rule.
-
-    Ordering caveat (inherent to any append-only acceptance stream): an
-    accepted document is never retracted, so across batches the rule is
-    first-ARRIVAL-wins. Streamed output equals the batch pipeline
-    bit-for-bit when ids are monotone with arrival order (the event-log
-    case, asserted by the equivalence test); under out-of-order arrival
-    the corpora differ only in which member of a dup cluster represents
-    it, never in cluster count.
+    and is never rewritten.
     """
     import os as _os
 
-    from .dedup import minhash_index_update
+    from .dedup import _append_signatures, _minhash_probe
     from .text import fingerprint, lang_id, quality_score
 
     fp_dir = _os.path.join(state_dir, "fingerprints")
@@ -279,20 +289,24 @@ def corpus_index_update(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # ...then against the maintained fingerprint set
+    # ...then against the maintained fingerprint set (replay-tolerant:
+    # rows this same batch appended before a crash are excluded)
     have_fp = _os.path.isdir(fp_dir) and any(
         f.endswith(".parquet") for f in _os.listdir(fp_dir)
     )
     if have_fp:
         seen = spark.read.parquet(fp_dir)
-        batch_unique = batch_unique.join(seen, "_fp", "left_anti")
+        if batch_key is not None and "batch_key" in seen.columns:
+            seen = seen.filter(
+                F.col("batch_key").isNull()
+                | (F.col("batch_key") != batch_key)
+            )
+        batch_unique = batch_unique.join(
+            seen.select("_fp"), "_fp", "left_anti"
+        )
     batch_unique = batch_unique.localCheckpoint(eager=True)
 
-    # near-dup probe against (and append into) the signature store;
-    # a new doc is rejected iff it pairs with ANY earlier-id doc —
-    # emitted pairs are (id_a < id_b), so rejects are the id_b side
-    # whose partner is older (in-store) or earlier in this batch
-    pairs = minhash_index_update(
+    pairs, sig_new = _minhash_probe(
         spark,
         sig_dir,
         batch_unique.select(id_col, text_col),
@@ -301,11 +315,51 @@ def corpus_index_update(
         threshold=near_dup_threshold,
         num_hashes=num_hashes,
         bands=bands,
+        exclude_batch=batch_key,
     )
-    rejects = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    accepted = batch_unique.join(rejects, id_col, "left_anti").drop("_fp")
+    # a batch doc loses to an in-store partner on either pair side and
+    # to an earlier-id partner within the batch
+    in_batch = batch_unique.select(F.col(id_col).alias("_bid")).withColumn(
+        "_in_batch", F.lit(True)
+    )
+    marked = (
+        pairs.join(
+            in_batch.select(
+                F.col("_bid").alias("id_a"), F.col("_in_batch").alias("_a_in")
+            ),
+            "id_a",
+            "left",
+        ).join(
+            in_batch.select(
+                F.col("_bid").alias("id_b"), F.col("_in_batch").alias("_b_in")
+            ),
+            "id_b",
+            "left",
+        )
+    )
+    rejects = (
+        marked.select(
+            F.when(F.col("_b_in").isNotNull(), F.col("id_b"))  # later-id / store partner
+            .when(F.col("_a_in").isNotNull(), F.col("id_a"))   # store partner with greater id
+            .alias(id_col)
+        )
+        .filter(F.col(id_col).isNotNull())
+        .distinct()
+    )
+    accepted = (
+        batch_unique.join(rejects, id_col, "left_anti")
+        .drop("_fp")
+        .localCheckpoint(eager=True)
+    )
 
-    batch_unique.select("_fp").write.mode("append").parquet(fp_dir)
+    # sink first, state after: a crash in between replays into a clean
+    # (batch-key-excluded) view and reproduces the same accepted set
+    if commit is not None:
+        commit(accepted)
+    _append_signatures(sig_new, sig_dir, batch_key)
+    batch_unique.select("_fp").withColumn(
+        "batch_key", F.lit(batch_key).cast("string")
+    ).write.mode("append").parquet(fp_dir)
     return accepted
 
 
@@ -321,19 +375,37 @@ def start_corpus_build_stream(
 ):
     """Structured Streaming wrapper around :func:`corpus_index_update`:
     a file-source document stream is filtered/deduped incrementally and
-    accepted rows are appended to ``corpus_dir`` — the full corpus
-    build (sans packing, which is a training-time layout pass) as a
-    continuously-maintained artifact, closing the same kappa loop as
-    the search-table CDC and the dedup stream."""
+    accepted rows land in ``corpus_dir`` — the full corpus build (sans
+    packing, which is a training-time layout pass) as a continuously-
+    maintained artifact, closing the same kappa loop as the search-table
+    CDC and the dedup stream.
+
+    Effectively-once: each micro-batch writes its accepted rows into
+    its own ``batch=<id>`` partition with overwrite semantics BEFORE
+    any state append (corpus_index_update's commit callback), and state
+    appends are batch-key-tagged so a replay recomputes the identical
+    accepted set — a replayed batch overwrites its partition with the
+    same rows instead of duplicating or dropping them."""
+    import os as _os
+
     stream = (
         spark.readStream.schema(docs_schema).format("json").load(docs_dir)
     )
 
-    def handle(batch, _batch_id: int) -> None:
+    def handle(batch, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        accepted = corpus_index_update(spark, state_dir, batch, **update_kwargs)
-        accepted.write.mode("append").parquet(corpus_dir)
+        key = f"b{batch_id}"
+        corpus_index_update(
+            spark,
+            state_dir,
+            batch,
+            batch_key=key,
+            commit=lambda accepted: accepted.write.mode("overwrite").parquet(
+                _os.path.join(corpus_dir, f"batch={key}")
+            ),
+            **update_kwargs,
+        )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

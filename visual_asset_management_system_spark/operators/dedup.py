@@ -474,7 +474,7 @@ def simhash_near_duplicates(
 # --------------------------------------------------------------------------
 # incremental minhash maintenance
 # --------------------------------------------------------------------------
-def minhash_index_update(
+def _minhash_probe(
     spark,
     store_dir: str,
     new_docs: DataFrame,
@@ -484,28 +484,20 @@ def minhash_index_update(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
-) -> DataFrame:
-    """Incremental near-dup maintenance: the signature store is
-    MAINTAINED state (the same stance as the CDC-maintained search
-    tables and BM25 postings — streaming/cdc.py), so arriving documents
-    never trigger a from-scratch corpus dedup.
+    exclude_batch: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Probe half of :func:`minhash_index_update`: compute the new
+    docs' signatures, band-join them against the store, and return
+    ``(pairs, sig_new)`` WITHOUT mutating the store — callers that must
+    commit a downstream sink before state grows (the crash-safe
+    ordering of corpus_index_update) append sig_new themselves via
+    :func:`_append_signatures` afterwards.
 
-    Per batch: signatures are computed for the NEW docs only, banded,
-    and probed against the band view of the existing store; candidate
-    pairs therefore always touch ≥ 1 new doc. Verification is the same
-    signature-agreement estimate as :func:`minhash_dedup`. New
-    signatures are appended to the store afterwards.
-
-    Invariant (tested): running batches B1..Bn emits exactly the pair
-    set a from-scratch ``minhash_dedup`` computes over ∪Bi — each pair
-    is emitted once, when its LATER document arrives.
-
-    Scale shape: the probe joins |batch|·bands rows against the store's
-    band view — with a daily-batch : corpus ratio of 1:1000 the join
-    broadcasts the new side; the store read is one column-pruned scan
-    (id, sig). Appends are blind parquet appends (no rewrite); on a
-    lakehouse runtime the store is a clustered table and this is an
-    INSERT.
+    ``exclude_batch``: ignore store rows previously appended under this
+    batch key. This makes a replayed batch deterministic — a crash
+    after the store append but before the caller's sink commit would
+    otherwise make the replay see its own half-applied writes and
+    compute an empty result.
     """
     import os as _os
 
@@ -517,11 +509,16 @@ def minhash_index_update(
     have_store = _os.path.isdir(store_dir) and any(
         f.endswith(".parquet") for f in _os.listdir(store_dir)
     )
-    sig_all = (
-        spark.read.parquet(store_dir).unionByName(sig_new)
-        if have_store
-        else sig_new
-    )
+    if have_store:
+        stored = spark.read.parquet(store_dir)
+        if exclude_batch is not None and "batch_key" in stored.columns:
+            stored = stored.filter(
+                F.col("batch_key").isNull()
+                | (F.col("batch_key") != exclude_batch)
+            )
+        sig_all = stored.select("id", "sig").unionByName(sig_new)
+    else:
+        sig_all = sig_new
 
     banded_new = _banded(sig_new, bands, rows_per_band)
     banded_all = _banded(sig_all, bands, rows_per_band)
@@ -559,7 +556,69 @@ def minhash_index_update(
         .select("id_a", "id_b", "jaccard")
         .transform(maybe_checkpoint)  # materialize BEFORE the store grows
     )
-    sig_new.write.mode("append").parquet(store_dir)
+    return pairs, sig_new
+
+
+def _append_signatures(
+    sig_new: DataFrame, store_dir: str, batch_key: str | None = None
+) -> None:
+    """Blind parquet append of a batch's signatures, tagged with the
+    batch key so a replay can exclude (and harmlessly re-append) its
+    own rows. Duplicate rows from a replayed append are benign: the
+    candidate join distinct's pairs and the signature estimate is
+    row-content-deterministic."""
+    sig_new.withColumn(
+        "batch_key", F.lit(batch_key).cast("string")
+    ).write.mode("append").parquet(store_dir)
+
+
+def minhash_index_update(
+    spark,
+    store_dir: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    batch_key: str | None = None,
+) -> DataFrame:
+    """Incremental near-dup maintenance: the signature store is
+    MAINTAINED state (the same stance as the CDC-maintained search
+    tables and BM25 postings — streaming/cdc.py), so arriving documents
+    never trigger a from-scratch corpus dedup.
+
+    Per batch: signatures are computed for the NEW docs only, banded,
+    and probed against the band view of the existing store; candidate
+    pairs therefore always touch ≥ 1 new doc. Verification is the same
+    signature-agreement estimate as :func:`minhash_dedup`. New
+    signatures are appended to the store afterwards.
+
+    Invariant (tested): running batches B1..Bn emits exactly the pair
+    set a from-scratch ``minhash_dedup`` computes over ∪Bi — each pair
+    is emitted once, when its LATER document arrives.
+
+    Scale shape: the probe joins |batch|·bands rows against the store's
+    band view — with a daily-batch : corpus ratio of 1:1000 the join
+    broadcasts the new side; the store read is one column-pruned scan
+    (id, sig). Appends are blind parquet appends (no rewrite); on a
+    lakehouse runtime the store is a clustered table and this is an
+    INSERT.
+    """
+    pairs, sig_new = _minhash_probe(
+        spark,
+        store_dir,
+        new_docs,
+        text_col,
+        id_col,
+        threshold,
+        num_hashes,
+        bands,
+        shingle_n,
+        exclude_batch=batch_key,
+    )
+    _append_signatures(sig_new, store_dir, batch_key)
     return pairs
 
 

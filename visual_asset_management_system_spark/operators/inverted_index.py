@@ -256,22 +256,29 @@ def phrase_match(
 
     Returns ``(id, n_occurrences)`` for entities containing the token
     sequence ``terms`` — the ``"quoted phrase"`` operator of a search
-    query language. Mechanism: fetch each term's postings row (``term
-    IN (...)`` prunes the scan to the phrase's buckets), then chain
-    adjacency as array algebra — ``starts`` holds the start positions
-    whose prefix matched so far, and term *i* keeps a start ``p`` only
-    if ``p + i`` is among its positions (``array_intersect`` of shifted
-    arrays). k-term phrase = k-1 co-partitioned joins on the entity key
-    over ONLY the phrase terms' postings; the corpus is never re-read.
+    query language. Mechanism: ONE ``term IN (...)`` pruned fetch of
+    the phrase terms' postings (materialized, so a lazily-built
+    postings plan is aggregated once, not once per term — and a stored
+    postings table is bucket-pruned once), then chain adjacency as
+    array algebra — ``starts`` holds the start positions whose prefix
+    matched so far, and term *i* keeps a start ``p`` only if ``p + i``
+    is among its positions (``array_intersect`` of shifted arrays).
+    k-term phrase = k-1 co-partitioned joins on the entity key over
+    only the phrase terms' postings; the corpus is never re-read.
     """
+    from .checkpointing import maybe_checkpoint
+
     if not terms:
         raise ValueError("phrase must have at least one term")
+    sliced = postings.filter(
+        F.col("term").isin(list(dict.fromkeys(terms)))
+    ).transform(maybe_checkpoint)
     base = (
-        postings.filter(F.col("term") == terms[0])
+        sliced.filter(F.col("term") == terms[0])
         .select(id_col, F.col("positions").alias("starts"))
     )
     for i, term in enumerate(terms[1:], start=1):
-        nxt = postings.filter(F.col("term") == term).select(
+        nxt = sliced.filter(F.col("term") == term).select(
             id_col,
             F.transform("positions", lambda p: p - i).alias(f"_shift{i}"),
         )

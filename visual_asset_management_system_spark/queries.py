@@ -6121,16 +6121,14 @@ def q_fuzzy_name_match(spark, sf_dir):
         a.join(b, "blk")
         .filter(
             (F.col("name_a") < F.col("name_b"))
-            & (
-                F.abs(F.length("name_a") - F.length("name_b")) <= 2
-            )
-            & (F.levenshtein("name_a", "name_b") <= 2)
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
         )
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
-        )
+        # compute the O(len²) distance ONCE per surviving pair — a
+        # levenshtein in both the filter and the projection would run
+        # the DP twice (Filter/Project don't share subexpressions)
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
     )
 
@@ -6168,27 +6166,31 @@ def q_embedding_quantize(spark, sf_dir):
     streams through 100 TB of vectors at NIC speed."""
     t = tables(spark, sf_dir)
     absd = lambda c: F.abs(c.cast("double"))  # noqa: E731
-    scale = F.array_max(F.transform("embedding", absd)) / F.lit(127.0)
-    code = lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast(  # noqa: E731
-        "bigint"
+    # scale is hoisted to its own projection: referenced from inside a
+    # higher-order-function lambda it would be re-evaluated (an O(d)
+    # reduction) once per ELEMENT — O(d²)/row — because Spark's
+    # subexpression elimination does not hoist loop-invariant subtrees
+    # out of lambda bodies
+    scaled = t["embeddings"].withColumn(
+        "_scale", F.array_max(F.transform("embedding", absd)) / F.lit(127.0)
     )
-    qsum = F.aggregate(
-        F.transform("embedding", code),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    ql1 = F.aggregate(
-        F.transform("embedding", code),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + F.abs(x),
-    )
+    code = lambda x: F.floor(  # noqa: E731
+        x.cast("double") / F.col("_scale") + F.lit(0.5)
+    ).cast("bigint")
+    codes = F.transform("embedding", code)
     return (
-        t["embeddings"]
+        scaled.withColumn("_codes", codes)
         .select(
             "vec_id",
-            F.round(scale, 6).alias("scale_r6"),
-            qsum.alias("q_sum"),
-            ql1.alias("q_l1"),
+            F.round(F.col("_scale"), 6).alias("scale_r6"),
+            F.aggregate(
+                "_codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.aggregate(
+                "_codes",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.abs(x),
+            ).alias("q_l1"),
         )
         .orderBy("vec_id")
         .limit(500)
