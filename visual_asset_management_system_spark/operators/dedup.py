@@ -634,35 +634,44 @@ def start_minhash_dedup_stream(
     bands: int = 16,
     trigger_once: bool = True,
 ):
-    """Structured Streaming wrapper around :func:`minhash_index_update`:
-    a file-source document stream feeds the maintained signature store;
-    each micro-batch's NEW near-dup pairs are appended to ``pairs_dir``.
+    """Structured Streaming wrapper around :func:`_minhash_probe`: a
+    file-source document stream feeds the maintained signature store;
+    each micro-batch's NEW near-dup pairs land in a ``batch=<id>``
+    partition of ``pairs_dir``.
 
     This closes the kappa loop for dedup exactly like the search-table
     CDC (streaming/cdc.py start_search_table_stream): the same
     incremental operator serves the batch backfill and the stream, and
-    the pair log is an append-only parquet audit trail. Checkpointing
-    gives effectively-once pair emission (a replayed batch re-probes the
-    store but its docs' signatures are already present, so re-emitted
-    pairs are exact duplicates of prior rows — dedupe on read or key
-    the sink by (id_a, id_b)).
+    the pair log is a parquet audit trail. Effectively-once: the pair
+    sink is written BEFORE the signature append, the append is tagged
+    with the batch key, and a replay excludes its own half-applied
+    store rows — so it recomputes the identical pair set and overwrites
+    its own partition instead of duplicating or dropping pairs (the
+    same crash-ordering discipline as corpus_index_update).
     """
+    import os as _os
+
     stream = (
         spark.readStream.schema(docs_schema).format("json").load(docs_dir)
     )
 
-    def handle(batch, _batch_id: int) -> None:
+    def handle(batch, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        pairs = minhash_index_update(
+        key = f"b{batch_id}"
+        pairs, sig_new = _minhash_probe(
             spark,
             store_dir,
             batch,
             threshold=threshold,
             num_hashes=num_hashes,
             bands=bands,
+            exclude_batch=key,
         )
-        pairs.write.mode("append").parquet(pairs_dir)
+        pairs.write.mode("overwrite").parquet(
+            _os.path.join(pairs_dir, f"batch={key}")
+        )
+        _append_signatures(sig_new, store_dir, key)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
