@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "q_window_running_total",
     "q_events_sessionize",
     "q_events_interval_join",
+    "q_events_funnel",
+    "q_doc_phrase_search",
     "q_vams_simple_search",
     "q_vams_text_search",
     "q_vams_bm25_search",

@@ -327,3 +327,78 @@ def test_explain_query_type_classification(spark, compiler):
             assert row["matched_fields"] == [] and row["field_matches"] == 0
         else:
             assert row["field_matches"] >= 1
+
+
+def test_phrase_expr_and_extraction(spark):
+    """Quoted-phrase parsing and the slice-equality adjacency predicate."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        extract_phrases,
+        phrase_expr,
+    )
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        tokenize_query,
+    )
+
+    residual, phrases = extract_phrases('alpha "hash join" beta "x" ""')
+    assert phrases == [["hash", "join"], ["x"]]
+    # an empty '""' span is not a phrase; any quote residue in the
+    # residual is stripped by the analyzer downstream
+    assert tokenize_query(residual) == ["alpha", "beta"]
+
+    df = spark.createDataFrame(
+        [
+            (1, "fast hash join plan"),
+            (2, "hash of the join"),       # terms present, not adjacent
+            (3, "HASH-JOIN strategy"),     # case/punct normalized by analyzer
+            (4, None),
+            (5, "hash"),
+        ],
+        "id bigint, s string",
+    )
+    got = {
+        r["id"]
+        for r in df.filter(phrase_expr(F.col("s"), ["hash", "join"])).collect()
+    }
+    assert got == {1, 3}
+    single = {
+        r["id"] for r in df.filter(phrase_expr(F.col("s"), ["hash"])).collect()
+    }
+    assert single == {1, 2, 3, 5}
+
+
+def test_compiler_phrase_filters_before_scoring(spark):
+    """A quoted phrase restricts hits to adjacency matches while loose
+    terms still match broadly."""
+    from visual_asset_management_system_spark.models.search import SearchRequest
+    from visual_asset_management_system_spark.plans.compiler import SearchCompiler
+
+    assets = spark.createDataFrame(
+        [
+            ("db", "a1", "red widget", "d", "t", False),
+            ("db", "a2", "red bolt", "d", "t", False),      # no phrase, no substring
+            ("db", "a3", "widget red", "d", "t", False),    # reversed: no phrase
+            ("db", "a4", "big red widget kit", "d", "t", False),
+            # substring 'red widget' crosses token boundaries — the
+            # loose (containment) tier hits it, the phrase tier must not
+            ("db", "a5", "sacred widgetry", "d", "t", False),
+            # punctuation-separated tokens: phrase hits via analyzer
+            # normalization, containment misses — and the phrase's own
+            # score contribution keeps it above MIN_SCORE
+            ("db", "a6", "red-widget combo", "d", "t", False),
+        ],
+        "database_id string, asset_id string, asset_name string,"
+        "description string, asset_type string, is_archived boolean",
+    )
+    sc = SearchCompiler({"asset": assets})
+
+    loose = {r["asset_id"] for r in sc.hits(SearchRequest(
+        query="red widget", entity_types=("asset",), size=10
+    )).collect()}
+    phrased = {r["asset_id"] for r in sc.hits(SearchRequest(
+        query='"red widget"', entity_types=("asset",), size=10
+    )).collect()}
+    assert loose == {"a1", "a4", "a5"}
+    assert phrased == {"a1", "a4", "a6"}

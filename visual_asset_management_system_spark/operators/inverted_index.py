@@ -290,3 +290,39 @@ def phrase_match(
         base.select(id_col, F.size("starts").alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+_PHRASE_RE = re.compile(r'"([^"]+)"')
+
+
+def extract_phrases(query: str) -> tuple[str, list[list[str]]]:
+    """Split a query string into (residual terms, quoted phrases) —
+    the ``query_string`` convention where ``"..."`` spans demand exact
+    token adjacency and everything else matches as loose terms. Each
+    phrase is analyzer-tokenized; empty phrases (quotes around
+    punctuation) are dropped."""
+    phrases = [tokenize_query(m) for m in _PHRASE_RE.findall(query)]
+    return _PHRASE_RE.sub(" ", query), [p for p in phrases if p]
+
+
+def phrase_expr(col: Column, terms: list[str]) -> Column:
+    """True when the column's token stream contains ``terms`` adjacently
+    — the expression form of :func:`phrase_match` for SHORT fields
+    (asset names, descriptions) where maintaining a positional index
+    would cost more than scanning the tokens in place. Pure Column
+    algebra (slice equality over candidate start offsets), codegen-
+    eligible, no UDF; documents-scale phrase search should use the
+    positional-postings path instead."""
+    if not terms:
+        raise ValueError("phrase must have at least one term")
+    toks = tokenize(col)
+    k = len(terms)
+    if k == 1:
+        return F.array_contains(toks, terms[0])
+    want = F.array(*[F.lit(t) for t in terms])
+    # start offsets 1..n-k+1; short/empty token streams degrade to a
+    # single slice shorter than k, which never equals the k-array
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    )
+    return F.exists(starts, lambda i: F.slice(toks, i, k) == want)

@@ -168,6 +168,30 @@ class SearchCompiler:
         elif req.metadata_query:
             df = df.filter(F.lit(False))
 
+        # quoted "..." spans in the query are PHRASES: exact token
+        # adjacency required in at least one searched text field (the
+        # reference's query_string quoting — search.py:1089-1121).
+        # Phrases act as filter context BEFORE scoring; scoring then
+        # sees the quote-stripped term stream, so a phrase's terms
+        # still contribute to relevance like OpenSearch's
+        score_query = req.query
+        phrases: list[list[str]] = []
+        if req.query:
+            from ..operators.inverted_index import extract_phrases, phrase_expr
+
+            _, phrases = extract_phrases(req.query)
+            if phrases:
+                # whitespace-normalized so the match-count tier's
+                # substring containment sees the bare term stream, not
+                # quote-residue spaces
+                score_query = " ".join(req.query.replace('"', " ").split())
+                for phrase in phrases:
+                    pred = F.lit(False)
+                    for fld in self.text_fields[entity]:
+                        if fld in cols:
+                            pred = pred | phrase_expr(F.col(fld), phrase)
+                    df = df.filter(pred)
+
         if req.query and req.relevance == "bm25":
             if entity not in self.inverted_indexes:
                 raise ValueError(
@@ -178,17 +202,29 @@ class SearchCompiler:
 
             postings, stats = self.inverted_indexes[entity]
             keys = self.ENTITY_KEYS[entity]
-            scores = bm25_scores(postings, stats, req.query, keys)
+            scores = bm25_scores(postings, stats, score_query, keys)
             # inner join = BM25's natural min-score: a doc with no query
             # term scores 0 and is not a hit (MIN_SCORE is the
             # match-count tier's pruning knob; BM25+ idf is always > 0
             # for any matching doc, so no extra threshold applies)
             df = df.join(scores, keys)
         elif req.query:
+            from ..operators.inverted_index import phrase_expr
+
             fields = {
                 k: w for k, w in self.text_fields[entity].items() if k in cols
             }
-            df = df.withColumn("score", text_match_score(req.query, fields))
+            score = text_match_score(score_query, fields)
+            # a matched phrase scores like a matched term (per-field
+            # weights), so adjacency-only hits (e.g. punctuation-
+            # separated tokens the substring tier misses) survive the
+            # MIN_SCORE prune — OpenSearch's quoted spans score too
+            for phrase in phrases:
+                for fld, w in fields.items():
+                    score = score + F.when(
+                        phrase_expr(F.col(fld), phrase), F.lit(float(w))
+                    ).otherwise(F.lit(0.0))
+            df = df.withColumn("score", score)
             df = df.filter(F.col("score") > MIN_SCORE)
         else:
             df = df.withColumn("score", F.lit(0.0))

@@ -6393,3 +6393,69 @@ def q_vams_suggest(spark, sf_dir):
         .select("prefix", F.col("token").alias("suggestion"), "freq", "rank")
         .orderBy("prefix", "rank")
     )
+
+
+@query(
+    "q_vams_phrase_query",
+    oracle_with("assets")
+    + r"""
+    , toksets AS (
+        SELECT database_id, asset_id, asset_name, description, asset_type,
+               list_filter(string_split_regex(lower(COALESCE(asset_name, '')),
+                                              '[^a-z0-9]+'), t -> t <> '')
+                   AS t_name,
+               list_filter(string_split_regex(lower(COALESCE(description, '')),
+                                              '[^a-z0-9]+'), t -> t <> '')
+                   AS t_desc,
+               list_filter(string_split_regex(lower(COALESCE(asset_type, '')),
+                                              '[^a-z0-9]+'), t -> t <> '')
+                   AS t_type
+        FROM assets WHERE NOT is_archived
+    ), flags AS (
+        SELECT *,
+               len(list_filter(range(1, GREATEST(len(t_name), 1)),
+                   i -> t_name[i] = 'red' AND t_name[i+1] = 'widget')) > 0
+                   AS p_name,
+               len(list_filter(range(1, GREATEST(len(t_desc), 1)),
+                   i -> t_desc[i] = 'red' AND t_desc[i+1] = 'widget')) > 0
+                   AS p_desc,
+               len(list_filter(range(1, GREATEST(len(t_type), 1)),
+                   i -> t_type[i] = 'red' AND t_type[i+1] = 'widget')) > 0
+                   AS p_type
+        FROM toksets
+    ), hit AS (
+        SELECT *,
+               CAST(CASE WHEN contains(lower(asset_name), 'red widget')
+                         THEN 2.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(description), 'red widget')
+                         THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN contains(lower(asset_type), 'red widget')
+                         THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN p_name THEN 2.0 ELSE 0.0 END
+                  + CASE WHEN p_desc THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN p_type THEN 1.0 ELSE 0.0 END AS DOUBLE) AS score
+        FROM flags
+    )
+    SELECT database_id, asset_id, asset_name, score
+    FROM hit WHERE (p_name OR p_desc OR p_type) AND score > 0.01
+    ORDER BY score DESC, database_id, asset_id
+    LIMIT 500
+    """,
+)
+def q_vams_phrase_query(spark, sf_dir):
+    """Quoted-phrase search through the FULL request compiler: the
+    query string ``'"red widget"'`` demands exact token adjacency in at
+    least one searched text field (the reference's query_string quoting
+    — search.py:1089-1121) as filter context, then scores the
+    quote-stripped terms with the match-count tier. The phrase
+    predicate is pure Column algebra over the short search-document
+    fields (operators/inverted_index.phrase_expr — slice-equality
+    subsequence scan, no positional index needed at name/description
+    lengths; documents-scale phrase search uses the positional-postings
+    path, q_doc_phrase_search)."""
+    t = tables(spark, sf_dir)
+    sc = SearchCompiler({"asset": t["search_assets"], "file": t["search_files"]})
+    req = SearchRequest(
+        query='"red widget"', entity_types=("asset",), size=500
+    )
+    return sc.hits(req).select("database_id", "asset_id", "asset_name", "score")
