@@ -975,3 +975,42 @@ def test_phrase_match_randomized_against_bruteforce(spark):
             for r in phrase_match(postings, phrase).collect()
         }
         assert got == brute(phrase), f"phrase={phrase}"
+
+
+def test_positional_postings_per_doc_replacement(spark):
+    """The positional index is CDC-maintainable per entity: replacing
+    one doc's postings rows (delete-by-key + insert) equals a
+    from-scratch rebuild, and phrase results agree — the same
+    partial-rewrite merge contract as the search tables and the BM25
+    postings."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        phrase_match,
+        positional_postings,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "hash join wins"), (2, "sort merge join"), (3, "scan only")],
+        "doc_id bigint, text string",
+    )
+    v2_rows = [(1, "hash join wins"), (2, "hash join again"), (3, "scan only")]
+    v2 = spark.createDataFrame(v2_rows, "doc_id bigint, text string")
+    changed = spark.createDataFrame([v2_rows[1]], "doc_id bigint, text string")
+
+    base = positional_postings(v1)
+    incremental = base.filter(F.col("doc_id") != 2).unionByName(
+        positional_postings(changed)
+    )
+    rebuild = positional_postings(v2)
+
+    def rows(df):
+        return {
+            (r["doc_id"], r["term"], tuple(r["positions"]))
+            for r in df.collect()
+        }
+
+    assert rows(incremental) == rows(rebuild)
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(incremental, ["hash", "join"]).collect()
+    }
+    assert got == {1: 1, 2: 1}
