@@ -402,3 +402,47 @@ def test_compiler_phrase_filters_before_scoring(spark):
     )).collect()}
     assert loose == {"a1", "a4", "a5"}
     assert phrased == {"a1", "a4", "a6"}
+
+
+def test_phrase_composes_with_bm25_auth_and_filters(spark):
+    """Quoted phrases compose with the BM25 tier, an auth predicate,
+    and structured filters in one plan — phrase filter first, BM25
+    scoring on the quote-stripped terms, auth before the limit."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.models.search import SearchRequest
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        build_inverted_index,
+    )
+    from visual_asset_management_system_spark.plans.compiler import SearchCompiler
+
+    assets = spark.createDataFrame(
+        [
+            ("db", "a1", "red widget", "large unit", "t", False, "ok"),
+            ("db", "a2", "red widget", "spare", "t", False, "deny"),
+            ("db", "a3", "widget red", "large unit", "t", False, "ok"),
+            ("db", "a4", "red widget", "large unit", "t", True, "ok"),
+        ],
+        "database_id string, asset_id string, asset_name string,"
+        "description string, asset_type string, is_archived boolean,"
+        "acl string",
+    )
+    fields = {"asset_name": 2.0, "description": 1.0, "asset_type": 1.0}
+    postings, stats = build_inverted_index(
+        assets, ["database_id", "asset_id"], fields
+    )
+    sc = SearchCompiler(
+        {"asset": assets},
+        auth_predicate=F.col("acl") == "ok",
+        inverted_indexes={"asset": (postings, stats)},
+    )
+    req = SearchRequest(
+        query='"red widget" large',
+        entity_types=("asset",),
+        relevance="bm25",
+        size=10,
+    )
+    rows = {r["asset_id"]: r["score"] for r in sc.hits(req).collect()}
+    # a2 fails auth, a3 fails the phrase, a4 is archived -> only a1
+    assert set(rows) == {"a1"}
+    assert rows["a1"] > 0.0
