@@ -96,3 +96,30 @@ def test_real_fixture_contract(spark):
     # plausibly nanoseconds: 2001..2286 in ns-since-epoch
     assert 1_000_000_000_000_000_000 < row.lo < 10_000_000_000_000_000_000
     assert row.hi >= row.lo
+
+
+def test_embeddings_element_type_conforms_to_float(spark, tmp_path):
+    """A double-encoded embedding fixture is cast to array<float> on
+    read, keeping every similarity/quantization hash stable."""
+    d = tmp_path / "sf_emb_drift"
+    d.mkdir()
+    for name in TPCH_TABLES:
+        if name == "embeddings":
+            continue
+        os.symlink(
+            os.path.join(SF_DIR, f"{name}.parquet"), d / f"{name}.parquet"
+        )
+    table = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [[0.25, 0.5], [0.125, 1.0]], pa.list_(pa.float64())
+            ),
+            "label": pa.array([0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(table, d / "embeddings.parquet")
+    emb = load_tables(spark, str(d))["embeddings"]
+    assert dict(emb.dtypes)["embedding"] == "array<float>"
+    got = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert got == {0: [0.25, 0.5], 1: [0.125, 1.0]}

@@ -56,7 +56,9 @@ EXPECTED_SCHEMA: dict[str, dict[str, str]] = {
     },
     "orders": {"o_totalprice": "double"},
     "documents": {"doc_id": "bigint", "text": "string"},
-    "embeddings": {"vec_id": "bigint"},
+    # embedding element width matters: a double-encoded fixture would
+    # silently change every cosine/quantization hash; conform to float
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
 }
 
 
