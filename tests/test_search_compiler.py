@@ -446,3 +446,80 @@ def test_phrase_composes_with_bm25_auth_and_filters(spark):
     # a2 fails auth, a3 fails the phrase, a4 is archived -> only a1
     assert set(rows) == {"a1"}
     assert rows["a1"] > 0.0
+
+
+def test_phrase_repeated_tokens_keep_order_and_multiplicity(spark):
+    """A quoted phrase with repeated words must match only true
+    repetitions — the query-side dedupe would collapse '"do do do"'
+    into the single term 'do'."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        extract_phrases,
+        phrase_expr,
+    )
+
+    _, phrases = extract_phrases('"do do do"')
+    assert phrases == [["do", "do", "do"]]
+    _, phrases2 = extract_phrases('"new york new"')
+    assert phrases2 == [["new", "york", "new"]]
+
+    df = spark.createDataFrame(
+        [
+            (1, "do re mi"),
+            (2, "do do re"),
+            (3, "so do do do re"),
+            (4, "new york city"),
+            (5, "new york new deal"),
+        ],
+        "id bigint, s string",
+    )
+    triple = {
+        r["id"]
+        for r in df.filter(phrase_expr(F.col("s"), ["do", "do", "do"])).collect()
+    }
+    assert triple == {3}
+    nyn = {
+        r["id"]
+        for r in df.filter(
+            phrase_expr(F.col("s"), ["new", "york", "new"])
+        ).collect()
+    }
+    assert nyn == {5}
+
+
+def test_explain_and_highlight_agree_on_phrase_hits(spark):
+    """explain()/highlight() must classify quoted-phrase hits with the
+    same predicate hits() used — no zero-matched-fields explanations
+    and no NULL highlights on real phrase hits."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.models.search import SearchRequest
+    from visual_asset_management_system_spark.plans.compiler import SearchCompiler
+
+    assets = spark.createDataFrame(
+        [
+            ("db", "a1", "red widget", "d", "t", False),
+            ("db", "a6", "red-widget combo", "d", "t", False),
+        ],
+        "database_id string, asset_id string, asset_name string,"
+        "description string, asset_type string, is_archived boolean",
+    )
+    sc = SearchCompiler({"asset": assets})
+    req = SearchRequest(query='"red widget"', entity_types=("asset",), size=10)
+    hits = sc.hits(req)
+    explained = {
+        r["asset_id"]: r["explanation"]
+        for r in sc.explain(hits, req).collect()
+    }
+    assert set(explained) == {"a1", "a6"}
+    for aid, ex in explained.items():
+        assert ex["field_matches"] >= 1, f"{aid}: no matched fields"
+        assert "asset_name" in ex["matched_fields"]
+    lit = {
+        r["asset_id"]: r["highlight_asset_name"]
+        for r in sc.highlight(hits, req).collect()
+    }
+    assert lit["a1"] == "<em>red widget</em>"
+    # phrase-normalized hit: matched (non-null) but not wrappable
+    assert lit["a6"] == "red-widget combo"

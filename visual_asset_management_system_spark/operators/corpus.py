@@ -275,6 +275,8 @@ def corpus_index_update(
     fp_dir = _os.path.join(state_dir, "fingerprints")
     sig_dir = _os.path.join(state_dir, "signatures")
 
+    from .dedup import drop_exact_duplicates
+
     filtered = (
         new_docs.withColumn("_lang", lang_id(F.col(text_col)))
         .withColumn("_q", quality_score(F.col(text_col)))
@@ -282,28 +284,33 @@ def corpus_index_update(
         .drop("_lang", "_q")
         .withColumn("_fp", fingerprint(F.col(text_col)))
     )
-    # exact dedup, first-wins by id within the batch...
-    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
-    batch_unique = (
-        filtered.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # exact dedup, first-wins by id within the batch (the batch
+    # pipeline's lowest-id representative rule, reusing its operator
+    # against the precomputed fingerprint column)...
+    batch_unique = drop_exact_duplicates(filtered, id_col=id_col, fp_col="_fp")
     # ...then against the maintained fingerprint set (replay-tolerant:
-    # rows this same batch appended before a crash are excluded)
+    # rows this same batch appended before a crash are excluded).
+    # mergeSchema tolerates stores whose older files predate the
+    # batch_key column.
     have_fp = _os.path.isdir(fp_dir) and any(
         f.endswith(".parquet") for f in _os.listdir(fp_dir)
     )
     if have_fp:
-        seen = spark.read.parquet(fp_dir)
+        seen = spark.read.option("mergeSchema", "true").parquet(fp_dir)
         if batch_key is not None and "batch_key" in seen.columns:
             seen = seen.filter(
                 F.col("batch_key").isNull()
                 | (F.col("batch_key") != batch_key)
             )
-        batch_unique = batch_unique.join(
-            seen.select("_fp"), "_fp", "left_anti"
+        # LeftAnti can only broadcast its build (store) side, so a
+        # direct batch-anti-store join would shuffle the WHOLE store
+        # every micro-batch. Instead semi-join the store against the
+        # BROADCAST batch fingerprints (one store scan, no store
+        # shuffle) — the hit set is ≤ |batch| and anti-joins cheaply.
+        hits = seen.select("_fp").join(
+            F.broadcast(batch_unique.select("_fp")), "_fp", "left_semi"
         )
+        batch_unique = batch_unique.join(hits, "_fp", "left_anti")
     batch_unique = batch_unique.localCheckpoint(eager=True)
 
     pairs, sig_new = _minhash_probe(
@@ -391,6 +398,14 @@ def start_corpus_build_stream(
     stream = (
         spark.readStream.schema(docs_schema).format("json").load(docs_dir)
     )
+
+    reserved = {"batch_key", "commit"} & set(update_kwargs)
+    if reserved:
+        raise TypeError(
+            f"{sorted(reserved)} are managed by the stream wrapper "
+            "(per-micro-batch key + partition-overwrite sink) and cannot "
+            "be overridden"
+        )
 
     def handle(batch, batch_id: int) -> None:
         if batch.isEmpty():

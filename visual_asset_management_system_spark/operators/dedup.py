@@ -70,12 +70,21 @@ def exact_duplicate_groups(
 
 
 def drop_exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str | None = None,
 ) -> DataFrame:
-    """Keep the lowest-id representative of each fingerprint group."""
+    """Keep the lowest-id representative of each fingerprint group.
+
+    ``fp_col`` names an already-computed fingerprint column to group on
+    (callers that need the fingerprint downstream, e.g. the incremental
+    corpus build's store membership check, avoid computing it twice and
+    cannot drift from this rule)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    key = F.col(fp_col) if fp_col else fingerprint(F.col(text_col))
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -510,7 +519,11 @@ def _minhash_probe(
         f.endswith(".parquet") for f in _os.listdir(store_dir)
     )
     if have_store:
-        stored = spark.read.parquet(store_dir)
+        # mergeSchema: a store whose oldest files predate the batch_key
+        # column must still surface it (footer sampling is otherwise
+        # file-order-dependent and could silently skip the replay
+        # exclusion)
+        stored = spark.read.option("mergeSchema", "true").parquet(store_dir)
         if exclude_batch is not None and "batch_key" in stored.columns:
             stored = stored.filter(
                 F.col("batch_key").isNull()
@@ -648,6 +661,12 @@ def start_minhash_dedup_stream(
     store rows — so it recomputes the identical pair set and overwrites
     its own partition instead of duplicating or dropping pairs (the
     same crash-ordering discipline as corpus_index_update).
+
+    Layout note: the pair log is partition-per-batch (``batch=<id>``
+    subdirectories). A pairs_dir holding FLAT part files from the
+    pre-partitioned layout cannot be mixed with this one (parquet
+    partition discovery rejects leaf files at the root alongside
+    partition dirs) — point a migrated stream at a fresh pairs_dir.
     """
     import os as _os
 

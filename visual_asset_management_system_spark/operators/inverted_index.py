@@ -298,10 +298,15 @@ _PHRASE_RE = re.compile(r'"([^"]+)"')
 def extract_phrases(query: str) -> tuple[str, list[list[str]]]:
     """Split a query string into (residual terms, quoted phrases) —
     the ``query_string`` convention where ``"..."`` spans demand exact
-    token adjacency and everything else matches as loose terms. Each
-    phrase is analyzer-tokenized; empty phrases (quotes around
+    token adjacency and everything else matches as loose terms. Phrase
+    spans keep the ORDERED, REPEATED token sequence (tokenize_query's
+    dedupe would turn ``"do do do"`` into the single term ``do`` and
+    match the wrong documents); empty phrases (quotes around
     punctuation) are dropped."""
-    phrases = [tokenize_query(m) for m in _PHRASE_RE.findall(query)]
+    phrases = [
+        [t for t in re.split(TOKEN_BREAK_RE, m.lower()) if t]
+        for m in _PHRASE_RE.findall(query)
+    ]
     return _PHRASE_RE.sub(" ", query), [p for p in phrases if p]
 
 

@@ -174,23 +174,16 @@ class SearchCompiler:
         # Phrases act as filter context BEFORE scoring; scoring then
         # sees the quote-stripped term stream, so a phrase's terms
         # still contribute to relevance like OpenSearch's
-        score_query = req.query
-        phrases: list[list[str]] = []
-        if req.query:
-            from ..operators.inverted_index import extract_phrases, phrase_expr
+        score_query, phrases = self._query_parts(req.query)
+        if phrases:
+            from ..operators.inverted_index import phrase_expr
 
-            _, phrases = extract_phrases(req.query)
-            if phrases:
-                # whitespace-normalized so the match-count tier's
-                # substring containment sees the bare term stream, not
-                # quote-residue spaces
-                score_query = " ".join(req.query.replace('"', " ").split())
-                for phrase in phrases:
-                    pred = F.lit(False)
-                    for fld in self.text_fields[entity]:
-                        if fld in cols:
-                            pred = pred | phrase_expr(F.col(fld), phrase)
-                    df = df.filter(pred)
+            for phrase in phrases:
+                pred = F.lit(False)
+                for fld in self.text_fields[entity]:
+                    if fld in cols:
+                        pred = pred | phrase_expr(F.col(fld), phrase)
+                df = df.filter(pred)
 
         if req.query and req.relevance == "bm25":
             if entity not in self.inverted_indexes:
@@ -335,6 +328,37 @@ class SearchCompiler:
             .limit(max_buckets)
         )
 
+    @staticmethod
+    def _query_parts(query: str | None) -> tuple[str | None, list[list[str]]]:
+        """Normalize a request query once for every consumer: quoted
+        spans become phrase token sequences, and the scoring/highlight
+        tiers see the quote-stripped, whitespace-normalized term stream
+        — so hits(), explain() and highlight() can never disagree about
+        what a quoted query means."""
+        if not query:
+            return query, []
+        from ..operators.inverted_index import extract_phrases
+
+        _, phrases = extract_phrases(query)
+        if not phrases:
+            return query, []
+        return " ".join(query.replace('"', " ").split()), phrases
+
+    def _field_match_pred(
+        self, fld: str, score_query: str, phrases: list[list[str]]
+    ) -> Column:
+        """Did this field match the query? — substring containment of
+        the loose terms OR token adjacency of any quoted phrase; the
+        SAME predicate scoring uses, so explanation/highlight agree
+        with the hit set."""
+        pred = field_matches(F.col(fld), score_query)
+        if phrases:
+            from ..operators.inverted_index import phrase_expr
+
+            for p in phrases:
+                pred = pred | phrase_expr(F.col(fld), p)
+        return pred
+
     def explain(self, df: DataFrame, req: SearchRequest) -> DataFrame:
         """Append an ``explanation`` struct column to a hits DataFrame —
         the per-hit match explanation of search.py:1569-1621
@@ -359,11 +383,13 @@ class SearchCompiler:
                 if fld in df.columns and fld not in field_order:
                     field_order.append(fld)
         if req.query:
+            score_query, phrases = self._query_parts(req.query)
             matched = F.array_compact(
                 F.array(
                     *[
                         F.when(
-                            field_matches(F.col(f), req.query), F.lit(f)
+                            self._field_match_pred(f, score_query, phrases),
+                            F.lit(f),
                         )
                         for f in field_order
                     ]
@@ -391,14 +417,19 @@ class SearchCompiler:
             return df
         import re as _re
 
-        q = _re.escape(req.query.lower())
+        score_query, phrases = self._query_parts(req.query)
+        # wrap the loose term stream; a phrase-only hit whose surface
+        # form differs from the raw span (punctuation-separated tokens)
+        # gets a non-null highlight column with the field text unwrapped
+        # — matched-but-not-wrappable, mirroring explain()'s predicate
+        q = _re.escape(score_query.lower())
         for entity in req.entity_types:
             for fld in self.text_fields[entity]:
                 if fld in df.columns:
                     df = df.withColumn(
                         f"highlight_{fld}",
                         F.when(
-                            field_matches(F.col(fld), req.query),
+                            self._field_match_pred(fld, score_query, phrases),
                             F.regexp_replace(
                                 F.col(fld), f"(?i)({q})", f"{pre}$1{post}"
                             ),

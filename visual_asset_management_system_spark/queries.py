@@ -6123,9 +6123,11 @@ def q_fuzzy_name_match(spark, sf_dir):
             (F.col("name_a") < F.col("name_b"))
             & (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
         )
-        # compute the O(len²) distance ONCE per surviving pair — a
-        # levenshtein in both the filter and the projection would run
-        # the DP twice (Filter/Project don't share subexpressions)
+        # Catalyst pushes the aliased predicate back below the Project
+        # (re-inlining the levenshtein), so the DP still evaluates
+        # twice per block-surviving pair — a constant factor the
+        # blocking join, not expression sharing, is responsible for
+        # bounding. Kept in the single-projection form for readability.
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
         .filter(F.col("dist") <= 2)
         .select("name_a", "name_b", "dist")
@@ -6362,18 +6364,13 @@ def q_vams_suggest(spark, sf_dir):
     explode runs on the token dictionary, not the corpus), rank per
     prefix. Serving is then a point lookup on the prefix key — the
     suggest index is maintained state exactly like the search tables."""
+    from .operators.inverted_index import tokenize
+
     t = tables(spark, sf_dir)
     toks = (
         t["assets"]
         .filter(~F.col("is_archived"))
-        .select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower("asset_name"), "[^a-z0-9]+"),
-                    lambda x: x != "",
-                )
-            ).alias("token")
-        )
+        .select(F.explode(tokenize(F.col("asset_name"))).alias("token"))
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     pfx = freq.select(
