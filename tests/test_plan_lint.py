@@ -100,3 +100,35 @@ def test_iterative_loop_bodies(spark):
             ),
         ]:
             _lint(df._jdf.queryExecution().sparkPlan().toString(), label)
+
+
+def test_funnel_and_retention_single_user_exchange(spark):
+    """The behavioral-analytics queries' core claim is structural: all
+    stacked windows (and the dedup/count that follows) reuse ONE
+    user_id hash partitioning. Pin the exchange count so a refactor
+    back to the 5-exchange cascade form fails loudly."""
+    import re
+
+    from visual_asset_management_system_spark.queries import QUERIES
+
+    for name, max_hash_exchanges in [
+        # funnel: 1 user-id exchange + the 3-row final rollup branches
+        # (deduplicated by ReuseExchange at execution); retention: the
+        # user-id exchange + the cohort-key aggregate exchange
+        ("q_events_funnel", 3),
+        ("q_events_retention", 2),
+    ]:
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n <= max_hash_exchanges, (
+            f"{name}: {n} hash exchanges (max {max_hash_exchanges}) — "
+            f"the one-user-shuffle window form regressed\n{plan[:1200]}"
+        )
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, (
+            f"{name} should be join-free (window form), got joins"
+        )
