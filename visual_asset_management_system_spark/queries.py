@@ -6456,3 +6456,81 @@ def q_vams_phrase_query(spark, sf_dir):
         query='"red widget"', entity_types=("asset",), size=500
     )
     return sc.hits(req).select("database_id", "asset_id", "asset_name", "score")
+
+
+@query(
+    "q_table_profile",
+    """
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS null_frac_totalprice,
+               CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE)
+                   AS distinct_status,
+               MIN(o_totalprice) AS min_totalprice,
+               MAX(o_totalprice) AS max_totalprice,
+               CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE)
+                   AS min_orderdate_us,
+               CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE)
+                   AS max_orderdate_us
+        FROM orders
+    )
+    SELECT metric, value FROM (
+        SELECT 'row_count' AS metric, row_count AS value FROM m
+        UNION ALL SELECT 'null_frac_totalprice', null_frac_totalprice FROM m
+        UNION ALL SELECT 'distinct_status', distinct_status FROM m
+        UNION ALL SELECT 'min_totalprice', min_totalprice FROM m
+        UNION ALL SELECT 'max_totalprice', max_totalprice FROM m
+        UNION ALL SELECT 'min_orderdate_us', min_orderdate_us FROM m
+        UNION ALL SELECT 'max_orderdate_us', max_orderdate_us FROM m
+        UNION ALL SELECT 'expect_totalprice_nonneg',
+               CASE WHEN min_totalprice >= 0 THEN 1.0 ELSE 0.0 END FROM m
+        UNION ALL SELECT 'expect_no_null_totalprice',
+               CASE WHEN null_frac_totalprice = 0 THEN 1.0 ELSE 0.0 END FROM m
+        UNION ALL SELECT 'expect_status_domain',
+               CASE WHEN distinct_status <= 3 THEN 1.0 ELSE 0.0 END FROM m
+    ) ORDER BY metric
+    """,
+)
+def q_table_profile(spark, sf_dir):
+    """Single-pass data-quality profile + expectation checks (the
+    Deequ/Great-Expectations pattern): every metric — row count, null
+    fraction, distinct cardinality, numeric and date ranges — and every
+    derived pass/fail expectation comes from ONE aggregation over the
+    table (map-side combinable, 1-row exchange), then melts to the
+    (metric, value) long form. At 100 TB this is the profile job run
+    before promoting a snapshot: one scan, no per-metric passes, no
+    driver-side row inspection."""
+    t = tables(spark, sf_dir)
+    m = t["orders"].agg(
+        F.count(F.lit(1)).cast("double").alias("row_count"),
+        (
+            F.sum(
+                F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("null_frac_totalprice"),
+        F.countDistinct("o_orderstatus").cast("double").alias("distinct_status"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+        F.unix_micros(F.min("o_orderdate").cast("timestamp"))
+        .cast("double")
+        .alias("min_orderdate_us"),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+        .cast("double")
+        .alias("max_orderdate_us"),
+    )
+    m = m.withColumns(
+        {
+            "expect_totalprice_nonneg": F.when(
+                F.col("min_totalprice") >= 0, 1.0
+            ).otherwise(0.0),
+            "expect_no_null_totalprice": F.when(
+                F.col("null_frac_totalprice") == 0, 1.0
+            ).otherwise(0.0),
+            "expect_status_domain": F.when(
+                F.col("distinct_status") <= 3, 1.0
+            ).otherwise(0.0),
+        }
+    )
+    return m.unpivot([], None, "metric", "value").orderBy("metric")
