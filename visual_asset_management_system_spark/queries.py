@@ -6510,7 +6510,15 @@ def q_table_profile(spark, sf_dir):
             ).cast("double")
             / F.count(F.lit(1))
         ).alias("null_frac_totalprice"),
-        F.countDistinct("o_orderstatus").cast("double").alias("distinct_status"),
+        # size(collect_set) not countDistinct: COUNT(DISTINCT) plans an
+        # Expand + two aggregation phases (3 exchanges); a collect_set
+        # over a DOMAIN-BOUNDED column (order status has ≤3 values) is a
+        # plain single-phase aggregate, keeping the whole profile at one
+        # pass + one 1-row exchange. For unbounded-cardinality columns
+        # the 100 TB substitute is approx_count_distinct (sketch tier).
+        F.size(F.collect_set("o_orderstatus")).cast("double").alias(
+            "distinct_status"
+        ),
         F.min("o_totalprice").alias("min_totalprice"),
         F.max("o_totalprice").alias("max_totalprice"),
         F.unix_micros(F.min("o_orderdate").cast("timestamp"))
