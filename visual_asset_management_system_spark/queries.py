@@ -6542,3 +6542,54 @@ def q_table_profile(spark, sf_dir):
         }
     )
     return m.unpivot([], None, "metric", "value").orderBy("metric")
+
+
+@query(
+    "q_user_entropy",
+    f"""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ), totals AS (
+        SELECT user_id, SUM(c) AS total FROM counts GROUP BY user_id
+    ), terms AS (
+        SELECT c.user_id,
+               ROUND(-(c.c / t.total) * LN(c.c / t.total), 6) AS term
+        FROM counts c JOIN totals t USING (user_id)
+    )
+    SELECT user_id,
+           ROUND({O_SUM('term')}, 6) AS entropy
+    FROM terms GROUP BY user_id
+    ORDER BY entropy DESC, user_id
+    LIMIT 50
+    """,
+)
+def q_user_entropy(spark, sf_dir):
+    """Per-user behavioral entropy (Shannon entropy of the event-type
+    distribution) — the diversity metric behind bot/outlier screens and
+    corpus-mix diagnostics. Two aggregations on the SAME user_id key
+    (per-type counts, then totals via a whole-partition window so no
+    self-join re-shuffle), entropy terms rounded to a 1e-6 grid before
+    decimal-exact accumulation — the q_doc_char_lm_score convention
+    that makes cross-engine ``ln`` ulp differences unobservable."""
+    t = tables(spark, sf_dir)
+    counts = (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    counts = counts.withColumn(
+        "total", F.sum("c").over(Window.partitionBy("user_id"))
+    )
+    p = F.col("c") / F.col("total")
+    terms = counts.withColumn("term", F.round(-p * F.log(p), 6))
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("entropy")
+        )
+        .orderBy(F.desc("entropy"), "user_id")
+        .limit(50)
+    )
