@@ -6593,3 +6593,76 @@ def q_user_entropy(spark, sf_dir):
         .orderBy(F.desc("entropy"), "user_id")
         .limit(50)
     )
+
+
+@query(
+    "q_referential_audit",
+    """
+    SELECT fk, orphans FROM (
+        SELECT 'orders.o_custkey' AS fk, CAST(COUNT(*) AS BIGINT) AS orphans
+        FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem.l_partkey', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l WHERE NOT EXISTS (
+            SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        UNION ALL
+        SELECT 'customer.c_nationkey', CAST(COUNT(*) AS BIGINT)
+        FROM customer c WHERE NOT EXISTS (
+            SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    ) ORDER BY fk
+    """,
+)
+def q_referential_audit(spark, sf_dir):
+    """Whole-star referential-integrity audit: orphan counts for every
+    foreign key in one plan — the dbt-test / constraint-check job a
+    warehouse runs before promoting a load. Each FK is a LEFT ANTI join
+    (NOT EXISTS decorrelated) followed by a count; dimension sides
+    (customer, part, supplier, nation) broadcast, so each check is one
+    scan of its fact side with no fact shuffle — the whole audit reads
+    each table once per constraint and exchanges only 1-row counts.
+    All-zero orphans on the fixture is itself the assertion: the
+    generator guarantees closure, and a nonzero row pinpoints the
+    broken key."""
+    t = tables(spark, sf_dir)
+
+    def orphans(fact, fk, dim, pk, label):
+        return (
+            t[fact]
+            .join(
+                F.broadcast(t[dim].select(pk)),
+                F.col(fk) == F.col(pk),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(label).alias("fk"), "orphans")
+        )
+
+    return (
+        orphans("orders", "o_custkey", "customer", "c_custkey", "orders.o_custkey")
+        .unionByName(
+            orphans("lineitem", "l_orderkey", "orders", "o_orderkey",
+                    "lineitem.l_orderkey")
+        )
+        .unionByName(
+            orphans("lineitem", "l_partkey", "part", "p_partkey",
+                    "lineitem.l_partkey")
+        )
+        .unionByName(
+            orphans("lineitem", "l_suppkey", "supplier", "s_suppkey",
+                    "lineitem.l_suppkey")
+        )
+        .unionByName(
+            orphans("customer", "c_nationkey", "nation", "n_nationkey",
+                    "customer.c_nationkey")
+        )
+        .orderBy("fk")
+    )
