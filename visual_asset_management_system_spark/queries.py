@@ -6666,3 +6666,69 @@ def q_referential_audit(spark, sf_dir):
         )
         .orderBy("fk")
     )
+
+
+@query(
+    "q_doc_tfidf_keywords",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                                     '[^a-z0-9]+'),
+                                  t -> t <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ROUND(LN(n.n_docs / df.df), 6), 6) AS tfidf
+        FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+        SELECT doc_id, term, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def q_doc_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords — the classic keyword-
+    extraction / document-signature operator. One explode + two
+    aggregations (term frequencies shuffle on (doc, term); document
+    frequencies reuse the term key), a broadcast (term, idf) dictionary
+    join back, and a per-doc row_number window. idf is grid-rounded to
+    1e-6 BEFORE the tf multiply (the ln-determinism convention), and
+    the (score, term) ordering tiebreak pins rank edges. At 100 TB the
+    idf dictionary is |vocabulary|-bounded and broadcastable; nothing
+    else leaves its natural key."""
+    from .operators.inverted_index import tokenize
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
