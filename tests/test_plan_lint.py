@@ -132,3 +132,27 @@ def test_funnel_and_retention_single_user_exchange(spark):
         assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, (
             f"{name} should be join-free (window form), got joins"
         )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_output_schema_is_canonicalizable(spark, name):
+    """Driver-canonicalizer contract: the correctness gate sorts result
+    frames with pandas ``sort_values``, and list/dict cells are
+    unhashable there (the exact failure that turned
+    q_multimodal_features / q_doc_repeated_ngrams red in round 5).
+    Registered queries must therefore emit only scalar top-level
+    columns — serialize arrays with concat_ws/array_to_string in the
+    final projection on BOTH engines."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = QUERIES[name](spark, SF).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} emits non-scalar top-level columns {bad} — the driver "
+        f"canonicalizer cannot sort these; stringify them in the final "
+        f"projection (and mirror in the oracle)"
+    )

@@ -2884,9 +2884,9 @@ def q_ivf_ann(spark, sf_dir):
     "q_multimodal_features",
     """
     SELECT CAST(doc_id AS VARCHAR) AS media_id,
-           list_transform(range(0, 16), i -> ROUND(
-               (('0x' || substr(md5(text || CAST(i AS VARCHAR)), 1, 8))::BIGINT
-                % 1000) / 1000.0, 3)) AS features
+           array_to_string(list_transform(range(0, 16), i -> CAST(
+               ('0x' || substr(md5(text || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                % 1000 AS VARCHAR)), ',') AS features
     FROM documents
     ORDER BY media_id
     """,
@@ -2897,7 +2897,11 @@ def q_multimodal_features(spark, sf_dir):
     The stub kernel's feature derivation is md5-based precisely so the
     oracle can recompute every vector element in SQL: the differential
     check verifies the full Arrow round-trip (binary column in, typed
-    array<float> out, batch iteration) value-for-value."""
+    array<float> out, batch iteration) value-for-value. Output contract:
+    the float32 vector is re-quantized to integer milli-units and joined
+    with commas — the driver canonicalizer cannot sort list cells, so
+    registered queries never emit top-level array columns (the
+    test_plan_lint.py output-schema lint enforces this)."""
     from .operators.multimodal import extract_features
 
     t = tables(spark, sf_dir)
@@ -2916,8 +2920,14 @@ def q_multimodal_features(spark, sf_dir):
         extract_features(media)
         .select(
             "media_id",
-            F.transform(
-                "features", lambda x: F.round(x.cast("double"), 3)
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "features",
+                    lambda x: F.round(x.cast("double") * 1000)
+                    .cast("bigint")
+                    .cast("string"),
+                ),
             ).alias("features"),
         )
         .orderBy("media_id")
@@ -3821,10 +3831,10 @@ def q_doc_repetition(spark, sf_dir):
         FROM t
     )
     SELECT doc_id, bucket, n_tokens,
-           (cum - n_tokens) // 512 AS seq_id,
-           (cum - n_tokens) % 512 AS offset,
-           ((cum - n_tokens + GREATEST(n_tokens, 1) - 1) // 512)
-             - ((cum - n_tokens) // 512) + 1 AS n_seqs
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS offset,
+           CAST(((cum - n_tokens + GREATEST(n_tokens, 1) - 1) // 512)
+             - ((cum - n_tokens) // 512) + 1 AS BIGINT) AS n_seqs
     FROM c ORDER BY doc_id
     """,
 )
@@ -3924,7 +3934,8 @@ def q_doc_decontaminate(spark, sf_dir):
         FROM corpus
     )
     SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           list_slice(list_sort(list(doc_id)), 1, 20) AS doc_ids
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
+             AS doc_ids
     FROM grams GROUP BY ngram HAVING COUNT(*) >= 2
     ORDER BY ngram
     """,
@@ -3935,7 +3946,9 @@ def q_doc_repeated_ngrams(spark, sf_dir):
     exact-substring dedup (Lee et al. 2022). Corpus = documents ∪
     mutated copies so repeated spans provably exist. One explode + one
     groupBy on the span; per-span doc list capped at 20 (n_docs keeps
-    the true count)."""
+    the true count). The capped id list is comma-joined in the final
+    projection (both engines) — registered queries never emit top-level
+    array columns (driver-canonicalizer contract)."""
     from .operators.corpus import repeated_ngrams
 
     t = tables(spark, sf_dir)
@@ -3949,9 +3962,19 @@ def q_doc_repeated_ngrams(spark, sf_dir):
             " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
         ).alias("text"),
     )
-    return repeated_ngrams(
-        docs.unionByName(mutated), n=10, min_docs=2, max_docs_listed=20
-    ).orderBy("ngram")
+    return (
+        repeated_ngrams(
+            docs.unionByName(mutated), n=10, min_docs=2, max_docs_listed=20
+        )
+        .select(
+            "ngram",
+            "n_docs",
+            F.concat_ws(
+                ",", F.transform("doc_ids", lambda x: x.cast("string"))
+            ).alias("doc_ids"),
+        )
+        .orderBy("ngram")
+    )
 
 
 def _pii_oracle() -> str:
@@ -4241,8 +4264,8 @@ def q_events_session_native(spark, sf_dir):
         FROM clean
     )
     SELECT doc_id, bucket, n_tokens,
-           (cum - n_tokens) // 512 AS seq_id,
-           (cum - n_tokens) % 512 AS offset
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS offset
     FROM packed ORDER BY doc_id
     """,
 )
