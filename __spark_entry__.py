@@ -38,30 +38,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #      BIGINT-cast oracle fix; the one-hop family after the broadcast
 #      rework in operators/graph.py);
 #   3. the remaining twice-driver-green entries, registration order.
-_RECHECK = [
-    # manual overrides: driver-green entries whose standing green row is
-    # STALE — every name below last saw the driver in round 2 while
-    # engine code they depend on changed in rounds 3-5 (VERDICT r04
-    # item 8 names the first three explicitly; the rest are the
-    # remainder of the r02-era rotation block, refreshed while window
-    # capacity allows). r04 re-greened the previous _RECHECK list.
-    "q_vams_authz",
-    "q_vams_highlight",
-    "q_vams_schema_validation",
-    "q_vams_auto_register",
-    "q_vams_dual_search",
-    "q_vams_keyed_listing",
-    "q_vams_keyset_page",
-    "q_vams_point_lookup",
-    "q_vams_relationship_flags",
-    "q_vams_scalar_funcs",
-    "q_vams_typed_validation",
-    "q_vams_version_file_counts",
+_RECHECK_OVERRIDES: list[str] = [
+    # manual overrides ONLY — the recheck set is otherwise COMPUTED from
+    # git history by _auto_recheck() (a green row is stale when an
+    # engine module the query imports changed after the round that
+    # checked it). Add a name here only when the automation can't see
+    # the dependency (e.g. a shared helper imported at queries.py
+    # module top rather than inside the query function).
 ]
 
+#: the driver's oracle gate checks this many leading queries() entries
+_GATE_WINDOW = 50
 
-def _driver_green() -> set[str]:
-    """Names with a fully-green row in ANY prior CORRECTNESS_r*.json.
+
+def _latest_rows() -> dict[str, tuple[int, bool]]:
+    """Most recent CORRECTNESS_r*.json row per name: name -> (round, ok).
 
     Self-maintaining across rounds: a red row (hash/schema/rows
     mismatch) or a never-recorded name sorts to the front of the next
@@ -93,14 +84,101 @@ def _driver_green() -> set[str]:
             )
             if name not in latest or rnd > latest[name][0]:
                 latest[name] = (rnd, ok)
-    return {n for n, (_, ok) in latest.items() if ok}
+    return latest
+
+
+def _auto_recheck(green: dict[str, int]) -> list[str]:
+    """Compute the stale-green set from git history.
+
+    A green row from round R is STALE when any engine module the query
+    function imports (``from .operators.x import ...`` in its source)
+    was committed after round R's gate ran (approximated by the
+    "round R: verdict/..." commit timestamp). Oldest-green-first so a
+    capped window refreshes the most out-of-date rows first. Returns []
+    on any git/inspect failure — the priority order degrades to
+    never-checked-first, which is always safe."""
+    import inspect
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=C %ct %s", "--name-only"],
+            cwd=here, capture_output=True, text=True, timeout=15,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        return []
+    round_ts: dict[int, int] = {}
+    file_ts: dict[str, int] = {}
+    cur_ts = 0
+    for line in log.splitlines():
+        m = re.match(r"C (\d+) (.*)", line)
+        if m:
+            cur_ts = int(m.group(1))
+            rm = re.match(r"round (\d+): verdict", m.group(2))
+            if rm:
+                round_ts[int(rm.group(1))] = cur_ts
+        elif line.strip():
+            file_ts.setdefault(line.strip(), cur_ts)
+    if not round_ts:
+        return []
+
+    pkg = "visual_asset_management_system_spark"
+
+    # identifier -> module for queries.py's MODULE-TOP relative imports
+    # (e.g. `from .operators.authz import row_filter`), so queries whose
+    # function body merely USES such a helper still pick up staleness
+    # from the helper's module.
+    import ast
+
+    top_ident_mod: dict[str, str] = {}
+    try:
+        qpath = os.path.join(here, pkg, "queries.py")
+        with open(qpath) as f:
+            tree = ast.parse(f.read())
+        for node in tree.body:
+            if isinstance(node, ast.ImportFrom) and node.level == 1 and node.module:
+                for alias in node.names:
+                    top_ident_mod[alias.asname or alias.name] = node.module
+    except (OSError, SyntaxError):
+        pass
+
+    stale: list[tuple[int, str]] = []
+    for name, rnd in green.items():
+        gate_ts = round_ts.get(rnd)
+        if gate_ts is None or name not in QUERIES:
+            continue
+        try:
+            src = inspect.getsource(QUERIES[name])
+        except (OSError, TypeError):
+            continue
+        mods = set(re.findall(r"from \.((?:\w+\.)*\w+) import", src))
+        words = set(re.findall(r"\b\w+\b", src))
+        mods.update(m for ident, m in top_ident_mod.items() if ident in words)
+        for mod in mods:
+            path = f"{pkg}/{mod.replace('.', '/')}.py"
+            if file_ts.get(path, 0) > gate_ts:
+                stale.append((rnd, name))
+                break
+    return [n for _, n in sorted(stale)]
 
 
 def _driver_order(names: list[str]) -> list[str]:
-    checked = _driver_green()
-    never = [n for n in names if n not in checked and n not in _RECHECK]
-    recheck = [n for n in _RECHECK if n in names]
-    rest = [n for n in names if n in checked and n not in recheck]
+    latest = _latest_rows()
+    green = {n: r for n, (r, ok) in latest.items() if ok}
+    never = [n for n in names if n not in green]
+    auto = _auto_recheck(green)
+    recheck = [
+        n
+        for n in _RECHECK_OVERRIDES + auto
+        if n in names and n in green and n not in never
+    ]
+    # dedupe, keep order; cap so never + recheck fit the gate window
+    seen: set[str] = set()
+    recheck = [n for n in recheck if not (n in seen or seen.add(n))]
+    recheck = recheck[: max(0, _GATE_WINDOW - len(never))]
+    rest = [n for n in names if n in green and n not in set(recheck)]
     return never + recheck + rest
 
 

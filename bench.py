@@ -155,21 +155,39 @@ def main() -> None:
 
     _safe("_warm_ann_buckets", lambda: _bucketed_embeddings(spark, SF_DIR).count())
 
-    # best-of-2 per query: the first pass pays one-time codegen compile
-    # and absorbs transient host stalls (shared-CPU VM neighbors have
-    # been measured freezing single queries 10-20x); the min is the
-    # steady-state number the engine actually delivers.
+    # Adaptive best-of-N per query: the first pass pays one-time codegen
+    # compile and absorbs transient host stalls (shared-CPU VM neighbors
+    # have been measured freezing single queries 10-20x); the min is the
+    # steady-state number the engine actually delivers. Round 5's
+    # artifact published a 37s q_minhash_pairs that re-timed at 4-8s —
+    # BOTH of its best-of-2 samples caught host stalls. Now: when the
+    # two warm samples disagree by >25% the run is stall-suspect and up
+    # to two more samples are taken, so a published number is always
+    # backed by two mutually-consistent warm measurements (or the best
+    # of four, if the host never settles).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
+        samples: list[float] = []
+
+        def _one_run() -> bool:
             t0 = time.time()
-            if not _safe(name, lambda: QUERIES[name](spark, SF_DIR).collect()):
-                best = float("inf")
-                break
-            best = min(best, time.time() - t0)
-        if best != float("inf"):
-            timings[name] = round(best, 3)
+            if _safe(name, lambda: QUERIES[name](spark, SF_DIR).collect()):
+                samples.append(time.time() - t0)
+                return True
+            return False
+
+        def _confirmed() -> bool:
+            # the min is publishable once a SECOND sample lands within
+            # 25% of it (cold-start codegen inflates sample 0 without
+            # forcing an extra run when sample 1 merely confirms it)
+            lo = min(samples)
+            return sum(1 for s in samples if s <= lo * 1.25) >= 2
+
+        ok = _one_run() and _one_run()
+        while ok and len(samples) < 4 and not _confirmed():
+            ok = _one_run()
+        if ok and samples:
+            timings[name] = round(min(samples), 3)
 
     sf = None
     tail = os.path.basename(SF_DIR.rstrip("/"))
