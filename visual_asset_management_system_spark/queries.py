@@ -6755,3 +6755,295 @@ def q_doc_tfidf_keywords(spark, sf_dir):
         .select("doc_id", "term", "tfidf", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: the partsupp-dependent TPC-H shapes (Q2/Q11/Q16/Q20), unlocked by
+# the deterministic pseudo-partsupp view (sources/vams.py "partsupp" — the
+# fixture set has no partsupp table; the view derives one from part x
+# supplier with the same shared-SQL trick as the VAMS star)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q02_min_cost_supplier",
+    oracle_with("partsupp")
+    + """
+    , eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), cand AS (
+        SELECT p_partkey, s_acctbal, s_name, n_name, ps_supplycost
+        FROM part
+        JOIN partsupp ON p_partkey = ps_partkey
+        JOIN eu ON ps_suppkey = s_suppkey
+        WHERE p_size = 15 AND p_type = 'MEDIUM'
+    ), mc AS (
+        SELECT p_partkey AS mk, MIN(ps_supplycost) AS min_cost
+        FROM cand GROUP BY p_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey
+    FROM cand JOIN mc ON p_partkey = mk AND ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q02_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated scalar MIN over a join (cheapest
+    supplier per part within a region), decorrelated to a per-part MIN
+    aggregate equi-joined back — the classic decorrelation Catalyst
+    would otherwise have to synthesize. The region-restricted supplier
+    dim is built once and BROADCAST into partsupp (suppliers are a
+    dimension even at 100 TB); the candidate relation feeds two
+    consumers (the MIN aggregate and the equality join), so it is
+    lineage-cut once rather than recomputed. Predicates (p_size,
+    p_type, region) all apply BEFORE the aggregate, so the shuffled
+    relation is the filtered candidates, not all of partsupp. Exact
+    double equality on the min is safe cross-engine: both sides derive
+    ps_supplycost from the same integer-hash formula. Fixture note:
+    the slim part/supplier schemas carry no mfgr/address/phone/comment
+    columns, so the output list is the subset that exists; p_type is a
+    single word here, so the TPC-H '%BRASS' suffix match becomes an
+    equality (reference shape: SURVEY.md §10)."""
+    from .operators.checkpointing import maybe_checkpoint
+
+    t = tables(spark, sf_dir)
+    eu = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = t["part"].filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "MEDIUM")
+    )
+    cand = (
+        t["partsupp"]
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_acctbal", "s_name", "n_name", "ps_supplycost")
+    )
+    cand = maybe_checkpoint(cand, eager=False)
+    mc = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            mc,
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle_with("partsupp")
+    + f"""
+    , nat_ps AS (
+        SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    ), per_part AS (
+        SELECT ps_partkey, {O_SUM('v')} AS value
+        FROM nat_ps GROUP BY ps_partkey
+    ), total AS (
+        SELECT {O_SUM('v')} * 0.005 AS threshold FROM nat_ps
+    )
+    SELECT ps_partkey, ROUND(value, 6) AS value
+    FROM per_part, total
+    WHERE value > threshold
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING-over-global-total (parts representing a
+    significant fraction of one nation's stock value). The
+    nation-filtered partsupp relation feeds BOTH the per-part aggregate
+    and the grand total; it is computed once (lineage cut) and the
+    1-row total is broadcast back as a threshold — the fact relation is
+    scanned once and shuffled once, on its natural ps_partkey key.
+    Decimal-exact sums make the > threshold boundary bit-identical
+    cross-engine. The fraction is 0.005 (vs TPC-H's 0.0001/SF): the
+    pseudo-partsupp has ~4 P/S rows per nation, and 0.005 keeps the
+    predicate actually selective at fixture scale."""
+    from .operators.checkpointing import maybe_checkpoint
+
+    t = tables(spark, sf_dir)
+    nat_sup = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    nat_ps = (
+        t["partsupp"]
+        .join(
+            F.broadcast(nat_sup),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+    )
+    nat_ps = maybe_checkpoint(nat_ps, eager=False)
+    per_part = nat_ps.groupBy("ps_partkey").agg(_dsum(F.col("v"), "value"))
+    total = nat_ps.agg(
+        (F.sum(F.col("v").cast("decimal(38,10)")).cast("double") * 0.005).alias(
+            "threshold"
+        )
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("ps_partkey", F.round("value", 6).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle_with("partsupp")
+    + """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part descriptor
+    with a NOT-IN supplier exclusion. The exclusion subquery becomes a
+    broadcast LEFT ANTI join (null-safe here: s_suppkey is a key), the
+    part filter broadcasts into partsupp, and COUNT(DISTINCT) runs as
+    Spark's two-phase partial-distinct aggregate on the
+    (brand, type, size) key. Fixture note: the slim supplier schema has
+    no s_comment, so TPC-H's '%Customer%Complaints%' exclusion is
+    modeled by a deterministic key predicate (every 7th supplier) —
+    same shape, reproducible in both engines."""
+    t = tables(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
+    )
+    complaints = t["supplier"].filter(F.col("s_suppkey") % 7 == 0).select(
+        "s_suppkey"
+    )
+    return (
+        t["partsupp"]
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    oracle_with("partsupp")
+    + f"""
+    , red_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ), shipped AS (
+        SELECT l_partkey, l_suppkey, {O_SUM('l_quantity')} AS qty
+        FROM lineitem
+        JOIN red_parts ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ), excess AS (
+        SELECT DISTINCT ps_suppkey
+        FROM partsupp
+        JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        WHERE ps_availqty > 0.5 * qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN excess ON s_suppkey = ps_suppkey
+    WHERE n_name = 'NATION_3'
+    ORDER BY s_name
+    """,
+)
+def q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN-subqueries (suppliers holding excess
+    stock of a named part family) decorrelated to semi-joins over a
+    correlated per-(part,supplier) shipped-quantity aggregate. The part
+    family filter broadcasts into BOTH the lineitem aggregate input and
+    partsupp (so the year's shipments are aggregated only for the ~1/N
+    matching parts), the excess check is an equi-join on the compound
+    (partkey, suppkey) key, and the surviving supplier ids collapse
+    through distinct before the final dimension join. Decimal-exact
+    quantity sums pin the 0.5x boundary cross-engine."""
+    t = tables(spark, sf_dir)
+    red_parts = (
+        t["part"].filter(F.col("p_name").startswith("red")).select("p_partkey")
+    )
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(red_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dsum(F.col("l_quantity"), "qty"))
+    )
+    excess = (
+        t["partsupp"]
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )

@@ -428,6 +428,31 @@ VAMS_VIEW_SQL: dict[str, str] = {
             ('comments'), ('export')
         ) AS t(feature_name)
     """,
+    # Deterministic pseudo-partsupp: the driver fixture set has no
+    # partsupp table (TESTDATA.md), which blocked the four TPC-H shapes
+    # that need one (Q2 correlated min, Q11 having-over-total, Q16
+    # distinct-count exclusion, Q20 semi-join over correlated sums).
+    # Derive it the same way the VAMS star is derived from TPC-H tables:
+    # one shared SELECT both engines evaluate identically. Shape follows
+    # TPC-H (4 suppliers per part); ps_suppkey = (4*partkey + i) mod S
+    # + 1 gives 4 DISTINCT suppliers per part for any S >= 4 and an
+    # even ~4P/S parts-per-supplier spread; availqty/supplycost are
+    # integer-hash formulas in the TPC-H value ranges (10..9999 and
+    # 100.00..999.99) — exact in double on both engines.
+    "partsupp": """
+        SELECT ps_partkey, ps_suppkey,
+               CAST((ps_partkey * 5 + ps_suppkey * 3) % 9990 + 10 AS INT)
+                   AS ps_availqty,
+               CAST(((ps_partkey * 7 + ps_suppkey * 13) % 90000) / 100.0
+                    + 100.0 AS DOUBLE) AS ps_supplycost
+        FROM (
+            SELECT p_partkey AS ps_partkey,
+                   (p_partkey * 4 + quad.i) % sc.s_cnt + 1 AS ps_suppkey
+            FROM part
+            CROSS JOIN (SELECT COUNT(*) AS s_cnt FROM supplier) AS sc
+            CROSS JOIN (VALUES (0), (1), (2), (3)) AS quad(i)
+        ) ps
+    """,
     # lineitem -> asset_versions: one version row per (part, order); the
     # current version is the latest ship date (row_number pick, SURVEY §2.5).
     "asset_versions": """
