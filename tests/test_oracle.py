@@ -85,8 +85,23 @@ def test_query_matches_oracle(spark, name):
 
 NO_ORACLE = sorted(set(QUERIES) - set(ORACLES))
 
+# When every registered query has a differential oracle (the steady
+# state since round 5), the parametrize list below is empty and pytest
+# emits one SKIPPED row for the empty parameter set — that skip is this
+# invariant holding, not a disabled test. The explicit reason makes the
+# suite's `1 skipped` self-documenting in -rs output.
+_NO_ORACLE_PARAMS = NO_ORACLE or [
+    pytest.param(
+        None,
+        marks=pytest.mark.skip(
+            reason="all registered queries have differential oracles; "
+            "the rows-only fallback check has nothing to cover"
+        ),
+    )
+]
 
-@pytest.mark.parametrize("name", NO_ORACLE)
+
+@pytest.mark.parametrize("name", _NO_ORACLE_PARAMS)
 def test_no_oracle_query_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR_CORRECTNESS)
     assert df.count() >= 0

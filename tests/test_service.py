@@ -126,3 +126,37 @@ def test_data_driven_constraints_match_literals(spark):
     lit_ids = {tuple(r) for r in lit_svc.search(req).select("database_id", "asset_id").collect()}
     df_ids = {tuple(r) for r in df_svc.search(req).select("database_id", "asset_id").collect()}
     assert lit_ids == df_ids and lit_ids
+
+
+def test_round5_tier_facade(spark, tmp_path):
+    """Round-5 operators stay reachable through the one engine surface:
+    suggester, date facet, phrase search, incremental corpus build."""
+    svc = _svc(spark)
+
+    # type-ahead: point lookup on the suggest index
+    sug = svc.suggest("re").collect()
+    assert sug and sug[0]["rank"] == 1 and sug[0]["prefix"] == "re"
+    idx = svc.suggest_index()
+    assert {"prefix", "suggestion", "freq", "rank"} <= set(idx.columns)
+
+    # timeline facet: monthly buckets, months-in-range cardinality
+    buckets = svc.date_facet().collect()
+    assert buckets and all(len(r["bucket"]) == 7 for r in buckets)
+    years = svc.date_facet(granularity="year").collect()
+    assert 0 < len(years) <= len(buckets)
+
+    # quoted-phrase search through the compiler (auto-quoting)
+    hits = svc.phrase_search("red widget").collect()
+    assert hits and all(r["score"] > 0 for r in hits)
+
+    # incremental corpus build against fresh state
+    docs = svc.t["assets"].sparkSession.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the bank"),
+        ],
+        "doc_id long, text string",
+    )
+    accepted = svc.corpus_stream_update(str(tmp_path / "corpus"), docs)
+    ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+    assert ids == {1}  # exact duplicate rejected within the batch

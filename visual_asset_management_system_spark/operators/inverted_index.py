@@ -331,3 +331,46 @@ def phrase_expr(col: Column, terms: list[str]) -> Column:
         F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))
     )
     return F.exists(starts, lambda i: F.slice(toks, i, k) == want)
+
+
+def build_suggest_index(
+    df: DataFrame,
+    text_col: str,
+    max_prefix_len: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Prefix-completion suggest index: (prefix, suggestion, freq, rank)
+    with the top-``k`` corpus tokens per prefix — the OpenSearch
+    completion-suggester analog behind the search UI's type-ahead box
+    (reference: backend/backend/handlers/search/search.py query
+    surface; the reference delegates completion to the OpenSearch
+    suggester feature).
+
+    Build shape (write path — the index is maintained state exactly
+    like the search tables): tokenize once, aggregate token frequencies
+    (map-combinable), explode each DISTINCT token into at most
+    ``max_prefix_len`` prefixes — the explode runs on the token
+    DICTIONARY, not the corpus — then rank per prefix. Serving is a
+    point lookup on the prefix key."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    pfx = freq.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.length("token"), F.lit(max_prefix_len))
+                ),
+                lambda i: F.col("token").substr(F.lit(1), i),
+            )
+        ).alias("prefix"),
+        "token",
+        "freq",
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("freq"), "token")
+    return (
+        pfx.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("prefix", F.col("token").alias("suggestion"), "freq", "rank")
+    )

@@ -6387,32 +6387,15 @@ def q_vams_suggest(spark, sf_dir):
     explode runs on the token dictionary, not the corpus), rank per
     prefix. Serving is then a point lookup on the prefix key — the
     suggest index is maintained state exactly like the search tables."""
-    from .operators.inverted_index import tokenize
+    from .operators.inverted_index import build_suggest_index
 
     t = tables(spark, sf_dir)
-    toks = (
-        t["assets"]
-        .filter(~F.col("is_archived"))
-        .select(F.explode(tokenize(F.col("asset_name"))).alias("token"))
-    )
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    pfx = freq.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.least(F.length("token"), F.lit(4))),
-                lambda i: F.col("token").substr(F.lit(1), i),
-            )
-        ).alias("prefix"),
-        "token",
-        "freq",
-    )
-    w = Window.partitionBy("prefix").orderBy(F.desc("freq"), "token")
-    return (
-        pfx.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 3)
-        .select("prefix", F.col("token").alias("suggestion"), "freq", "rank")
-        .orderBy("prefix", "rank")
-    )
+    return build_suggest_index(
+        t["assets"].filter(~F.col("is_archived")),
+        "asset_name",
+        max_prefix_len=4,
+        k=3,
+    ).orderBy("prefix", "rank")
 
 
 @query(

@@ -108,6 +108,62 @@ class CatalogService:
         (search.py:1569-1621 _add_search_explanation)."""
         return self._compiler.explain(self._compiler.hits(req), req)
 
+    def phrase_search(
+        self, phrase: str, entity: str = "asset", size: int = 500
+    ) -> DataFrame:
+        """POST /search with a quoted phrase — exact token adjacency as
+        filter context plus the match-count score tier (the reference's
+        query_string quoting, search.py:1089-1121). Thin wrapper over
+        the compiler's quoted-phrase path so callers don't hand-build
+        the quoting."""
+        quoted = phrase if phrase.startswith('"') else f'"{phrase}"'
+        return self.search(
+            SearchRequest(query=quoted, entity_types=(entity,), size=size)
+        )
+
+    def date_facet(
+        self,
+        entity: str = "file",
+        field: str = "last_modified",
+        granularity: str = "month",
+    ) -> DataFrame:
+        """POST /search date_histogram aggregation (the OpenSearch date
+        facet of the search UI's timeline filter): bucket counts on a
+        truncated date key. Granularity is year | month | day; the
+        formatting stays JVM-side and the exchange carries only
+        buckets-in-range rows."""
+        fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}[
+            granularity
+        ]
+        table = self.t[f"search_{entity}s" if entity in ("asset", "file")
+                       else entity]
+        return (
+            table.groupBy(F.date_format(field, fmt).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("bucket")
+        )
+
+    def suggest_index(
+        self, entity: str = "asset", text_col: str = "asset_name"
+    ) -> DataFrame:
+        """Completion-suggester index build (write path): the
+        (prefix -> top-3 tokens) table over live entity names —
+        maintained state exactly like the search tables."""
+        from .operators.inverted_index import build_suggest_index
+
+        src = self.t[f"{entity}s"].filter(~F.col("is_archived"))
+        return build_suggest_index(src, text_col)
+
+    def suggest(self, prefix: str, entity: str = "asset") -> DataFrame:
+        """Type-ahead suggestions for one prefix — a point lookup on the
+        suggest index (serving path; deployments read the maintained
+        table instead of rebuilding)."""
+        return (
+            self.suggest_index(entity)
+            .filter(F.col("prefix") == prefix.lower())
+            .orderBy("rank")
+        )
+
     # -- comments / tags / subscriptions (handlers/comments|tags|
     #    tagTypes|subscription/) -------------------------------------------
     def comments_for_version(
@@ -275,6 +331,20 @@ class CatalogService:
     def auto_triggers(self, file_events: DataFrame) -> DataFrame:
         """Auto-execute-on-upload requests (sqsAutoExecuteWorkflow.py)."""
         return auto_execute_triggers(file_events, self.t["workflows"])
+
+    # -- corpus construction (BASELINE.json scale extensions) ---------------
+    def corpus_stream_update(
+        self, state_dir: str, new_docs: DataFrame, **kwargs
+    ) -> DataFrame:
+        """One incremental corpus-build step: filter -> exact-dedup ->
+        near-dedup a batch of NEW documents against the maintained
+        fingerprint/signature stores under ``state_dir`` and return the
+        accepted rows (operators/corpus.py corpus_index_update — the
+        kappa counterpart of the q_corpus_build batch plan)."""
+        from .operators.corpus import corpus_index_update
+
+        spark = new_docs.sparkSession
+        return corpus_index_update(spark, state_dir, new_docs, **kwargs)
 
     # -- reconciliation (sqsBucketSync semantics) ---------------------------
     def reconcile(self, storage_listing: DataFrame) -> dict[str, DataFrame]:
