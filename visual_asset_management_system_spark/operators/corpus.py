@@ -209,6 +209,77 @@ def repeated_ngrams(
     ).filter(F.col("n_docs") >= min_docs)
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level deduplication (the CCNet / C4 pipeline
+    stage): any line occurring in >= ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, license headers) and is
+    removed from every document; documents are reassembled in original
+    line order. Returns (id, text, n_removed) — text with surviving
+    lines re-joined by ``delim``.
+
+    Distinct from :func:`repeated_ngrams` (which REPORTS repeated
+    token spans): this one rewrites the corpus, and its unit is the
+    line, the natural boilerplate boundary.
+
+    Scale shape: one posexplode (lines with positions), a per-line-key
+    distinct-doc count that shuffles (line_hash, id) pairs deduplicated
+    map-side, a left-anti equi-join of instances against the
+    boilerplate keys (both sides partitioned by line hash — no
+    broadcast needed, the boilerplate set is corpus-sized at 100 TB),
+    and a per-document reassembly groupBy whose reducer state is
+    bounded by single-document size. Hashing the line (xxhash64) keeps
+    the shuffle key fixed-width instead of shipping full line text."""
+    from .partitioning import ensure_min_parallelism
+
+    lines = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), delim), F.trim),
+                lambda s: s != "",
+            )
+        ).alias("pos", "line"),
+    ).withColumn("line_key", F.xxhash64("line"))
+    boiler = (
+        lines.select("line_key", "id")
+        .distinct()
+        .groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_key")
+    )
+    kept = lines.join(boiler, "line_key", "left_anti")
+    n_lines = lines.groupBy("id").agg(F.count(F.lit(1)).alias("_n_total"))
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        n_lines.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias(text_col),
+            (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # incremental (streaming) corpus construction
 # --------------------------------------------------------------------------

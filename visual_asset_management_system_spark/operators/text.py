@@ -218,3 +218,62 @@ def repetition_score(text: Column, n: int = 3) -> Column:
     return F.when(
         m >= n, F.round((total - distinct) / total, 6)
     ).otherwise(F.lit(0.0))
+
+
+def doc_lines(text: Column, delim: str = "\n") -> Column:
+    """Trimmed non-empty lines of a document as an array column."""
+    return F.filter(
+        F.transform(F.split(text, delim), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def gopher_repetition_signals(
+    text: Column, delim: str = "\n"
+) -> dict[str, Column]:
+    """Gopher-style line-level repetition/format quality signals
+    (Rae et al. 2021, "Scaling Language Models" §A1.1) — the
+    document-structure half of web-corpus quality filtering that the
+    token-level :func:`repetition_score` and :func:`quality_score`
+    don't cover:
+
+    - ``dup_line_frac``: fraction of lines that duplicate another line
+      of the SAME document ((n - n_distinct) / n);
+    - ``dup_line_char_frac``: fraction of line characters sitting in
+      any line whose in-document occurrence count is > 1 (all
+      instances counted — the boilerplate-mass measure);
+    - ``ellipsis_line_frac``: lines ending in '...' or '…';
+    - ``bullet_line_frac``: lines starting with a bullet marker.
+
+    All four are pure array expressions over one split (codegen, no
+    UDF, no shuffle — a map-stage annotate at any scale). The
+    duplicate scan is O(lines²) per document, bounded by per-document
+    line counts, not corpus size."""
+    lines = doc_lines(text, delim)
+    n = F.size(lines)
+    safe_n = F.greatest(n, F.lit(1))
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_lines = F.filter(
+        lines,
+        lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1,
+    )
+    dup_chars = F.aggregate(
+        dup_lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+    )
+    tot_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+    )
+    ellipsis = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[\-\*•]"))
+    )
+    return {
+        "dup_line_frac": F.round((n - n_distinct) / safe_n, 6),
+        "dup_line_char_frac": F.round(
+            dup_chars / F.greatest(tot_chars, F.lit(1)), 6
+        ),
+        "ellipsis_line_frac": F.round(ellipsis / safe_n, 6),
+        "bullet_line_frac": F.round(bullet / safe_n, 6),
+    }

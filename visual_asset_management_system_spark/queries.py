@@ -7030,3 +7030,313 @@ def q20_excess_stock_suppliers(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: Gopher line-repetition signals, corpus line dedup, event-transition
+# matrix, linear-interpolation gap fill
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_doc_gopher_quality",
+    r"""
+    WITH base AS (
+        SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+        FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+            (9000001, '- item one' || chr(10) || '- item two' || chr(10)
+                      || 'regular line'),
+            (9000002, 'to be continued...' || chr(10) || 'same line'
+                      || chr(10) || 'same line')
+        ) AS t(doc_id, text)
+    ), l AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          s -> trim(s)), s -> s <> '') AS l
+        FROM base
+    )
+    SELECT doc_id,
+        ROUND((len(l) - len(list_distinct(l)))
+              / GREATEST(len(l), 1), 6) AS dup_line_frac,
+        ROUND(COALESCE(list_sum(list_transform(
+                  list_filter(l, x -> len(list_filter(l, y -> y = x)) > 1),
+                  x -> length(x))), 0)
+              / GREATEST(COALESCE(list_sum(list_transform(
+                  l, x -> length(x))), 0), 1), 6) AS dup_line_char_frac,
+        ROUND(len(list_filter(l, x -> x LIKE '%...' OR x LIKE '%…'))
+              / GREATEST(len(l), 1), 6) AS ellipsis_line_frac,
+        ROUND(len(list_filter(l, x -> regexp_matches(x, '^[\-\*•]')))
+              / GREATEST(len(l), 1), 6) AS bullet_line_frac
+    FROM l ORDER BY doc_id
+    """,
+)
+def q_doc_gopher_quality(spark, sf_dir):
+    """Gopher-style line-level repetition/format quality signals
+    (operators/text.py gopher_repetition_signals — Rae et al. 2021
+    §A1.1): per-document duplicate-line fraction, duplicate-line
+    character mass, ellipsis-line and bullet-line fractions. The
+    fixture docs are single-line, so the corpus is made multi-line by
+    a deterministic delimiter substitution both engines apply
+    identically, plus two planted docs exercising the bullet/ellipsis
+    paths. All four signals are one split + array algebra — a
+    shuffle-free map stage at any scale."""
+    from .operators.text import gopher_repetition_signals
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.replace("text", F.lit(" table "), F.lit("\n")).alias("text")
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                (9000001, "- item one\n- item two\nregular line"),
+                (9000002, "to be continued...\nsame line\nsame line"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    sig = gopher_repetition_signals(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in sig.items()]
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_doc_line_dedup",
+    """
+    WITH base AS (
+        SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+        FROM documents WHERE doc_id < 200
+    ), lines AS (
+        SELECT doc_id, i AS pos, lines[i] AS line
+        FROM (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              s -> trim(s)),
+                               s -> s <> '') AS lines
+            FROM base
+        ), UNNEST(range(1, len(lines) + 1)) AS u(i)
+    ), boiler AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+            FROM lines GROUP BY line
+        ) WHERE n_docs >= 2
+    ), kept AS (
+        SELECT l.* FROM lines l ANTI JOIN boiler b USING (line)
+    ), totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM lines GROUP BY doc_id
+    ), rebuilt AS (
+        SELECT doc_id,
+               array_to_string(list(line ORDER BY pos), chr(10)) AS text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(r.text, '') AS text,
+           t.n_total - COALESCE(r.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_doc_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level boilerplate removal (operators/corpus.py
+    dedup_lines — the CCNet/C4 pipeline stage): lines occurring in >= 2
+    distinct documents are dropped from every document, and documents
+    are reassembled in original line order. Distinct from
+    repeated_ngrams (which reports spans): this op REWRITES the corpus.
+    The fixture corpus is made multi-line with the same deterministic
+    substitution as q_doc_gopher_quality; with a ~40-word vocabulary
+    the short inter-'table' segments collide across docs heavily, so
+    the op has real work. Scale shape: posexplode -> distinct-doc count
+    on the line-hash key -> anti equi-join -> bounded per-doc
+    reassembly; no broadcast of the (corpus-sized) boilerplate set."""
+    from .operators.corpus import dedup_lines
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 200).select(
+        "doc_id", F.replace("text", F.lit(" table "), F.lit("\n")).alias("text")
+    )
+    return dedup_lines(docs, min_docs=2).orderBy("doc_id")
+
+
+@query(
+    "q_events_markov_transitions",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ), nxt AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) AS dst
+        FROM e
+    ), pairs AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nxt WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+    FROM pairs ORDER BY src, dst
+    """,
+)
+def q_events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | event type), the navigation-flow /
+    next-action model behind product-analytics sankey views. One LEAD
+    window on the SAME user_id exchange discipline as the funnel
+    (deterministic (ts, event_id) ordering), then a (src, dst)
+    aggregate whose output is event-type-squared-sized — the row
+    normalization window runs on that tiny relation, not the event
+    log."""
+    t = tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    return (
+        pairs.withColumn(
+            "p",
+            F.round(
+                F.col("n").cast("double")
+                / F.sum("n").over(wsrc).cast("double"),
+                6,
+            ),
+        )
+        .select("src", "dst", "n", "p")
+        .orderBy("src", "dst")
+    )
+
+
+@query(
+    "q_events_interpolate",
+    f"""
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(epoch_us(date_trunc('hour', ts)) / 1000000 AS BIGINT)
+                   AS hour_s,
+               {O_SUM('value')} AS sum_value
+        FROM events WHERE user_id < 20
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(hour_s) AS h0, MAX(hour_s) AS h1
+        FROM hourly GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, UNNEST(generate_series(h0, h1, 3600)) AS hour_s
+        FROM bounds
+    ), joined AS (
+        SELECT g.user_id, g.hour_s, h.sum_value
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour_s = h.hour_s
+    ), ctx AS (
+        SELECT user_id, hour_s, sum_value,
+            LAST_VALUE(sum_value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY hour_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            LAST_VALUE(CASE WHEN sum_value IS NOT NULL THEN hour_s END
+                       IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY hour_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+            FIRST_VALUE(sum_value IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY hour_s
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            FIRST_VALUE(CASE WHEN sum_value IS NOT NULL THEN hour_s END
+                        IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY hour_s
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM joined
+    )
+    SELECT user_id, hour_s,
+           FLOOR((CASE
+               WHEN sum_value IS NOT NULL THEN sum_value
+               WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                   THEN pv + (nv - pv) * (CAST(hour_s - pt AS DOUBLE)
+                                          / CAST(nt - pt AS DOUBLE))
+               WHEN pv IS NOT NULL THEN pv
+               ELSE nv END) * 1000000 + 0.5) / 1000000 AS interp_value
+    FROM ctx
+    ORDER BY user_id, hour_s
+    """,
+)
+def q_events_interpolate(spark, sf_dir):
+    """Linear-interpolation gap fill — the TimescaleDB
+    ``interpolate()`` companion to q_events_gap_fill's LOCF: missing
+    hours get the line between the previous and next observed values
+    (boundary gaps degrade to nearest-observation). Same scale story:
+    per-user grid explode plus TWO ordered windows (backward LAST and
+    forward FIRST with IGNORE NULLS) on one user_id exchange; the
+    division is written identically in both engines so the doubles are
+    bit-equal before the final rounding. That rounding is the
+    FLOOR(x*1e6 + 0.5)/1e6 form, NOT round(): grid-midpoint
+    interpolants land EXACTLY on the 1e-6 half boundary, where Spark's
+    BigDecimal HALF_UP and DuckDB's double rounding disagree per value
+    — the floor form is pure IEEE arithmetic on bit-identical inputs,
+    so it cannot diverge."""
+    t = tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .filter(F.col("user_id") < 20)
+        .groupBy(
+            "user_id",
+            F.expr("(ts div 3600000000000) * 3600").alias("hour_s"),
+        )
+        .agg(_dsum(F.col("value"), "sum_value"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_s").alias("h0"), F.max("hour_s").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.lit(3600))).alias("hour_s"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hour_s"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked_t = F.when(F.col("sum_value").isNotNull(), F.col("hour_s"))
+    ctx = joined.select(
+        "user_id",
+        "hour_s",
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(back).alias("pv"),
+        F.last(marked_t, ignorenulls=True).over(back).alias("pt"),
+        F.first("sum_value", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(marked_t, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    frac = (F.col("hour_s") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    interp = (
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") != F.col("pt")),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    half_up = F.floor(interp * 1000000 + 0.5) / 1000000
+    return ctx.select(
+        "user_id", "hour_s", half_up.alias("interp_value")
+    ).orderBy("user_id", "hour_s")
