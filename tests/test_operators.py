@@ -1014,3 +1014,59 @@ def test_positional_postings_per_doc_replacement(spark):
         for r in phrase_match(incremental, ["hash", "join"]).collect()
     }
     assert got == {1: 1, 2: 1}
+
+
+def test_gopher_signals_edge_cases(spark):
+    from visual_asset_management_system_spark.operators.text import (
+        gopher_repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),                       # empty doc: all zeros, no div-0
+            (2, "only line"),              # single line: nothing dupes
+            (3, "a\na\nb"),                # 1 of 3 lines is a duplicate
+            (4, "- x\n- y\nwait...\nz"),   # bullets + ellipsis
+        ],
+        "doc_id long, text string",
+    )
+    sig = gopher_repetition_signals(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in sig.items()]
+        ).collect()
+    }
+    assert rows[1]["dup_line_frac"] == 0.0
+    assert rows[1]["dup_line_char_frac"] == 0.0
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[3]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # both 'a' instances count toward the duplicated character mass
+    assert rows[3]["dup_line_char_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[4]["bullet_line_frac"] == pytest.approx(0.5, abs=1e-6)
+    assert rows[4]["ellipsis_line_frac"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_dedup_lines_rewrites_and_bounds(spark):
+    from visual_asset_management_system_spark.operators.corpus import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep me\nCOOKIE BANNER\nunique one"),
+            (2, "COOKIE BANNER\nother text"),
+            (3, "COOKIE BANNER"),  # fully boilerplate -> empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["text"] == "keep me\nunique one" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "other text" and out[2]["n_removed"] == 1
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 1
+    # line order is preserved, not sorted
+    df2 = spark.createDataFrame(
+        [(1, "zz\nSHARED\naa"), (2, "SHARED")], "doc_id long, text string"
+    )
+    assert (
+        dedup_lines(df2).filter(F.col("doc_id") == 1).first()["text"]
+        == "zz\naa"
+    )

@@ -7340,3 +7340,117 @@ def q_events_interpolate(spark, sf_dir):
     return ctx.select(
         "user_id", "hour_s", half_up.alias("interp_value")
     ).orderBy("user_id", "hour_s")
+
+
+@query(
+    "q_vams_snapshot_diff",
+    oracle_with("asset_versions")
+    + """
+    , s1 AS (
+        SELECT database_id, asset_id, asset_version_id AS v1 FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY database_id, asset_id
+                ORDER BY date_created DESC, asset_version_id DESC) AS rn
+            FROM asset_versions
+            WHERE date_created <= TIMESTAMP '1996-06-30'
+        ) WHERE rn = 1
+    ), s2 AS (
+        SELECT database_id, asset_id, asset_version_id AS v2 FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY database_id, asset_id
+                ORDER BY date_created DESC, asset_version_id DESC) AS rn
+            FROM asset_versions
+            WHERE date_created <= TIMESTAMP '1997-06-30'
+        ) WHERE rn = 1
+    )
+    SELECT database_id, status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT COALESCE(s1.database_id, s2.database_id) AS database_id,
+               CASE WHEN v1 IS NULL THEN 'added'
+                    WHEN v2 IS NULL THEN 'removed'
+                    WHEN v1 <> v2 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM s1 FULL OUTER JOIN s2
+          ON s1.database_id = s2.database_id AND s1.asset_id = s2.asset_id
+    )
+    GROUP BY database_id, status
+    ORDER BY database_id, status
+    """,
+)
+def q_vams_snapshot_diff(spark, sf_dir):
+    """Catalog churn between two as-of snapshot reads (operators/
+    versions.py snapshot_diff): per database, how many assets were
+    added / changed version / stayed unchanged between mid-1996 and
+    mid-1997 — the audit view a Delta DESCRIBE HISTORY diff answers,
+    from explicit SCD version tables. Both as-of picks and the
+    full-outer join run on ONE (database_id, asset_id) partitioning;
+    the per-database rollup that follows is database-cardinality
+    sized."""
+    from .operators.versions import snapshot_diff
+
+    t = tables(spark, sf_dir)
+    diff = snapshot_diff(t["asset_versions"], "1996-06-30", "1997-06-30")
+    return (
+        diff.groupBy("database_id", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("database_id", "status")
+    )
+
+
+@query(
+    "q_events_winsorize",
+    f"""
+    WITH b AS (
+        SELECT event_type,
+               FLOOR(quantile_cont(value, 0.05) * 1000000 + 0.5) / 1000000
+                   AS lo,
+               FLOOR(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000
+                   AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, b.lo, b.hi,
+           CAST(COUNT(*) FILTER (WHERE value < lo) AS BIGINT) AS n_below,
+           CAST(COUNT(*) FILTER (WHERE value > hi) AS BIGINT) AS n_above,
+           {O_SUM('CASE WHEN value < lo THEN lo '
+                  'WHEN value > hi THEN hi ELSE value END')} AS winsorized_sum
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.lo, b.hi
+    ORDER BY e.event_type
+    """,
+)
+def q_events_winsorize(spark, sf_dir):
+    """Per-group winsorization — clip each event type's value column at
+    its exact p05/p95 (the standard outlier-robust cleaning step before
+    training-metric aggregation). Spark's exact `percentile` and
+    DuckDB's `quantile_cont` share the linear-interpolation definition;
+    the thresholds are grid-rounded with the cross-engine-safe
+    FLOOR(x*1e6+0.5)/1e6 form BEFORE the clip comparison so a last-ulp
+    interpolation difference cannot flip a boundary row. Two passes
+    over events (bounds, then clip), both aggregating on the
+    event-type key — the bounds relation is type-cardinality sized and
+    broadcast back."""
+    t = tables(spark, sf_dir)
+    grid = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    bounds = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            grid(F.percentile("value", F.lit(0.05))).alias("lo"),
+            grid(F.percentile("value", F.lit(0.95))).alias("hi"),
+        )
+    )
+    clipped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        t["events"]
+        .join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_below"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_above"),
+            _dsum(clipped, "winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )
