@@ -457,3 +457,41 @@ def pagerank(
             .transform(maybe_checkpoint)
         )
     return ranks.select("node", F.round("rank", round_digits).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count of the undirected link graph — the
+    clustering/cohesion metric next to connected_components and
+    pagerank in the graph tier (reference surface: the asset-link
+    graph, assetLinksService.py; the reference exposes traversals, the
+    analytic metrics are the Spark-side extension).
+
+    Shape: edges are canonicalized to a < b (LEAST/GREATEST — kills
+    direction duplicates and self-loops), then the classic two-join
+    enumeration counts each triangle exactly once via the total order
+    a < b < c: wedge (a,b)x(b,c) joined on the closing edge (a,c).
+    Both joins are equi-joins on node keys; at 100 TB the standard
+    refinement (orienting edges by degree so high-degree hubs never
+    expand wedges) drops in as a pre-computed degree join without
+    changing this plan's shape."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    wedges = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    closed = wedges.join(
+        e.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

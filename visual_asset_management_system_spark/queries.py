@@ -7427,7 +7427,14 @@ def q_events_winsorize(spark, sf_dir):
     interpolation difference cannot flip a boundary row. Two passes
     over events (bounds, then clip), both aggregating on the
     event-type key — the bounds relation is type-cardinality sized and
-    broadcast back."""
+    broadcast back.
+
+    Scale note: exact `percentile` buffers each group's values in the
+    aggregation state, which is unbounded at 100 TB — this registered
+    form exists for oracle-exact differential checking; the production
+    path swaps `percentile` for `approx_percentile` (the sketch tier's
+    bounded-error contract, q_approx_sketch_bounds) with no other plan
+    change."""
     t = tables(spark, sf_dir)
     grid = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
     bounds = (
@@ -7454,3 +7461,200 @@ def q_events_winsorize(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_doc_ccnet_buckets",
+    f"""
+    WITH grams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, length(lower(text))),
+                                     i -> substring(lower(text), i, 2))) AS bg
+        FROM documents
+    ), model AS (
+        SELECT bg, COUNT(*) AS c FROM grams GROUP BY bg
+    ), total AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n FROM model
+    ), logp AS (
+        SELECT bg, ROUND(LN(c / n), 6) AS lp FROM model, total
+    ), scored AS (
+        SELECT g.doc_id,
+               FLOOR(({O_SUM('lp')} / COUNT(*)) * 1000 + 0.5) / 1000 AS cell
+        FROM grams g JOIN logp USING (bg)
+        GROUP BY g.doc_id
+    ), cells AS (
+        SELECT cell, COUNT(*) AS cnt FROM scored GROUP BY cell
+    ), cum AS (
+        SELECT cell, SUM(cnt) OVER (ORDER BY cell) AS cum_n FROM cells
+    ), nn AS (SELECT COUNT(*) AS n_docs FROM scored
+    ), th AS (
+        SELECT (SELECT MIN(cell) FROM cum, nn
+                WHERE cum_n >= CAST(CEIL(n_docs / 3.0) AS BIGINT)) AS t1,
+               (SELECT MIN(cell) FROM cum, nn
+                WHERE cum_n >= CAST(CEIL(2 * n_docs / 3.0) AS BIGINT)) AS t2
+    ), bucketed AS (
+        SELECT doc_id, cell,
+               CASE WHEN cell > t2 THEN 'head'
+                    WHEN cell > t1 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 8))
+                   ::BIGINT AS h
+        FROM scored, th
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE
+               (bucket = 'head')
+               OR (bucket = 'middle' AND h < 2147483648)
+               OR (bucket = 'tail' AND h < 429496729)) AS BIGINT)
+               AS n_sampled
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_doc_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity-bucketed sampling (Wenzek et al. 2020):
+    score every document under the corpus-fit char-bigram LM
+    (q_doc_char_lm_score's model), split the corpus into head / middle
+    / tail TERCILES by score, and keep 100% / 50% / 10% of each bucket
+    with the deterministic content-hash sampler (operators/sampling.py
+    — md5-based, so the oracle reproduces the exact kept set).
+
+    The tercile thresholds avoid a global sort: scores are quantized to
+    a 1e-3 grid (FLOOR half-up form — cross-engine safe), the
+    ~|grid|-sized cell histogram is aggregated (map-combinable), and a
+    cumulative window over THAT dictionary — thousands of rows
+    regardless of corpus size — yields the cut cells. The corpus-side
+    work stays one aggregate + one broadcast-threshold join; nothing
+    corpus-sized is ever sorted or windowed."""
+    from .operators.sampling import sample_hash
+
+    t = tables(spark, sf_dir)
+    grams = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 1),"
+                " i -> substring(lower(text), i, 2))"
+            )
+        ).alias("bg"),
+    )
+    model = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").cast("double").alias("n"))
+    logp = model.join(F.broadcast(total)).select(
+        "bg", F.round(F.log(F.col("c") / F.col("n")), 6).alias("lp")
+    )
+    avg_lp = (
+        F.sum(F.col("lp").cast("decimal(38,10)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    scored = (
+        grams.join(F.broadcast(logp), "bg")
+        .groupBy("doc_id")
+        .agg((F.floor(avg_lp * 1000 + 0.5) / 1000).alias("cell"))
+    )
+    from .operators.checkpointing import maybe_checkpoint
+
+    scored = maybe_checkpoint(scored, eager=False)
+    cells = scored.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the cumulative window runs over the grid-cell DICTIONARY
+    # (|grid| ~ 1e3 rows), never the corpus — the unpartitioned window
+    # is deliberate and bounded
+    cum = cells.select("cell", F.sum("cnt").over(wcum).alias("cum_n"))
+    n_docs = scored.agg(F.count(F.lit(1)).alias("n_docs"))
+    th = (
+        cum.crossJoin(F.broadcast(n_docs))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_n") >= F.ceil(F.col("n_docs") / 3.0),
+                    F.col("cell"),
+                )
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum_n") >= F.ceil(2 * F.col("n_docs") / 3.0),
+                    F.col("cell"),
+                )
+            ).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("cell") > F.col("t2"), F.lit("head"))
+        .when(F.col("cell") > F.col("t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    h = sample_hash(F.col("doc_id"))
+    kept = (
+        (F.col("bucket") == "head")
+        | ((F.col("bucket") == "middle") & (h < F.lit(2147483648)))
+        | ((F.col("bucket") == "tail") & (h < F.lit(429496729)))
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_sampled"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_vams_triangles",
+    oracle_with("asset_links")
+    + """
+    , raw AS (
+        SELECT from_database_id || '/' || from_asset_id AS s,
+               to_database_id || '/' || to_asset_id AS d
+        FROM asset_links
+        UNION ALL
+        SELECT * FROM (VALUES
+            ('tdb/t1', 'tdb/t2'), ('tdb/t2', 'tdb/t3'), ('tdb/t1', 'tdb/t3'),
+            ('tdb/t2', 'tdb/t4'), ('tdb/t3', 'tdb/t4')
+        ) AS t(s, d)
+    ), e AS (
+        SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        FROM raw WHERE s <> d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+    """,
+)
+def q_vams_triangles(spark, sf_dir):
+    """Triangle count of the undirected asset-link graph (operators/
+    graph.py triangle_count) — the cohesion metric beside
+    connected-components and PageRank. The fixture link graph is
+    triangle-free by construction (edges funnel into 50 hub assets), so
+    two overlapping triangles are PLANTED and the base graph stays in
+    the count — the oracle proves both that the planted triangles are
+    found and that the real graph contributes exactly zero. Canonical
+    a<b<c ordering counts each triangle once; two equi-joins, no
+    cartesian."""
+    from .operators.graph import triangle_count
+
+    t = tables(spark, sf_dir)
+    edges = t["asset_links"].select(
+        F.concat_ws("/", "from_database_id", "from_asset_id").alias("src"),
+        F.concat_ws("/", "to_database_id", "to_asset_id").alias("dst"),
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                ("tdb/t1", "tdb/t2"),
+                ("tdb/t2", "tdb/t3"),
+                ("tdb/t1", "tdb/t3"),
+                ("tdb/t2", "tdb/t4"),
+                ("tdb/t3", "tdb/t4"),
+            ],
+            "src string, dst string",
+        )
+    )
+    return triangle_count(edges)
