@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     "q_doc_decontaminate",
     "q_doc_pack",
     "q_corpus_build",
+    # round-6 tiers: partsupp TPC-H, corpus line dedup, CCNet bucketed
+    # sampling, timeseries interpolation
+    "q02_min_cost_supplier",
+    "q_doc_line_dedup",
+    "q_doc_ccnet_buckets",
+    "q_events_interpolate",
 ]
 
 
