@@ -5728,35 +5728,58 @@ def q_doc_char_lm_score(spark, sf_dir):
     rounding makes that difference unobservable instead of hoping it
     never straddles a comparison boundary."""
     t = tables(spark, sf_dir)
-    grams = (
-        t["documents"]
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(lower(text)) - 1),"
-                    " i -> substring(lower(text), i, 2))"
-                )
-            ).alias("bg"),
-        )
+    scored = _char_lm_scores(t["documents"])
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("sum_lp") / F.col("n_bigrams"), 6).alias("avg_logp"),
+    ).orderBy("doc_id")
+
+
+def _char_lm_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, sum_lp): per-document char-bigram LM totals.
+
+    The gram stream is aggregated to per-(doc, bigram) COUNTS first —
+    one map-combined shuffle of the raw grams — so the model rollup,
+    the log-prob join, and the per-doc aggregation all run on the
+    bounded (docs × ≤|alphabet|²) relation instead of the corpus-length
+    gram stream (the original form re-exploded and re-shuffled ~50M
+    gram rows twice at sf0.1). Exactness is preserved: the oracle's
+    decimal-exact SUM of per-instance lp equals the decimal product
+    cnt × lp summed per doc, because lp is grid-rounded to 1e-6 before
+    either accumulation."""
+    from .operators.checkpointing import maybe_checkpoint
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 1),"
+                " i -> substring(lower(text), i, 2))"
+            )
+        ).alias("bg"),
     )
-    model = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    doc_bg = grams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    # two consumers (model rollup + scoring join) — materialize once
+    doc_bg = maybe_checkpoint(doc_bg, eager=False)
+    model = doc_bg.groupBy("bg").agg(F.sum("cnt").alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("n"))
     logp = model.join(F.broadcast(total)).select(
         "bg", F.round(F.log(F.col("c") / F.col("n")), 6).alias("lp")
     )
     return (
-        grams.join(F.broadcast(logp), "bg")
+        doc_bg.join(F.broadcast(logp), "bg")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("lp").cast("decimal(38,10)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_logp"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(
+                (F.col("lp").cast("decimal(38,10)") * F.col("cnt")).cast(
+                    "decimal(38,10)"
+                )
+            )
+            .cast("double")
+            .alias("sum_lp"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -7530,32 +7553,16 @@ def q_doc_ccnet_buckets(spark, sf_dir):
     corpus-sized is ever sorted or windowed."""
     from .operators.sampling import sample_hash
 
-    t = tables(spark, sf_dir)
-    grams = t["documents"].select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(lower(text)) - 1),"
-                " i -> substring(lower(text), i, 2))"
-            )
-        ).alias("bg"),
-    )
-    model = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
-    total = model.agg(F.sum("c").cast("double").alias("n"))
-    logp = model.join(F.broadcast(total)).select(
-        "bg", F.round(F.log(F.col("c") / F.col("n")), 6).alias("lp")
-    )
-    avg_lp = (
-        F.sum(F.col("lp").cast("decimal(38,10)")).cast("double")
-        / F.count(F.lit(1))
-    )
-    scored = (
-        grams.join(F.broadcast(logp), "bg")
-        .groupBy("doc_id")
-        .agg((F.floor(avg_lp * 1000 + 0.5) / 1000).alias("cell"))
-    )
     from .operators.checkpointing import maybe_checkpoint
 
+    t = tables(spark, sf_dir)
+    scored = _char_lm_scores(t["documents"]).select(
+        "doc_id",
+        (
+            F.floor((F.col("sum_lp") / F.col("n_bigrams")) * 1000 + 0.5)
+            / 1000
+        ).alias("cell"),
+    )
     scored = maybe_checkpoint(scored, eager=False)
     cells = scored.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt"))
     wcum = Window.orderBy("cell").rowsBetween(
