@@ -7665,3 +7665,101 @@ def q_vams_triangles(spark, sf_dir):
         )
     )
     return triangle_count(edges)
+
+
+@query(
+    "q_doc_token_pmi",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, t[i] AS tok
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                                  '[^a-z0-9]+'),
+                               s -> s <> '') AS t
+            FROM documents
+        ), UNNEST(range(1, len(t) + 1)) AS u(i)
+    ), pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id
+         AND b.pos - a.pos BETWEEN 1 AND 3
+        GROUP BY a.tok, b.tok
+    ), uni AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ), np AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_pairs FROM pairs
+    ), nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni)
+    SELECT tok_a, tok_b, c_ab,
+           ROUND(LN((c_ab / n_pairs)
+                    / ((ua.c / n_uni) * (ub.c / n_uni))), 6) AS pmi
+    FROM pairs
+    JOIN uni ua ON tok_a = ua.tok
+    JOIN uni ub ON tok_b = ub.tok
+    CROSS JOIN np CROSS JOIN nu
+    WHERE c_ab >= 50
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 50
+    """,
+)
+def q_doc_token_pmi(spark, sf_dir):
+    """PMI collocation mining — the phrase/multi-word-expression
+    discovery operator (pointwise mutual information of token pairs
+    co-occurring within a 3-token forward window). Corpus shape: the
+    positional token relation self-joins on the document key with a
+    position-band predicate (co-partitioned by doc_id — the classic
+    range-band join, never a cartesian), pair and unigram counts are
+    map-combinable aggregates, and the unigram dictionary + scalar
+    totals broadcast back onto the pair relation. The ln is grid-
+    rounded to 1e-6 (the repo's log-determinism convention) and the
+    top-k ordering carries a full (pmi, tok_a, tok_b) tiebreak."""
+    from .operators.inverted_index import tokenize
+
+    t = tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "tok"),
+    )
+    # explicit renames on the right side: Spark's self-join column
+    # resolution would otherwise bind a.pos and b.pos to the same
+    # attribute and the band predicate would be vacuously false
+    right = toks.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("tok").alias("tok_b_raw"),
+    )
+    pairs = (
+        toks.join(
+            right,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("pos_b") - F.col("pos")).between(1, 3),
+        )
+        .groupBy(
+            F.col("tok").alias("tok_a"), F.col("tok_b_raw").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    np_ = pairs.agg(F.sum("c_ab").cast("double").alias("n_pairs"))
+    nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") / F.col("n_pairs"))
+            / ((F.col("ua.c") / F.col("n_uni")) * (F.col("ub.c") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        pairs.filter(F.col("c_ab") >= 50)
+        .join(
+            F.broadcast(uni.alias("ua")), F.col("tok_a") == F.col("ua.tok")
+        )
+        .join(
+            F.broadcast(uni.alias("ub")), F.col("tok_b") == F.col("ub.tok")
+        )
+        .crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nu))
+        .select("tok_a", "tok_b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(50)
+    )
