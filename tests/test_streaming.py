@@ -1184,3 +1184,76 @@ def test_corpus_index_update_replay_is_deterministic(spark, tmp_path):
     )
     assert {r["doc_id"] for r in replay.collect()} == {2}
     assert committed == [{2}, {2}], "commit must see the same rows on replay"
+
+
+def test_suggest_index_incremental_equals_rebuild(spark, tmp_path):
+    """The CDC-maintained suggest index equals a from-scratch build on
+    the final live entities, through inserts, a rename (whose obsolete
+    prefixes must refresh), and a delete; and replaying a batch is a
+    no-op (idempotent partition rewrites + persisted affected-prefix
+    manifest)."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        build_suggest_index,
+        suggest_index_update,
+    )
+
+    state = str(tmp_path / "suggest_state")
+    schema = "database_id string, asset_id string, event_name string, asset_name string"
+
+    def batch(rows, key):
+        return suggest_index_update(
+            spark, state, spark.createDataFrame(rows, schema), key
+        )
+
+    batch(
+        [
+            ("db", "a1", "INSERT", "red widget wheel"),
+            ("db", "a2", "INSERT", "red rims"),
+            ("db", "a3", "INSERT", "blue bolt"),
+        ],
+        "b1",
+    )
+    # rename: every 'widget'/'wheel' prefix must drop a2-era entries;
+    # delete removes blue entirely
+    batch(
+        [
+            ("db", "a1", "MODIFY", "red rocket"),
+            ("db", "a3", "REMOVE", None),
+        ],
+        "b2",
+    )
+
+    live = spark.createDataFrame(
+        [("db", "a1", "red rocket"), ("db", "a2", "red rims")],
+        "database_id string, asset_id string, asset_name string",
+    )
+    expected = {
+        tuple(r)
+        for r in build_suggest_index(live, "asset_name").collect()
+    }
+    maintained = {
+        tuple(r)
+        for r in spark.read.parquet(state + "/suggest")
+        .select("prefix", "suggestion", "freq", "rank")
+        .collect()
+    }
+    assert maintained == expected
+    # obsolete prefixes are gone entirely
+    prefixes = {row[0] for row in maintained}
+    assert "w" not in prefixes and "b" not in prefixes
+
+    # replay of the last batch (at-least-once delivery) changes nothing
+    batch(
+        [
+            ("db", "a1", "MODIFY", "red rocket"),
+            ("db", "a3", "REMOVE", None),
+        ],
+        "b2",
+    )
+    replayed = {
+        tuple(r)
+        for r in spark.read.parquet(state + "/suggest")
+        .select("prefix", "suggestion", "freq", "rank")
+        .collect()
+    }
+    assert replayed == expected

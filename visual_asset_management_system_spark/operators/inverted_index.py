@@ -374,3 +374,170 @@ def build_suggest_index(
         .filter(F.col("rank") <= k)
         .select("prefix", F.col("token").alias("suggestion"), "freq", "rank")
     )
+
+
+def _token_counts(
+    df: DataFrame, key_cols: list[str], text_col: str
+) -> DataFrame:
+    """(keys..., token, cnt) — per-entity token occurrence counts (the
+    suggest index's freq unit; duplicates within a name count)."""
+    return (
+        df.select(
+            *key_cols, F.explode(tokenize(F.col(text_col))).alias("token")
+        )
+        .groupBy(*key_cols, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _prefixes(token_col, max_prefix_len: int):
+    return F.transform(
+        F.sequence(F.lit(1), F.least(F.length(token_col), F.lit(max_prefix_len))),
+        lambda i: token_col.substr(F.lit(1), i),
+    )
+
+
+def suggest_index_update(
+    spark,
+    state_dir: str,
+    changes: DataFrame,
+    batch_key: str,
+    key_cols: list[str] = ("database_id", "asset_id"),
+    text_col: str = "asset_name",
+    max_prefix_len: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """One incremental maintenance step of the completion-suggest index
+    — the CDC story of :func:`build_suggest_index`, so the type-ahead
+    table stays current without corpus rebuilds (the same maintained-
+    state contract as the search tables, streaming/cdc.py).
+
+    ``changes``: (key_cols..., event_name, ``text_col``) — INSERT/
+    MODIFY rows carry the entity's new name, REMOVE rows drop it.
+    State under ``state_dir``:
+
+    - ``tokens/``  — (keys..., token, cnt): each live entity's token
+      counts, merged by the crash-safe partition-rewrite
+      (streaming.cdc.apply_cdc_batch);
+    - ``suggest/`` — (prefix, suggestion, freq, rank): the serving
+      table, partition-rewritten on the PREFIX key;
+    - ``manifests/batch=<key>/`` — the batch's affected-prefix set.
+
+    Only prefixes of tokens touched by the batch (old tokens of the
+    changed entities ∪ their new tokens) are recomputed; each affected
+    prefix is re-ranked against every token sharing it, so displaced
+    unaffected suggestions re-rank correctly. At 100 TB the token store
+    would additionally be partitioned by token prefix so the candidate
+    scan prunes; the plan shape does not change.
+
+    Replay safety (at-least-once streams): the affected-prefix set is
+    computed from the PRE-update store and persisted as a manifest
+    BEFORE any state is touched — a replay after a mid-batch crash
+    reuses it, so a rename's obsolete prefixes are refreshed even
+    though the replayed store no longer shows the old tokens. The
+    suggest recompute itself derives the post-batch token relation
+    functionally (store minus changed keys, plus new rows), which is
+    idempotent under any crash point; both sink merges are idempotent
+    partition rewrites."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..streaming.cdc import apply_cdc_batch
+
+    key_cols = list(key_cols)
+    tokens_dir = os.path.join(state_dir, "tokens")
+    suggest_dir = os.path.join(state_dir, "suggest")
+    manifest_dir = os.path.join(state_dir, "manifests", f"batch={batch_key}")
+
+    # one change per key (last within the batch wins when a seq exists)
+    ch = changes
+    if "seq" in ch.columns:
+        w = Window.partitionBy(*key_cols).orderBy(F.desc("seq"))
+        ch = (
+            ch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    new_rows = _token_counts(
+        ch.filter(F.col("event_name") != "REMOVE"), key_cols, text_col
+    )
+
+    store_schema = (
+        ", ".join(f"{c} string" for c in key_cols) + ", token string, cnt bigint"
+    )
+    if os.path.isdir(tokens_dir):
+        store = spark.read.parquet(tokens_dir).select(
+            *key_cols, "token", "cnt"
+        )
+    else:
+        store = spark.createDataFrame([], store_schema)
+
+    batch_keys = ch.select(*key_cols).distinct()
+    if os.path.isdir(manifest_dir):
+        affected_prefixes = spark.read.parquet(manifest_dir)
+    else:
+        old_tokens = store.join(batch_keys, key_cols, "left_semi").select(
+            "token"
+        )
+        affected_tokens = old_tokens.unionByName(
+            new_rows.select("token")
+        ).distinct()
+        affected_prefixes = (
+            affected_tokens.select(
+                F.explode(_prefixes(F.col("token"), max_prefix_len)).alias(
+                    "prefix"
+                )
+            ).distinct()
+        )
+        affected_prefixes.write.mode("overwrite").parquet(manifest_dir)
+        affected_prefixes = spark.read.parquet(manifest_dir)
+
+    # functional post-batch token relation: correct whether or not the
+    # token store was already rewritten by a crashed earlier attempt
+    updated = store.join(batch_keys, key_cols, "left_anti").unionByName(
+        new_rows
+    )
+    # candidate tokens = every token sharing an affected prefix — found
+    # on the DISTINCT token dictionary (exploding prefixes before the
+    # freq aggregation would multiply each count by its prefix count)
+    cand_tokens = (
+        updated.select("token")
+        .distinct()
+        .withColumn(
+            "prefix", F.explode(_prefixes(F.col("token"), max_prefix_len))
+        )
+        .join(F.broadcast(affected_prefixes), "prefix", "left_semi")
+        .select("token")
+        .distinct()
+    )
+    cand = (
+        updated.join(cand_tokens, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    wrank = Window.partitionBy("prefix").orderBy(F.desc("freq"), "token")
+    fresh_suggest = (
+        cand.withColumn(
+            "prefix", F.explode(_prefixes(F.col("token"), max_prefix_len))
+        )
+        .join(F.broadcast(affected_prefixes), "prefix", "left_semi")
+        .withColumn("rank", F.row_number().over(wrank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("prefix", F.col("token").alias("suggestion"), "freq", "rank")
+    )
+
+    prefix_batch = affected_prefixes.withColumn("event_name", F.lit("MODIFY"))
+    apply_cdc_batch(
+        prefix_batch,
+        lambda keys: fresh_suggest.join(keys, ["prefix"], "left_semi"),
+        suggest_dir,
+        ["prefix"],
+    )
+    apply_cdc_batch(
+        ch,
+        lambda keys: new_rows.join(keys, key_cols, "left_semi"),
+        tokens_dir,
+        key_cols,
+    )
+    return fresh_suggest

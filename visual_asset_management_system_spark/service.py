@@ -164,6 +164,19 @@ class CatalogService:
             .orderBy("rank")
         )
 
+    def suggest_update(
+        self, state_dir: str, changes: DataFrame, batch_key: str, **kwargs
+    ) -> DataFrame:
+        """CDC maintenance step for the suggest index: apply one batch
+        of entity upserts/deletes to the maintained prefix table
+        (operators/inverted_index.suggest_index_update — crash-safe
+        partition rewrites, replay-idempotent via the persisted
+        affected-prefix manifest)."""
+        from .operators.inverted_index import suggest_index_update
+
+        spark = changes.sparkSession
+        return suggest_index_update(spark, state_dir, changes, batch_key, **kwargs)
+
     # -- comments / tags / subscriptions (handlers/comments|tags|
     #    tagTypes|subscription/) -------------------------------------------
     def comments_for_version(
