@@ -156,3 +156,22 @@ def test_output_schema_is_canonicalizable(spark, name):
         f"canonicalizer cannot sort these; stringify them in the final "
         f"projection (and mirror in the oracle)"
     )
+
+
+def test_topk_windows_get_group_limit_pushdown(spark):
+    """The per-group top-k queries rely on Spark's WindowGroupLimit
+    (rank-limit pushdown: each partition keeps only k rows before the
+    final sort) — without it a hot group materializes its full window.
+    Pin the physical pattern so a refactor that breaks pushdown
+    (e.g. referencing the rank column before filtering) fails loudly."""
+    for name in ["q_doc_tfidf_keywords", "q_vams_suggest", "q_knn_join"]:
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan, (
+            f"{name}: rank-limit pushdown (WindowGroupLimit) missing — "
+            f"the top-k window materializes whole groups"
+        )

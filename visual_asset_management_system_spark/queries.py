@@ -7763,3 +7763,65 @@ def q_doc_token_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(50)
     )
+
+
+@query(
+    "q_events_twa",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+    ), seg AS (
+        SELECT user_id, value,
+               LEAD(ts_us) OVER (PARTITION BY user_id
+                    ORDER BY ts_us, event_id) - ts_us AS dt
+        FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           FLOOR(({O_SUM('value * dt')} / {O_SUM('dt')}) * 1000000 + 0.5)
+               / 1000000 AS twa_value
+    FROM seg WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_events_twa(spark, sf_dir):
+    """Time-weighted average (the TimescaleDB time_weight/LOCF
+    aggregate): each observation's value holds until the next
+    observation, so irregular sampling doesn't bias the mean toward
+    burst periods. One LEAD window on the single user_id exchange
+    (funnel discipline) derives interval durations; the aggregate is
+    decimal-exact on both value x dt products and durations, and the
+    final ratio rounds with the FLOOR(x*1e6+0.5)/1e6 form (identical
+    IEEE ops on identical doubles — the round() tie-break trap cannot
+    bite). Zero-length intervals (duplicate timestamps) carry zero
+    weight and are dropped explicitly so both engines agree on the
+    interval count."""
+    t = tables(spark, sf_dir)
+    e = t["events"].select(
+        "user_id", "event_id", "value", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = e.select(
+        "user_id",
+        "value",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    twa = F.floor(
+        (
+            F.sum((F.col("value") * F.col("dt")).cast("decimal(38,10)")).cast(
+                "double"
+            )
+            / F.sum(F.col("dt").cast("decimal(38,10)")).cast("double")
+        )
+        * 1000000
+        + 0.5
+    ) / 1000000
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            twa.alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
