@@ -6843,7 +6843,7 @@ def q02_min_cost_supplier(spark, sf_dir):
     )
     return (
         cand.join(
-            mc,
+            F.broadcast(mc),
             (F.col("p_partkey") == F.col("mk"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
