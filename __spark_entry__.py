@@ -45,6 +45,11 @@ _RECHECK_OVERRIDES: list[str] = [
     # checked it). Add a name here only when the automation can't see
     # the dependency (e.g. a shared helper imported at queries.py
     # module top rather than inside the query function).
+    #
+    # r6: the char-LM scorer was restructured into the queries.py-local
+    # _char_lm_scores helper (per-(doc,bigram) pre-aggregation) — a
+    # dependency git-module tracking can't attribute.
+    "q_doc_char_lm_score",
 ]
 
 #: the driver's oracle gate checks this many leading queries() entries
