@@ -1070,3 +1070,74 @@ def test_dedup_lines_rewrites_and_bounds(spark):
         dedup_lines(df2).filter(F.col("doc_id") == 1).first()["text"]
         == "zz\naa"
     )
+
+
+def test_gopher_and_line_dedup_randomized_invariants(spark):
+    """Randomized cross-check of the round-6 line operators against a
+    pure-Python model of the declared semantics (trim lines, drop
+    empties), over inputs the fixture never produces: empty docs,
+    whitespace-only lines, unicode ellipsis, heavy duplication."""
+    import random
+
+    from visual_asset_management_system_spark.operators.corpus import dedup_lines
+    from visual_asset_management_system_spark.operators.text import (
+        gopher_repetition_signals,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "- bullet", "wait…", "done...", "  ", ""]
+    docs = []
+    for i in range(300):
+        lines = [
+            " ".join(rng.choices(vocab, k=rng.randint(0, 3)))
+            for _ in range(rng.randint(0, 10))
+        ]
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def model_lines(text):
+        return [s.strip() for s in text.split("\n") if s.strip() != ""]
+
+    sig = gopher_repetition_signals(F.col("text"))
+    rows = df.select(
+        "doc_id", *[c.alias(k) for k, c in sig.items()]
+    ).collect()
+    by_id = dict(docs)
+    for r in rows:
+        ls = model_lines(by_id[r["doc_id"]])
+        n = max(len(ls), 1)
+        for k in (
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "ellipsis_line_frac",
+            "bullet_line_frac",
+        ):
+            assert 0.0 <= r[k] <= 1.0, (r["doc_id"], k, r[k])
+        expect_dup = round((len(ls) - len(set(ls))) / n, 6)
+        assert r["dup_line_frac"] == pytest.approx(expect_dup, abs=1e-9)
+        assert (r["dup_line_frac"] == 0.0) == (r["dup_line_char_frac"] == 0.0)
+        expect_ell = round(
+            sum(1 for l in ls if l.endswith("...") or l.endswith("…")) / n, 6
+        )
+        assert r["ellipsis_line_frac"] == pytest.approx(expect_ell, abs=1e-9)
+
+    # dedup_lines against the model: boilerplate = lines in >=2 docs
+    from collections import Counter
+
+    line_docs = Counter()
+    for i, text in docs:
+        for l in set(model_lines(text)):
+            line_docs[l] += 1
+    boiler = {l for l, c in line_docs.items() if c >= 2}
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert set(out) == {i for i, _ in docs if model_lines(dict(docs)[i]) or True} - {
+        i for i, t in docs if not model_lines(t)
+    }
+    for i, text in docs:
+        ls = model_lines(text)
+        if not ls:
+            assert i not in out  # no lines -> no totals row
+            continue
+        kept = [l for l in ls if l not in boiler]
+        assert out[i]["text"] == "\n".join(kept)
+        assert out[i]["n_removed"] == len(ls) - len(kept)

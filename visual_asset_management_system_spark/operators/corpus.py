@@ -241,7 +241,10 @@ def dedup_lines(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.filter(
-                F.transform(F.split(F.col(text_col), delim), F.trim),
+                # explicit lambda: passing F.trim directly makes
+                # transform bind its element INDEX as trim's second
+                # (trim-characters) parameter -> nothing is trimmed
+                F.transform(F.split(F.col(text_col), delim), lambda s: F.trim(s)),
                 lambda s: s != "",
             )
         ).alias("pos", "line"),
