@@ -1141,3 +1141,93 @@ def test_gopher_and_line_dedup_randomized_invariants(spark):
         kept = [l for l in ls if l not in boiler]
         assert out[i]["text"] == "\n".join(kept)
         assert out[i]["n_removed"] == len(ls) - len(kept)
+
+
+def test_snapshot_diff_invariants(spark):
+    from visual_asset_management_system_spark.operators.versions import (
+        snapshot_diff,
+    )
+
+    # small synthetic version history: asset A versioned twice, B once,
+    # C appears only after t1
+    rows = [
+        ("db", "A", "v1", "1996-01-01", 1),
+        ("db", "A", "v2", "1996-12-01", 1),
+        ("db", "B", "v1", "1996-02-01", 1),
+        ("db", "C", "v1", "1996-10-01", 1),
+    ]
+    vdf = spark.createDataFrame(
+        rows,
+        "database_id string, asset_id string, asset_version_id string,"
+        " date_created string, file_count int",
+    ).withColumn("date_created", F.col("date_created").cast("timestamp"))
+
+    d = {
+        r["asset_id"]: r["status"]
+        for r in snapshot_diff(vdf, "1996-06-30", "1997-06-30").collect()
+    }
+    assert d == {"A": "changed", "B": "unchanged", "C": "added"}
+    # reflexivity: identical snapshots diff to all-unchanged
+    same = snapshot_diff(vdf, "1997-06-30", "1997-06-30")
+    assert {r["status"] for r in same.collect()} == {"unchanged"}
+    # reversal: added flips to removed
+    rev = {
+        r["asset_id"]: r["status"]
+        for r in snapshot_diff(vdf, "1997-06-30", "1996-06-30").collect()
+    }
+    assert rev["C"] == "removed" and rev["A"] == "changed"
+
+
+def test_twa_randomized_against_model(spark):
+    import random
+
+    from visual_asset_management_system_spark.queries import QUERIES
+
+    rng = random.Random(7)
+    rows = []
+    for uid in range(20):
+        t = 0
+        for i in range(rng.randint(1, 12)):
+            t += rng.randint(0, 3) * 1_000_000  # µs steps incl. duplicates
+            rows.append((uid, i, float(rng.randint(-5, 50)), t))
+    model = {}
+    for uid in range(20):
+        evs = sorted(
+            [r for r in rows if r[0] == uid], key=lambda r: (r[3], r[1])
+        )
+        num = den = 0.0
+        for (u, i, v, t), (_, _, _, t2) in zip(evs, evs[1:]):
+            if t2 > t:
+                num += v * (t2 - t)
+                den += t2 - t
+        if den:
+            import math
+
+            model[uid] = math.floor((num / den) * 1e6 + 0.5) / 1e6
+
+    from pyspark.sql import Window
+
+    e = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, ts_us long"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = e.select(
+        "user_id",
+        "value",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    twa = F.floor(
+        (
+            F.sum((F.col("value") * F.col("dt")).cast("decimal(38,10)")).cast("double")
+            / F.sum(F.col("dt").cast("decimal(38,10)")).cast("double")
+        )
+        * 1000000
+        + 0.5
+    ) / 1000000
+    got = {
+        r["user_id"]: r["t"]
+        for r in seg.groupBy("user_id").agg(twa.alias("t")).collect()
+    }
+    assert set(got) == set(model)
+    for uid, v in model.items():
+        assert got[uid] == pytest.approx(v, abs=2e-6), uid
