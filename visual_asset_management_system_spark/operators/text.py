@@ -277,3 +277,101 @@ def gopher_repetition_signals(
         "ellipsis_line_frac": F.round(ellipsis / safe_n, 6),
         "bullet_line_frac": F.round(bullet / safe_n, 6),
     }
+
+
+def bpe_learn(
+    words: DataFrame,
+    n_merges: int = 8,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016)
+    as an iterative DataFrame plan: per step, the frequency-weighted
+    count of adjacent symbol pairs picks the argmax pair (count desc,
+    then lexicographic — deterministic), which is merged in every word
+    before the next count. Returns the merge table
+    (step, left, right, merged, pair_count) — the artifact a tokenizer
+    trainer ships.
+
+    Representation trick that keeps BOTH the engine and the SQL oracle
+    exact: a word's symbol sequence is one string with DOUBLE-space
+    separators and double-space margins (``"  h  e  y  "``). Merging
+    pair (a, b) is then the plain left-to-right non-overlapping
+    ``replace(" a  b " -> " ab ")`` — each match consumes one space
+    from each margin, so chained occurrences still match, overlapping
+    triples merge left-to-right exactly like sequential BPE, and
+    symbols can never false-match across boundaries (they contain no
+    spaces). ``replace`` has identical scan semantics in Spark and
+    DuckDB, so an unrolled per-step SQL oracle reproduces every merge
+    bit-for-bit.
+
+    Scale: the corpus appears ONLY in the word-frequency aggregate the
+    caller provides; every iteration runs on the vocabulary-bounded
+    word table (one map-combinable pair count, a 1-row broadcast
+    argmax, a narrow rewrite), with a lineage cut per step."""
+    from .checkpointing import maybe_checkpoint
+
+    def sym_init(c: Column) -> Column:
+        # "hey" -> "  h  e  y  "
+        chars = F.split(c, "")
+        return F.concat(
+            F.lit("  "), F.array_join(chars, "  "), F.lit("  ")
+        )
+
+    cur = words.select(
+        F.col(word_col).alias("word"),
+        F.col(freq_col).alias("freq"),
+        sym_init(F.col(word_col)).alias("sym"),
+    )
+    merges = None
+    for step in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("sym"), "  "), lambda s: s != "")
+        # guard: Spark's sequence(1, 0) DESCENDS, so a 1-symbol word
+        # would index past the array — emit an empty index list instead
+        pair_idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("a"),
+                        F.element_at(syms, i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        ).select("freq", "p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "freq",
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                ).alias("sym"),
+                F.col("a"),
+                F.col("b"),
+                F.col("c"),
+            )
+        )
+        cur = maybe_checkpoint(cur, eager=False)
+        step_row = cur.limit(1).select(
+            F.lit(step).alias("step"),
+            F.col("a").alias("left"),
+            F.col("b").alias("right"),
+            F.concat("a", "b").alias("merged"),
+            F.col("c").cast("bigint").alias("pair_count"),
+        )
+        merges = step_row if merges is None else merges.unionByName(step_row)
+        cur = cur.drop("a", "b", "c")
+    return merges

@@ -7825,3 +7825,84 @@ def q_events_twa(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Unrolled per-step BPE oracle (the pagerank-oracle technique:
+    iteration count is fixed, so each step is one CTE chain of
+    pair-count -> deterministic argmax -> string-rewrite merge, using
+    the same double-space symbol representation and left-to-right
+    `replace` semantics as the engine)."""
+    parts = [
+        """
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                                     '[^a-z0-9]+'),
+                      t -> t <> '')) AS word
+        FROM documents
+    ), w0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+                   AS sym
+        FROM toks GROUP BY word
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+    , p{i} AS (
+        SELECT s[j] AS a, s[j + 1] AS b, SUM(freq) AS c
+        FROM (SELECT freq,
+                     list_filter(string_split(sym, '  '), x -> x <> '') AS s
+              FROM w{i - 1}),
+             UNNEST(range(1, len(s))) AS u(j)
+        GROUP BY s[j], s[j + 1]
+    ), t{i} AS (
+        SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1
+    ), w{i} AS (
+        SELECT word, freq,
+               replace(sym, ' ' || a || '  ' || b || ' ',
+                       ' ' || a || b || ' ') AS sym
+        FROM w{i - 1}, t{i}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + f"\n    SELECT * FROM ({selects}) ORDER BY step"
+
+
+@query("q_doc_bpe_merges", _bpe_oracle(8))
+def q_doc_bpe_merges(spark, sf_dir):
+    """BPE vocabulary induction over the corpus (operators/text.py
+    bpe_learn — Sennrich et al. 2016): the first 8 merge steps of a
+    tokenizer trained on the documents table, verified step-for-step
+    against an unrolled SQL oracle. The corpus appears only in the
+    initial word-frequency aggregate; every iteration then runs on the
+    vocabulary-bounded word table (map-combinable weighted pair count,
+    1-row broadcast argmax, left-to-right string-rewrite merge with
+    identical `replace` semantics in both engines), with a lineage cut
+    per step. The merge table is the artifact a tokenizer trainer
+    ships; tokenization itself is then the greedy application of this
+    table."""
+    from .operators.inverted_index import tokenize
+    from .operators.text import bpe_learn
+
+    t = tables(spark, sf_dir)
+    words = (
+        t["documents"]
+        .select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        bpe_learn(words, n_merges=8)
+        .select(
+            "step",
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "merged",
+            "pair_count",
+        )
+        .orderBy("step")
+    )
