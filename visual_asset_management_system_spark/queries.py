@@ -7906,3 +7906,74 @@ def q_doc_bpe_merges(spark, sf_dir):
         )
         .orderBy("step")
     )
+
+
+@query(
+    "q_vams_geo_search",
+    oracle_with("assets")
+    + """
+    , pts AS (
+        SELECT database_id, asset_id,
+               (CAST(CAST(substr(asset_id, 7) AS BIGINT) * 7 % 1600 AS DOUBLE)
+                    / 10.0) - 80.0 AS lat,
+               (CAST(CAST(substr(asset_id, 7) AS BIGINT) * 13 % 3600 AS DOUBLE)
+                    / 10.0) - 180.0 AS lon
+        FROM assets WHERE NOT is_archived
+    ), d AS (
+        SELECT database_id, asset_id, lat, lon,
+               FLOOR((2 * 6371.0 * asin(sqrt(
+                   pow(sin(radians(lat - 45.0) / 2), 2)
+                   + cos(radians(45.0)) * cos(radians(lat))
+                     * pow(sin(radians(lon - (-122.5)) / 2), 2)
+               ))) * 1000 + 0.5) / 1000 AS dist_km
+        FROM pts
+    )
+    SELECT database_id, asset_id, dist_km
+    FROM d WHERE dist_km < 2000.0005
+    ORDER BY dist_km, database_id, asset_id
+    LIMIT 100
+    """,
+)
+def q_vams_geo_search(spark, sf_dir):
+    """Geo-distance search — the OpenSearch geo_distance filter over
+    the reference's ``gp_`` geo_point fields (models/indexing.py:58-106
+    maps lat+lon metadata dicts to geo_point; the search surface
+    filters by radius). Assets get deterministic synthetic coordinates
+    (integer-hash formulas both engines compute bit-identically — the
+    fixture metadata carries no geo values), distance is the pure
+    Column haversine (functions/geo.py — codegen trigonometry, no
+    UDF), grid-rounded to 1 m with the floor half-up form BEFORE the
+    radius comparison, and the radius sits off-grid so the predicate
+    can never tie. Scan-side predicate + top-k with full tiebreak; at
+    scale the pre-filter is a bounding-box comparison that prunes on
+    min/max column stats before any trigonometry runs."""
+    from .functions.geo import haversine_km
+
+    t = tables(spark, sf_dir)
+    key_num = F.substring("asset_id", 7, 100).cast("bigint")
+    pts = (
+        t["assets"]
+        .filter(~F.col("is_archived"))
+        .select(
+            "database_id",
+            "asset_id",
+            ((key_num * 7 % 1600).cast("double") / 10.0 - 80.0).alias("lat"),
+            ((key_num * 13 % 3600).cast("double") / 10.0 - 180.0).alias("lon"),
+        )
+    )
+    # argument order matters for bit-parity: (center, point) makes the
+    # engine's dlat/dlon literally radians(lat - 45) / radians(lon -
+    # (-122.5)), the same expression tree as the oracle (sin is odd-
+    # symmetric mathematically, but libm implementations need not be
+    # bit-symmetric under negation)
+    dist = haversine_km(
+        F.lit(45.0), F.lit(-122.5), F.col("lat"), F.col("lon")
+    )
+    rounded = F.floor(dist * 1000 + 0.5) / 1000
+    return (
+        pts.withColumn("dist_km", rounded)
+        .filter(F.col("dist_km") < 2000.0005)
+        .select("database_id", "asset_id", "dist_km")
+        .orderBy("dist_km", "database_id", "asset_id")
+        .limit(100)
+    )
