@@ -160,3 +160,15 @@ def test_round5_tier_facade(spark, tmp_path):
     accepted = svc.corpus_stream_update(str(tmp_path / "corpus"), docs)
     ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
     assert ids == {1}  # exact duplicate rejected within the batch
+
+
+def test_geo_search_facade(spark):
+    svc = _svc(spark)
+    pts = spark.createDataFrame(
+        [("a1", 45.0, -122.5), ("a2", 45.5, -122.0), ("a3", -30.0, 60.0)],
+        "asset_id string, lat double, lon double",
+    )
+    hits = svc.geo_search(pts, 45.0, -122.5, radius_km=100.0).collect()
+    ids = [r["asset_id"] for r in hits]
+    assert ids == ["a1", "a2"]  # ordered by distance; antipode excluded
+    assert hits[0]["dist_km"] == 0.0 and 0 < hits[1]["dist_km"] < 100

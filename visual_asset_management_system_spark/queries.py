@@ -7872,6 +7872,13 @@ def _bpe_oracle(n_merges: int = 8) -> str:
     return "".join(parts) + f"\n    SELECT * FROM ({selects}) ORDER BY step"
 
 
+def _bpe_oracle_ctes(n_merges: int = 8) -> str:
+    """Just the CTE chain of :func:`_bpe_oracle` (w0..wN, t1..tN), for
+    oracles that APPLY the learned merges rather than report them."""
+    full = _bpe_oracle(n_merges)
+    return full[: full.rindex("\n    SELECT * FROM")]
+
+
 @query("q_doc_bpe_merges", _bpe_oracle(8))
 def q_doc_bpe_merges(spark, sf_dir):
     """BPE vocabulary induction over the corpus (operators/text.py
@@ -7976,4 +7983,109 @@ def q_vams_geo_search(spark, sf_dir):
         .select("database_id", "asset_id", "dist_km")
         .orderBy("dist_km", "database_id", "asset_id")
         .limit(100)
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    """Oracle for applying the learned BPE merges: re-derives the merge
+    table (the shared CTE chain), then encodes the word DICTIONARY by
+    chaining the same left-to-right replaces and joins the per-word
+    subword counts back onto per-document word counts."""
+    sym = "('  ' || array_to_string(string_split(word, ''), '  ') || '  ')"
+    for i in range(1, n_merges + 1):
+        sym = (
+            f"replace({sym}, ' ' || t{i}.a || '  ' || t{i}.b || ' ', "
+            f"' ' || t{i}.a || t{i}.b || ' ')"
+        )
+    crosses = " ".join(f"CROSS JOIN t{i}" for i in range(1, n_merges + 1))
+    return _bpe_oracle_ctes(n_merges) + f"""
+    , toks2 AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                                     '[^a-z0-9]+'),
+                      t -> t <> '')) AS word
+        FROM documents
+    ), docwords AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n FROM toks2
+        GROUP BY doc_id, word
+    ), dict AS (
+        SELECT DISTINCT word FROM docwords
+    ), encoded AS (
+        SELECT word,
+               CAST(len(list_filter(string_split({sym}, '  '),
+                        x -> x <> '')) AS BIGINT) AS n_sub
+        FROM dict {crosses}
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.n) AS BIGINT) AS n_words,
+           CAST(SUM(d.n * e.n_sub) AS BIGINT) AS n_subwords
+    FROM docwords d JOIN encoded e USING (word)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("q_doc_bpe_encode", _bpe_encode_oracle(8))
+def q_doc_bpe_encode(spark, sf_dir):
+    """Apply the learned BPE merge table (train -> apply parity with
+    q_doc_bpe_merges): per document, word count and post-merge subword
+    count — the tokenizer-budget numbers a packing/pricing pipeline
+    needs. The 8-row merge table pivots into ONE broadcast row (no
+    collect — the model stays in-plan), encoding runs on the word
+    DICTIONARY (vocabulary-bounded, never the corpus), and per-doc
+    totals come from one (doc, word) aggregate joined against the
+    encoded dictionary. The oracle re-derives the merges with the
+    shared CTE chain and chains the identical replaces."""
+    from .operators.inverted_index import tokenize
+    from .operators.text import bpe_learn
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    docwords = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    merges = bpe_learn(words, n_merges=8)
+    piv = merges.groupBy().agg(
+        *[
+            F.max(F.when(F.col("step") == i, F.col(c))).alias(f"{c}{i}")
+            for i in range(1, 9)
+            for c in ("left", "right")
+        ]
+    )
+    enc = docwords.select("word").distinct().crossJoin(F.broadcast(piv))
+    sym = F.concat(
+        F.lit("  "), F.array_join(F.split("word", ""), "  "), F.lit("  ")
+    )
+    for i in range(1, 9):
+        sym = F.replace(
+            sym,
+            F.concat(
+                F.lit(" "),
+                F.col(f"left{i}"),
+                F.lit("  "),
+                F.col(f"right{i}"),
+                F.lit(" "),
+            ),
+            F.concat(
+                F.lit(" "), F.col(f"left{i}"), F.col(f"right{i}"), F.lit(" ")
+            ),
+        )
+    encoded = enc.select(
+        "word",
+        F.size(F.filter(F.split(sym, "  "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_sub"),
+    )
+    return (
+        docwords.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_sub")).alias("n_subwords"),
+        )
+        .orderBy("doc_id")
     )

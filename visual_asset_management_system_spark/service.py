@@ -164,6 +164,35 @@ class CatalogService:
             .orderBy("rank")
         )
 
+    def geo_search(
+        self,
+        points: DataFrame,
+        lat: float,
+        lon: float,
+        radius_km: float,
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+        size: int = 100,
+    ) -> DataFrame:
+        """Geo-distance filter — the OpenSearch geo_distance query over
+        gp_ geo_point fields (models/indexing.py:58-106 mapping).
+        ``points`` is any entity frame carrying coordinate columns;
+        distance is pure Column trigonometry (functions/geo.py),
+        grid-rounded to 1 m before the radius comparison."""
+        from .functions.geo import haversine_km
+
+        dist = haversine_km(
+            F.lit(lat), F.lit(lon), F.col(lat_col), F.col(lon_col)
+        )
+        return (
+            points.withColumn(
+                "dist_km", F.floor(dist * 1000 + 0.5) / 1000
+            )
+            .filter(F.col("dist_km") < radius_km)
+            .orderBy("dist_km", *points.columns[:1])
+            .limit(size)
+        )
+
     def suggest_update(
         self, state_dir: str, changes: DataFrame, batch_key: str, **kwargs
     ) -> DataFrame:
