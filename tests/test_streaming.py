@@ -1257,3 +1257,39 @@ def test_suggest_index_incremental_equals_rebuild(spark, tmp_path):
         .collect()
     }
     assert replayed == expected
+
+
+def test_suggest_sink_compaction(spark, tmp_path):
+    """The suggest index's sink is the same partition-layout as the
+    search tables, so compact_sink maintains it too: compaction must
+    not change the served suggestions."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        suggest_index_update,
+    )
+    from visual_asset_management_system_spark.streaming.cdc import compact_sink
+
+    state = str(tmp_path / "s")
+    schema = "database_id string, asset_id string, event_name string, asset_name string"
+    for i in range(5):  # several batches -> several files per partition
+        suggest_index_update(
+            spark,
+            state,
+            spark.createDataFrame(
+                [("db", f"a{i}", "INSERT", f"red part{i} widget")], schema
+            ),
+            f"b{i}",
+        )
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(state + "/suggest")
+        .select("prefix", "suggestion", "freq", "rank")
+        .collect()
+    }
+    compact_sink(spark, state + "/suggest", max_files_per_partition=1)
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(state + "/suggest")
+        .select("prefix", "suggestion", "freq", "rank")
+        .collect()
+    }
+    assert after == before and before
