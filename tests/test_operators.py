@@ -1231,3 +1231,23 @@ def test_twa_randomized_against_model(spark):
     assert set(got) == set(model)
     for uid, v in model.items():
         assert got[uid] == pytest.approx(v, abs=2e-6), uid
+
+
+def test_bpe_learn_invariants(spark):
+    from visual_asset_management_system_spark.operators.text import bpe_learn
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("a", 1)],
+        "word string, freq long",
+    )
+    rows = bpe_learn(words, 4).orderBy("step").collect()
+    assert [r["step"] for r in rows] == [1, 2, 3, 4]
+    # textbook Sennrich example head: es -> est dominate
+    assert (rows[0]["left"], rows[0]["right"]) == ("e", "s")
+    assert rows[1]["merged"] == "est"
+    for r in rows:
+        assert r["merged"] == r["left"] + r["right"]
+    # a merge can only create pairs bounded by its own count, so the
+    # argmax sequence is non-increasing
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
