@@ -1293,3 +1293,59 @@ def test_suggest_sink_compaction(spark, tmp_path):
         .collect()
     }
     assert after == before and before
+
+
+def test_suggest_stream_two_microbatches(spark, tmp_path):
+    """The streaming wrapper maintains the suggest index across
+    micro-batches exactly like direct batch calls: insert then rename
+    via two availableNow passes; the final table equals a from-scratch
+    build on the live names."""
+    import json
+    import os
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        build_suggest_index,
+        start_suggest_stream,
+    )
+
+    changes_dir = str(tmp_path / "changes")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(changes_dir)
+
+    def put(name, rows):
+        with open(os.path.join(changes_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    put("b1.json", [
+        {"database_id": "db", "asset_id": "a1", "event_name": "INSERT",
+         "asset_name": "red widget", "seq": 1},
+        {"database_id": "db", "asset_id": "a2", "event_name": "INSERT",
+         "asset_name": "red rims", "seq": 2},
+    ])
+    q = start_suggest_stream(spark, changes_dir, state, ckpt)
+    q.awaitTermination(120)
+
+    put("b2.json", [
+        {"database_id": "db", "asset_id": "a1", "event_name": "MODIFY",
+         "asset_name": "blue rocket", "seq": 3},
+    ])
+    q = start_suggest_stream(spark, changes_dir, state, ckpt)
+    q.awaitTermination(120)
+
+    live = spark.createDataFrame(
+        [("db", "a1", "blue rocket"), ("db", "a2", "red rims")],
+        "database_id string, asset_id string, asset_name string",
+    )
+    expected = {
+        tuple(r) for r in build_suggest_index(live, "asset_name").collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(state + "/suggest")
+        .select("prefix", "suggestion", "freq", "rank")
+        .collect()
+    }
+    assert got == expected
+    assert "w" not in {row[0] for row in got}  # 'widget' prefixes refreshed

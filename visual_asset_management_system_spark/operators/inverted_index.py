@@ -541,3 +541,48 @@ def suggest_index_update(
         key_cols,
     )
     return fresh_suggest
+
+
+def start_suggest_stream(
+    spark,
+    changes_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    changes_schema: str = (
+        "database_id string, asset_id string, event_name string, "
+        "asset_name string, seq bigint"
+    ),
+    trigger_once: bool = True,
+    **update_kwargs,
+):
+    """Structured Streaming wrapper around :func:`suggest_index_update`:
+    a file-source change stream (the same change-log shape the search
+    tables consume) keeps the completion-suggest index continuously
+    current — the suggester's kappa loop beside the search-table CDC,
+    the dedup stream, and the corpus-build stream.
+
+    Replay-safe by construction: the micro-batch id is the batch key,
+    so an at-least-once redelivery reuses its persisted
+    affected-prefix manifest and rewrites the same partitions with the
+    same rows (suggest_index_update's crash-ordering contract)."""
+    stream = (
+        spark.readStream.schema(changes_schema).format("json").load(changes_dir)
+    )
+    if "batch_key" in update_kwargs:
+        raise TypeError(
+            "batch_key is managed by the stream wrapper (per-micro-batch id)"
+        )
+
+    def handle(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        suggest_index_update(
+            spark, state_dir, batch, batch_key=f"b{batch_id}", **update_kwargs
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
