@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     # round-6 tiers: partsupp TPC-H, corpus line dedup, CCNet bucketed
     # sampling, timeseries interpolation
     "q02_min_cost_supplier",
+    "q_corpus_build_v2",
     "q_doc_line_dedup",
     "q_doc_ccnet_buckets",
     "q_events_interpolate",

@@ -8089,3 +8089,168 @@ def q_doc_bpe_encode(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_corpus_build_v2",
+    f"""
+    WITH base AS (
+        SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+        FROM documents
+    ), tok0 AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM base
+    ), feats AS (
+        SELECT doc_id, text, toks,
+            {_o_lang_count(("der", "die", "und"))} AS c_de,
+            {_o_lang_count(("the", "and", "of"))} AS c_en,
+            {_o_lang_count(("el", "los", "que"))} AS c_es,
+            {_o_lang_count(("le", "la", "et"))} AS c_fr,
+            ROUND(
+                0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 100000
+                             THEN 1.0 ELSE 0.0 END)
+              + 0.25 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / GREATEST(length(text), 1))
+              + 0.25 * LEAST((len(list_filter(toks,
+                              t -> lower(t) IN ({_O_STOPS})))
+                              / GREATEST(len(toks), 1)) * 4.0, 1.0)
+              + 0.25 * (CASE WHEN length(text) / GREATEST(len(toks), 1) >= 3
+                              AND length(text) / GREATEST(len(toks), 1) <= 12
+                             THEN 1.0 ELSE 0.0 END), 4) AS quality,
+            list_filter(list_transform(string_split(text, chr(10)),
+                                        s -> trim(s)), s -> s <> '') AS lns
+        FROM tok0
+    ), gated AS (
+        SELECT doc_id, text,
+               CASE WHEN GREATEST(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                    WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr) THEN 'de'
+                    WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr) THEN 'en'
+                    WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               quality,
+               ROUND((len(lns) - len(list_distinct(lns)))
+                     / GREATEST(len(lns), 1), 6) AS dup_line_frac
+        FROM feats
+    ), filtered AS (
+        SELECT doc_id, text FROM gated
+        WHERE lang_pred = 'en' AND quality >= 0.5 AND dup_line_frac <= 0.5
+    ), lines AS (
+        SELECT doc_id, i AS pos, lines[i] AS line
+        FROM (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              s -> trim(s)),
+                               s -> s <> '') AS lines
+            FROM filtered
+        ), UNNEST(range(1, len(lines) + 1)) AS u(i)
+    ), boiler AS (
+        SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+            FROM lines GROUP BY line
+        ) WHERE n_docs >= 2
+    ), kept AS (
+        SELECT l.* FROM lines l ANTI JOIN boiler b USING (line)
+    ), rebuilt AS (
+        SELECT doc_id,
+               array_to_string(list(line ORDER BY pos), chr(10)) AS text
+        FROM kept GROUP BY doc_id
+    ), deduped AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text, ROW_NUMBER() OVER (
+                PARTITION BY {_O_FP} ORDER BY doc_id) AS rn
+            FROM rebuilt WHERE text <> ''
+        ) WHERE rn = 1
+    ), dtoks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM deduped
+    ), grams AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(toks) >= 8 THEN list_distinct(list_transform(
+                range(0, len(toks) - 8 + 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')
+            )) ELSE [] END) AS ngram
+        FROM dtoks
+    ), bench AS (
+        SELECT DISTINCT ngram FROM grams WHERE doc_id % 11 = 0
+    ), contaminated AS (
+        SELECT g.doc_id FROM grams g JOIN bench b USING (ngram)
+        WHERE g.doc_id % 11 <> 0
+        GROUP BY g.doc_id HAVING COUNT(*) >= 3
+    ), clean AS (
+        SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens
+        FROM dtoks d
+        WHERE d.doc_id % 11 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), packed AS (
+        SELECT doc_id, n_tokens, doc_id % 8 AS bucket,
+               SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM clean
+    )
+    SELECT doc_id, bucket, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS offset
+    FROM packed ORDER BY doc_id
+    """,
+)
+def q_corpus_build_v2(spark, sf_dir):
+    """The round-6 END-TO-END corpus build: v1's composition extended
+    with the line-level tier — lang filter -> quality filter -> Gopher
+    duplicate-line gate -> corpus-wide boilerplate-line REWRITE
+    (dedup_lines; token budgets downstream see the cleaned text) ->
+    exact-dedup representative drop -> benchmark decontamination ->
+    sequence packing. Every stage is the operator its standalone query
+    oracle-checks; stage order keeps each filter BEFORE the next
+    shuffle, the line-dedup anti-join runs on the line-hash key, and
+    the only window shuffles are the dedup pick and the per-bucket
+    packing — the same every-stage-shrinks property that makes v1
+    viable at 100 TB, now with the rewrite stage in the middle."""
+    from .operators.checkpointing import maybe_checkpoint
+    from .operators.corpus import contamination, dedup_lines, pack_sequences
+    from .operators.dedup import drop_exact_duplicates
+    from .operators.partitioning import ensure_min_parallelism
+    from .operators.text import gopher_repetition_signals
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.replace("text", F.lit(" table "), F.lit("\n")).alias("text")
+    )
+    sig = gopher_repetition_signals(F.col("text"))
+    staged = (
+        ensure_min_parallelism(docs)
+        .withColumn("lang_pred", lang_id(F.col("text")))
+        .withColumn("quality", quality_score(F.col("text")))
+        .withColumn("dup_line_frac", sig["dup_line_frac"])
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.5)
+            & (F.col("dup_line_frac") <= 0.5)
+        )
+        .select("doc_id", "text")
+    )
+    rewritten = (
+        dedup_lines(staged, min_docs=2)
+        .filter(F.col("text") != "")
+        .select("doc_id", "text")
+    )
+    deduped = maybe_checkpoint(
+        ensure_min_parallelism(drop_exact_duplicates(rewritten))
+    )
+    bench = deduped.filter(F.col("doc_id") % 11 == 0)
+    train = deduped.filter(F.col("doc_id") % 11 != 0)
+    dirty = contamination(train, bench, n=8, min_overlap=3).select("doc_id")
+    clean = train.join(dirty, "doc_id", "left_anti")
+    return (
+        pack_sequences(
+            clean,
+            seq_len=512,
+            n_buckets=8,
+            bucket_col=F.pmod(F.col("doc_id"), F.lit(8)),
+        )
+        .select("doc_id", "bucket", "n_tokens", "seq_id", "offset")
+        .orderBy("doc_id")
+    )
