@@ -1349,3 +1349,65 @@ def test_suggest_stream_two_microbatches(spark, tmp_path):
     }
     assert got == expected
     assert "w" not in {row[0] for row in got}  # 'widget' prefixes refreshed
+
+
+def test_suggest_update_crash_between_sinks_recovers(spark, tmp_path, monkeypatch):
+    """The docstring's crash-ordering claim, exercised literally: a
+    crash AFTER the suggest-table rewrite but BEFORE the token-store
+    rewrite (the worst ordering — the store still shows the old name)
+    must leave a replay that converges to the from-scratch build,
+    because the replay reuses the persisted affected-prefix manifest
+    and derives the post-batch token relation functionally."""
+    from visual_asset_management_system_spark.operators import inverted_index as ii
+    from visual_asset_management_system_spark.streaming import cdc
+
+    state = str(tmp_path / "s")
+    schema = (
+        "database_id string, asset_id string, event_name string,"
+        " asset_name string"
+    )
+
+    def run(rows, key):
+        return ii.suggest_index_update(
+            spark, state, spark.createDataFrame(rows, schema), key
+        )
+
+    run([("db", "a1", "INSERT", "red widget")], "b1")
+
+    # crash injection: let the FIRST apply_cdc_batch (suggest sink)
+    # succeed, kill the second (token store)
+    real = cdc.apply_cdc_batch
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before token-store rewrite")
+        return real(*a, **k)
+
+    monkeypatch.setattr(cdc, "apply_cdc_batch", flaky)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        run([("db", "a1", "MODIFY", "blue rocket")], "b2")
+    monkeypatch.setattr(cdc, "apply_cdc_batch", real)
+
+    # at-least-once replay of the same batch
+    run([("db", "a1", "MODIFY", "blue rocket")], "b2")
+
+    live = spark.createDataFrame(
+        [("db", "a1", "blue rocket")],
+        "database_id string, asset_id string, asset_name string",
+    )
+    expected = {
+        tuple(r)
+        for r in ii.build_suggest_index(live, "asset_name").collect()
+    }
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(state + "/suggest")
+        .select("prefix", "suggestion", "freq", "rank")
+        .collect()
+    }
+    assert got == expected
+    assert "r" in {row[0] for row in got} and "w" not in {row[0] for row in got}
