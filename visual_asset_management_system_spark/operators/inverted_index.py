@@ -474,7 +474,10 @@ def suggest_index_update(
         store = spark.createDataFrame([], store_schema)
 
     batch_keys = ch.select(*key_cols).distinct()
-    if os.path.isdir(manifest_dir):
+    # a manifest counts only when its _SUCCESS marker landed — a crash
+    # mid-write leaves a partial parquet dir that a bare isdir() check
+    # would trust, silently dropping affected prefixes on replay
+    if os.path.isfile(os.path.join(manifest_dir, "_SUCCESS")):
         affected_prefixes = spark.read.parquet(manifest_dir)
     else:
         old_tokens = store.join(batch_keys, key_cols, "left_semi").select(
