@@ -172,3 +172,33 @@ def test_geo_search_facade(spark):
     ids = [r["asset_id"] for r in hits]
     assert ids == ["a1", "a2"]  # ordered by distance; antipode excluded
     assert hits[0]["dist_km"] == 0.0 and 0 < hits[1]["dist_km"] < 100
+
+
+def test_suggest_serves_from_maintained_table(spark, tmp_path):
+    """With a CDC-maintained suggest table in the tables dict, the
+    facade serves from it (no rebuild over live assets)."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        suggest_index_update,
+    )
+
+    state = str(tmp_path / "sugg")
+    suggest_index_update(
+        spark,
+        state,
+        spark.createDataFrame(
+            [("db", "a1", "INSERT", "zephyr engine")],
+            "database_id string, asset_id string, event_name string,"
+            " asset_name string",
+        ),
+        "b1",
+    )
+    t = dict(tables(spark, SF))
+    t["suggest"] = spark.read.parquet(state + "/suggest")
+    svc = CatalogService(t)
+    got = svc.suggest("zep").collect()
+    assert [r["suggestion"] for r in got] == ["zephyr"]
+    # live assets don't contain 'zephyr' — proof it served the table
+    assert (
+        t["search_assets"].filter(F.col("asset_name").contains("zephyr")).count()
+        == 0
+    )

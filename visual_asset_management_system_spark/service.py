@@ -155,12 +155,15 @@ class CatalogService:
         return build_suggest_index(src, text_col)
 
     def suggest(self, prefix: str, entity: str = "asset") -> DataFrame:
-        """Type-ahead suggestions for one prefix — a point lookup on the
-        suggest index (serving path; deployments read the maintained
-        table instead of rebuilding)."""
+        """Type-ahead suggestions for one prefix — a point lookup. When
+        the tables dict carries a CDC-maintained ``suggest`` table
+        (suggest_index_update's sink), serve from it — the prefix
+        filter prunes to one hash partition; otherwise fall back to an
+        on-the-fly build over live entity names."""
+        index = self.t.get("suggest") or self.suggest_index(entity)
         return (
-            self.suggest_index(entity)
-            .filter(F.col("prefix") == prefix.lower())
+            index.filter(F.col("prefix") == prefix.lower())
+            .select("prefix", "suggestion", "freq", "rank")
             .orderBy("rank")
         )
 
