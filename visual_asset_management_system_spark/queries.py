@@ -8254,3 +8254,85 @@ def q_corpus_build_v2(spark, sf_dir):
         .select("doc_id", "bucket", "n_tokens", "seq_id", "offset")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_vams_significant_terms",
+    oracle_with("assets")
+    + """
+    , live AS (
+        SELECT asset_type, asset_name FROM assets WHERE NOT is_archived
+    ), bg AS (
+        SELECT unnest(list_filter(string_split_regex(lower(asset_name),
+                                                     '[^a-z0-9]+'),
+                      t -> t <> '')) AS term
+        FROM live
+    ), fg AS (
+        SELECT unnest(list_filter(string_split_regex(lower(asset_name),
+                                                     '[^a-z0-9]+'),
+                      t -> t <> '')) AS term
+        FROM live WHERE asset_type = 'glb'
+    ), bgc AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS bg_count FROM bg
+        GROUP BY term
+    ), fgc AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS fg_count FROM fg
+        GROUP BY term
+    ), totals AS (
+        SELECT (SELECT CAST(SUM(bg_count) AS DOUBLE) FROM bgc) AS n_bg,
+               (SELECT CAST(SUM(fg_count) AS DOUBLE) FROM fgc) AS n_fg
+    )
+    SELECT term, fg_count, bg_count,
+           FLOOR(((fg_count / n_fg - bg_count / n_bg)
+                  * ((fg_count / n_fg) / (bg_count / n_bg)))
+                 * 1000000 + 0.5) / 1000000 AS jlh
+    FROM fgc JOIN bgc USING (term) CROSS JOIN totals
+    WHERE fg_count >= 3
+    ORDER BY jlh DESC, term
+    LIMIT 20
+    """,
+)
+def q_vams_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation — OpenSearch's significant_terms
+    bucket agg (the "what is unusual about this result set" feature of
+    the reference's search tier): terms overrepresented in a foreground
+    slice (glb-type assets) relative to the whole live corpus, scored
+    with JLH = (fg% - bg%) x (fg% / bg%). Two map-combinable term
+    counts (the foreground one over the already-filtered slice), a
+    dictionary-sized equi-join, 1-row totals broadcast, floor-form
+    rounding, full-tiebreak top-k. At 100 TB the background counts are
+    maintained state (the same CDC story as the suggest index); the
+    per-query work is the foreground slice only."""
+    from .operators.inverted_index import tokenize
+
+    t = tables(spark, sf_dir)
+    live = t["assets"].filter(~F.col("is_archived")).select(
+        "asset_type", "asset_name"
+    )
+    explode_terms = lambda df: df.select(  # noqa: E731
+        F.explode(tokenize(F.col("asset_name"))).alias("term")
+    )
+    bgc = explode_terms(live).groupBy("term").agg(
+        F.count(F.lit(1)).alias("bg_count")
+    )
+    fgc = (
+        explode_terms(live.filter(F.col("asset_type") == "glb"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+    )
+    n_bg = bgc.agg(F.sum("bg_count").cast("double").alias("n_bg"))
+    n_fg = fgc.agg(F.sum("fg_count").cast("double").alias("n_fg"))
+    fg_pct = F.col("fg_count") / F.col("n_fg")
+    bg_pct = F.col("bg_count") / F.col("n_bg")
+    jlh = F.floor(
+        ((fg_pct - bg_pct) * (fg_pct / bg_pct)) * 1000000 + 0.5
+    ) / 1000000
+    return (
+        fgc.join(bgc, "term")
+        .crossJoin(F.broadcast(n_bg))
+        .crossJoin(F.broadcast(n_fg))
+        .filter(F.col("fg_count") >= 3)
+        .select("term", "fg_count", "bg_count", jlh.alias("jlh"))
+        .orderBy(F.desc("jlh"), "term")
+        .limit(20)
+    )
