@@ -149,6 +149,22 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
     except (OSError, SyntaxError):
         pass
 
+    # per-query source+oracle fingerprints captured at the end of the
+    # last round (scripts/update_query_hashes.py) — catches queries.py-
+    # LOCAL changes (shared helpers, inline rewrites) that git module
+    # attribution can't see
+    import hashlib
+    import json
+
+    snapshot: dict[str, str] = {}
+    try:
+        with open(os.path.join(here, "QUERY_HASHES.json")) as f:
+            snapshot = json.load(f)
+    except (OSError, ValueError):
+        pass
+
+    from visual_asset_management_system_spark.queries import ORACLES
+
     stale: list[tuple[int, str]] = []
     for name, rnd in green.items():
         gate_ts = round_ts.get(rnd)
@@ -158,6 +174,11 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
             src = inspect.getsource(QUERIES[name])
         except (OSError, TypeError):
             continue
+        if name in snapshot:
+            blob = src + "\n--oracle--\n" + ORACLES.get(name, "")
+            if hashlib.md5(blob.encode()).hexdigest() != snapshot[name]:
+                stale.append((rnd, name))
+                continue
         mods = set(re.findall(r"from \.((?:\w+\.)*\w+) import", src))
         words = set(re.findall(r"\b\w+\b", src))
         mods.update(m for ident, m in top_ident_mod.items() if ident in words)
