@@ -5749,8 +5749,12 @@ def _char_lm_scores(docs: DataFrame) -> DataFrame:
     cnt × lp summed per doc, because lp is grid-rounded to 1e-6 before
     either accumulation."""
     from .operators.checkpointing import maybe_checkpoint
+    from .operators.partitioning import ensure_min_parallelism
 
-    grams = docs.select(
+    # the fixture corpus is one parquet split — without the guard the
+    # CPU-heavy bigram explode runs on a single core (measured 5.5s of
+    # the 6s total at sf0.1); no-op once inputs have real splits
+    grams = ensure_min_parallelism(docs).select(
         "doc_id",
         F.explode(
             F.expr(
