@@ -3793,10 +3793,16 @@ def q_doc_repetition(spark, sf_dir):
     repetition_score) — the Gopher-style repetition quality filter; the
     planted all-'spam' doc must top the ranking. Oracle replicates the
     window slicing with DuckDB list ops."""
+    from .operators.partitioning import ensure_min_parallelism
     from .operators.text import repetition_score
 
     t = tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", "text").unionByName(
+    # the guard matters here: the fixture corpus is one parquet split,
+    # and the O(len^2)-per-doc n-gram scoring otherwise runs as a
+    # single straggler task (measured 11s -> ~1s at sf0.1)
+    docs = ensure_min_parallelism(
+        t["documents"].select("doc_id", "text")
+    ).unionByName(
         spark.createDataFrame(
             [(9000001, "spam spam spam spam spam spam spam spam")],
             "doc_id long, text string",
