@@ -58,3 +58,27 @@ def test_git_failure_degrades_gracefully(monkeypatch):
     monkeypatch.setattr(subprocess, "run", raise_oserror)
     order = e._driver_order(["qa", "qb"])
     assert order == ["qa", "qb"]  # never-checked first, green last
+
+
+def test_query_fingerprints_are_current():
+    """QUERY_HASHES.json must match the code the gate will run — the
+    recheck automation compares future rounds against this snapshot, so
+    a stale snapshot silently mis-attributes staleness. Regenerate with
+    `python scripts/update_query_hashes.py` after ANY query or oracle
+    edit (it is the round's last step)."""
+    import json
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from update_query_hashes import fingerprints
+
+    with open("/root/repo/QUERY_HASHES.json") as f:
+        snapshot = json.load(f)
+    current = fingerprints()
+    changed = sorted(
+        n for n in set(snapshot) | set(current)
+        if snapshot.get(n) != current.get(n)
+    )
+    assert not changed, (
+        f"{len(changed)} query fingerprints drifted from QUERY_HASHES.json "
+        f"(first: {changed[:5]}) — run scripts/update_query_hashes.py"
+    )
