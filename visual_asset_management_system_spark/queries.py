@@ -8346,3 +8346,371 @@ def q_vams_significant_terms(spark, sf_dir):
         .orderBy(F.desc("jlh"), "term")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6 (cont.): search-surface parity — more-like-this and percolator
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_doc_more_like_this",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                                     '[^a-z0-9]+'),
+                                  t -> t <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    idf AS (
+        SELECT term, ROUND(LN(n.n_docs / df.df), 6) AS idf FROM df, n
+    ), seed AS (
+        SELECT term, idf FROM (
+            SELECT tf.term, idf.idf,
+                   ROW_NUMBER() OVER (
+                       ORDER BY FLOOR(tf.tf * idf.idf * 1000000 + 0.5)
+                                    / 1000000 DESC,
+                                tf.term) AS rn
+            FROM tf JOIN idf USING (term)
+            WHERE tf.doc_id = 0
+        ) WHERE rn <= 10
+    )
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS INT) AS matched_terms,
+           CAST(SUM(CAST(seed.idf AS DECIMAL(38,10))) AS DOUBLE) AS mlt_score
+    FROM tf JOIN seed USING (term)
+    WHERE tf.doc_id <> 0
+    GROUP BY tf.doc_id
+    HAVING COUNT(*) >= 2
+    ORDER BY mlt_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_doc_more_like_this(spark, sf_dir):
+    """More-like-this similarity search — OpenSearch's ``more_like_this``
+    query (the reference's search tier exposes OpenSearch query DSL;
+    MLT is the "find assets like this one" feature): extract the seed
+    document's top-10 TF-IDF terms, then score every other document by
+    the summed idf of the seed terms it shares (>= 2 matched terms, the
+    MLT ``min_term_freq``/``min_doc_freq`` analog). Plan: one tokenize
+    explode feeds both the per-doc term frequencies and the document
+    frequencies; the idf dictionary is vocabulary-bounded and broadcast;
+    the seed's term ranking is a window over ONE document's terms; the
+    scoring join probes the corpus term pairs with a 10-row broadcast.
+    idf is grid-rounded BEFORE the decimal-accumulated sum, so the score
+    is order-independent and engine-exact. At 100 TB nothing but the
+    (doc, term) aggregate leaves its natural key — the same maintained
+    tf/df state the BM25 tier (operators/inverted_index.py) keeps."""
+    from .operators.inverted_index import tokenize
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"]
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf")
+    )
+    seed_scored = (
+        tf.filter(F.col("doc_id") == 0)
+        .join(F.broadcast(idf), "term")
+        .select(
+            "term",
+            "idf",
+            (F.floor(F.col("tf") * F.col("idf") * 1000000 + 0.5) / 1000000)
+            .alias("tfidf"),
+        )
+    )
+    w = Window.orderBy(F.desc("tfidf"), "term")
+    seed = (
+        seed_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("term", "idf")
+    )
+    return (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(seed), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("matched_terms"),
+            _dsum(F.col("idf"), "mlt_score"),
+        )
+        .filter(F.col("matched_terms") >= 2)
+        .orderBy(F.desc("mlt_score"), "doc_id")
+        .limit(20)
+    )
+
+
+_PERCOLATE_QUERIES: list[tuple[str, str, str, str]] = [
+    # (query_id, term_a, term_b, mode) — the stored-query registry the
+    # percolator matches documents against. Deterministic fixture
+    # content; both engines embed the identical literal table.
+    ("pq_01", "red", "widget", "and"),
+    ("pq_02", "blue", "gear", "and"),
+    ("pq_03", "hot", "cold", "or"),
+    ("pq_04", "small", "plate", "and"),
+    ("pq_05", "large", "bolt", "and"),
+    ("pq_06", "anvil", "gizmo", "or"),
+    ("pq_07", "red", "blue", "or"),
+    ("pq_08", "old", "rod", "and"),
+    ("pq_09", "ring", "gear", "or"),
+    ("pq_10", "hot", "widget", "and"),
+]
+
+
+def _percolate_values_sql() -> str:
+    rows = ", ".join(
+        f"('{q}', '{a}', '{b}', '{m}')" for q, a, b, m in _PERCOLATE_QUERIES
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS pq(query_id, term_a, term_b, mode)"
+    )
+
+
+@query(
+    "q_vams_percolate",
+    oracle_with("assets")
+    + f"""
+    , pq AS ({_percolate_values_sql()})
+    , qterms AS (
+        SELECT query_id, mode, term_a AS term FROM pq
+        UNION ALL
+        SELECT query_id, mode, term_b AS term FROM pq
+    ), doc_terms AS (
+        SELECT database_id, asset_id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(
+                       lower(concat_ws(' ', asset_name, description)),
+                       '[^a-z0-9]+'),
+                   t -> t <> ''))) AS term
+        FROM assets WHERE NOT is_archived
+    ), hits AS (
+        SELECT d.database_id, d.asset_id, q.query_id, q.mode,
+               COUNT(*) AS matched
+        FROM doc_terms d JOIN qterms q USING (term)
+        GROUP BY d.database_id, d.asset_id, q.query_id, q.mode
+    ), matched_q AS (
+        SELECT database_id, asset_id, query_id
+        FROM hits
+        WHERE (mode = 'and' AND matched = 2) OR (mode = 'or' AND matched >= 1)
+    )
+    SELECT database_id, asset_id,
+           CAST(COUNT(*) AS INT) AS n_queries,
+           string_agg(query_id, ',' ORDER BY query_id) AS matched_queries
+    FROM matched_q
+    GROUP BY database_id, asset_id
+    ORDER BY n_queries DESC, database_id, asset_id
+    LIMIT 200
+    """,
+)
+def q_vams_percolate(spark, sf_dir):
+    """Percolator — OpenSearch's reverse search (``percolate`` query):
+    a registry of STORED queries is matched against incoming documents,
+    answering "which saved searches / alert subscriptions does this
+    asset satisfy" (the reference's subscription + notification surface
+    — handlers/assets checks subscriptions per-asset on change). Each
+    stored query here is a two-term predicate with and/or semantics.
+
+    Plan: stored queries explode to (query_id, term) rows — a registry-
+    sized relation that BROADCASTS; documents tokenize once into
+    distinct (doc, term) pairs; one equi-join + count per (doc, query)
+    decides satisfaction (AND = all terms matched, OR = any), then a
+    per-doc sorted aggregation serializes the matching query ids. At
+    100 TB the stream side is the document corpus scan — there is no
+    per-(doc x query) work for non-matching terms, the classic inverted
+    percolation shape. Output is scalar-only (comma-joined ids)."""
+    from .operators.inverted_index import tokenize
+
+    t = tables(spark, sf_dir)
+    pq = spark.createDataFrame(
+        _PERCOLATE_QUERIES, ["query_id", "term_a", "term_b", "mode"]
+    )
+    qterms = pq.selectExpr("query_id", "mode", "term_a AS term").unionAll(
+        pq.selectExpr("query_id", "mode", "term_b AS term")
+    )
+    doc_terms = (
+        t["assets"]
+        .filter(~F.col("is_archived"))
+        .select(
+            "database_id",
+            "asset_id",
+            F.explode(
+                F.array_distinct(
+                    tokenize(
+                        F.concat_ws(
+                            " ", F.col("asset_name"), F.col("description")
+                        )
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    hits = (
+        doc_terms.join(F.broadcast(qterms), "term")
+        .groupBy("database_id", "asset_id", "query_id", "mode")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    matched_q = hits.filter(
+        ((F.col("mode") == "and") & (F.col("matched") == 2))
+        | ((F.col("mode") == "or") & (F.col("matched") >= 1))
+    )
+    return (
+        matched_q.groupBy("database_id", "asset_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_queries"),
+            F.array_join(F.array_sort(F.collect_list("query_id")), ",").alias(
+                "matched_queries"
+            ),
+        )
+        .orderBy(F.desc("n_queries"), "database_id", "asset_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 6 (cont.): date-histogram pipeline aggregations and trending
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_events_pipeline_aggs",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000) * 86400 AS day_s,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type, day_s
+    )
+    SELECT event_type, day_s, n_events,
+           CAST(n_events - LAG(n_events) OVER w AS BIGINT) AS derivative,
+           CAST(SUM(n_events) OVER (w ROWS BETWEEN 6 PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE)
+               / CAST(COUNT(*) OVER (w ROWS BETWEEN 6 PRECEDING
+                                     AND CURRENT ROW) AS DOUBLE)
+               AS moving_avg_7d,
+           CAST(SUM(n_events) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+               AS cumulative
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_s)
+    ORDER BY event_type, day_s
+    """,
+)
+def q_events_pipeline_aggs(spark, sf_dir):
+    """Date-histogram pipeline aggregations — OpenSearch's
+    ``derivative`` / ``moving_avg`` / ``cumulative_sum`` pipeline aggs
+    stacked on a daily histogram (the dashboard time-series surface of
+    the reference's search tier). One map-combinable daily aggregate,
+    then all three pipeline functions share a single per-type window
+    (one exchange on event_type — type-cardinality partitions, each a
+    bounded day series). Day bucketing is pure integer ns math
+    (events.ts arrives as bigint epoch-ns). The moving average divides
+    two window aggregates of exact integers — identical IEEE division
+    on both engines; window SUMs are BIGINT-cast (DuckDB HUGEINT
+    convention). At 100 TB the daily pre-aggregate IS the continuous-
+    aggregate rollup (q_events_rollup_cascade); the window stage runs
+    over days-x-types rows only."""
+    t = tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("(ts div 86400000000000) * 86400").alias("day_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_s")
+    w7 = w.rowsBetween(-6, 0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "event_type",
+        "day_s",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w))
+        .cast("bigint")
+        .alias("derivative"),
+        (
+            F.sum("n_events").over(w7).cast("double")
+            / F.count(F.lit(1)).over(w7).cast("double")
+        ).alias("moving_avg_7d"),
+        F.sum("n_events").over(wcum).cast("bigint").alias("cumulative"),
+    ).orderBy("event_type", "day_s")
+
+
+@query(
+    "q_events_trending",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000) * 86400 AS day_s,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type, day_s
+    ), growth AS (
+        SELECT event_type, day_s, n_events,
+               CAST(LAG(n_events) OVER (PARTITION BY event_type
+                                        ORDER BY day_s) AS BIGINT) AS prev_n
+        FROM daily
+    ), scored AS (
+        SELECT event_type, day_s, n_events, prev_n,
+               FLOOR((CAST(n_events - prev_n AS DOUBLE) / prev_n)
+                     * 1000000 + 0.5) / 1000000 AS growth
+        FROM growth WHERE prev_n >= 5
+    )
+    SELECT day_s, event_type, n_events, prev_n, growth, rnk FROM (
+        SELECT day_s, event_type, n_events, prev_n, growth,
+               CAST(ROW_NUMBER() OVER (PARTITION BY day_s
+                    ORDER BY growth DESC, event_type) AS INT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    ORDER BY day_s, rnk
+    """,
+)
+def q_events_trending(spark, sf_dir):
+    """Trending detection — per day, the top-3 event types by relative
+    growth over their own previous day (the "trending topics" shape:
+    rate-of-change ranking over a date histogram, OpenSearch dashboards'
+    trend widgets / serial differencing). Two windows on two SMALL
+    pre-aggregated keys: the LAG runs per event_type, the rank per day
+    — both over days-x-types rows, never the raw event log; a minimum
+    prior-volume floor (prev >= 5) keeps small-denominator noise out,
+    and growth is floor-form grid-rounded before ranking so rank edges
+    cannot tie-break differently across engines."""
+    t = tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr("(ts div 86400000000000) * 86400").alias("day_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("day_s")
+    growth_df = daily.withColumn(
+        "prev_n", F.lag("n_events").over(wt).cast("bigint")
+    ).filter(F.col("prev_n") >= 5)
+    scored = growth_df.withColumn(
+        "growth",
+        F.floor(
+            ((F.col("n_events") - F.col("prev_n")).cast("double") / F.col("prev_n"))
+            * 1000000
+            + 0.5
+        )
+        / 1000000,
+    )
+    wd = Window.partitionBy("day_s").orderBy(F.desc("growth"), "event_type")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wd).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("day_s", "event_type", "n_events", "prev_n", "growth", "rnk")
+        .orderBy("day_s", "rnk")
+    )
