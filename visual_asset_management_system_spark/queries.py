@@ -8714,3 +8714,289 @@ def q_events_trending(spark, sf_dir):
         .select("day_s", "event_type", "n_events", "prev_n", "growth", "rnk")
         .orderBy("day_s", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6 (cont.): stratified sampling, numeric correlation, link
+# prediction, geo-grid aggregation
+# ---------------------------------------------------------------------------
+
+_STRAT_RATES: list[tuple[str, float]] = [
+    ("click", 0.1),
+    ("view", 0.05),
+    ("purchase", 1.0),
+    ("signup", 0.5),
+    ("error", 0.25),
+]
+
+
+@query(
+    "q_events_stratified_sample",
+    f"""
+    WITH rates AS (
+        SELECT * FROM (VALUES {", ".join(f"('{t}', {r})" for t, r in _STRAT_RATES)})
+            AS r(event_type, rate)
+    ), sampled AS (
+        SELECT e.event_type, e.event_id, e.value
+        FROM events e JOIN rates USING (event_type)
+        WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '|strat_v1'),
+                              1, 8))::UBIGINT
+              < CAST(FLOOR(rate * 4294967296) AS UBIGINT)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MAX(event_id) AS BIGINT) AS max_event,
+           {O_SUM('value')} AS sum_value
+    FROM sampled GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_events_stratified_sample(spark, sf_dir):
+    """Stratified sampling — per-stratum rates over the event log (the
+    class-rebalancing step of a training-data pipeline: downsample the
+    dominant classes, keep all of the rare one). Membership is the
+    repo's deterministic content-hash rule (operators/sampling.py):
+    keep iff h(event_id, salt) < rate x 2^32, with the rate looked up
+    from a broadcast per-type table — so the sample is stable across
+    runs, repartitions, cluster sizes, and engines, and the oracle
+    reproduces the EXACT membership (min/max ids + exact value sum),
+    not just proportions. One scan, no shuffle before the final
+    per-type rollup; at 100 TB the rate table stays registry-sized."""
+    from .operators.sampling import sample_hash
+
+    t = tables(spark, sf_dir)
+    rates = spark.createDataFrame(_STRAT_RATES, ["event_type", "rate"])
+    sampled = (
+        t["events"]
+        .join(F.broadcast(rates), "event_type")
+        .filter(
+            sample_hash(F.col("event_id"), "strat_v1")
+            < F.floor(F.col("rate") * 4294967296).cast("bigint")
+        )
+    )
+    return (
+        sampled.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("event_id").cast("bigint").alias("min_event"),
+            F.max("event_id").cast("bigint").alias("max_event"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        moments.append(f"{O_SUM(c)} AS s_{c}")
+        moments.append(f"{O_SUM(f'{c} * {c}')} AS s_{c}_{c}")
+    pairs = []
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i + 1:]:
+            moments.append(f"{O_SUM(f'{x} * {y}')} AS s_{x}_{y}")
+            pairs.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y,\n"
+                f"  FLOOR(((n * s_{x}_{y} - s_{x} * s_{y})\n"
+                f"    / (sqrt(n * s_{x}_{x} - s_{x} * s_{x})\n"
+                f"       * sqrt(n * s_{y}_{y} - s_{y} * s_{y})))\n"
+                f"    * 1000000 + 0.5) / 1000000 AS pearson_r\n"
+                f"FROM m"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(pairs)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+@query("q_numeric_corr", _corr_oracle())
+def q_numeric_corr(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the lineitem measures —
+    the numeric-profiling companion to q_table_profile (every pair of
+    quantity / price / discount / tax). All 14 moment sums (n, Σx, Σx²,
+    Σxy) accumulate in ONE map-combined aggregate pass as exact
+    DECIMAL(38,10) — order-independent, so the correlation is
+    bit-reproducible regardless of partitioning; the 6 pair rows are
+    then pure scalar math over a single broadcast-sized moments row
+    (identical IEEE expression trees on both engines, floor-form
+    rounding). Built-in corr() is NOT used precisely because its
+    streaming double accumulation is partition-order-dependent. At
+    100 TB this stays one scan + one 1-row reduce: the textbook
+    sufficient-statistics shape."""
+    t = tables(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(_dsum(F.col(c), f"s_{c}"))
+        aggs.append(_dsum(F.col(c) * F.col(c), f"s_{c}_{c}"))
+    pairs = [(x, y) for i, x in enumerate(_CORR_COLS) for y in _CORR_COLS[i + 1:]]
+    for x, y in pairs:
+        aggs.append(_dsum(F.col(x) * F.col(y), f"s_{x}_{y}"))
+    m = t["lineitem"].agg(*aggs)
+    rows = []
+    for x, y in pairs:
+        num = F.col("n") * F.col(f"s_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        den = F.sqrt(
+            F.col("n") * F.col(f"s_{x}_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
+        ) * F.sqrt(
+            F.col("n") * F.col(f"s_{y}_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+        )
+        rows.append(
+            m.select(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                (F.floor((num / den) * 1000000 + 0.5) / 1000000).alias(
+                    "pearson_r"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("col_x", "col_y")
+
+
+@query(
+    "q_vams_link_jaccard",
+    oracle_with("asset_links")
+    + """
+    , und AS (
+        SELECT DISTINCT from_asset_id AS node, to_asset_id AS nbr
+        FROM asset_links
+        UNION
+        SELECT DISTINCT to_asset_id AS node, from_asset_id AS nbr
+        FROM asset_links
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY node
+    ), common AS (
+        SELECT a.node AS node_a, b.node AS node_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM und a JOIN und b ON a.nbr = b.nbr AND a.node < b.node
+        GROUP BY a.node, b.node
+    )
+    SELECT node_a, node_b, n_common,
+           FLOOR((CAST(n_common AS DOUBLE)
+                  / (da.degree + db.degree - n_common))
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM common
+    JOIN deg da ON common.node_a = da.node
+    JOIN deg db ON common.node_b = db.node
+    ORDER BY jaccard DESC, node_a, node_b
+    LIMIT 50
+    """,
+)
+def q_vams_link_jaccard(spark, sf_dir):
+    """Neighbor-Jaccard link prediction over the asset graph — "assets
+    you might want to link": for every asset pair sharing at least one
+    neighbor (undirected view of asset_links), Jaccard similarity of
+    their neighbor sets (|common| / |union|). The pair surface is
+    generated by the co-neighbor self-join — pairs appear ONLY through
+    shared neighbors, never a cross product — with the right side's
+    columns explicitly renamed (the self-join ambiguity trap: same-name
+    Column references can silently resolve to one attribute and void
+    the a<b predicate). Degrees join back on dictionary-sized keys. At
+    100 TB the known skew risk is a hub neighbor fanning out n² pairs —
+    the same max-bucket guard as the LSH band join applies; fixture
+    degrees are chain-bounded."""
+    t = tables(spark, sf_dir)
+    links = t["asset_links"]
+    und = (
+        links.select(
+            F.col("from_asset_id").alias("node"), F.col("to_asset_id").alias("nbr")
+        )
+        .unionAll(
+            links.select(
+                F.col("to_asset_id").alias("node"),
+                F.col("from_asset_id").alias("nbr"),
+            )
+        )
+        .distinct()
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    rhs = und.select(F.col("node").alias("node_b"), F.col("nbr").alias("nbr_b"))
+    common = (
+        und.join(rhs, (F.col("nbr") == F.col("nbr_b")) & (F.col("node") < F.col("node_b")))
+        .groupBy(F.col("node").alias("node_a"), "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("degree").alias("deg_b"))
+    jac = F.floor(
+        (
+            F.col("n_common").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+        )
+        * 1000000
+        + 0.5
+    ) / 1000000
+    return (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .select("node_a", "node_b", "n_common", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "node_a", "node_b")
+        .limit(50)
+    )
+
+
+@query(
+    "q_vams_geo_grid",
+    oracle_with("assets")
+    + """
+    , pts AS (
+        SELECT (CAST(CAST(substr(asset_id, 7) AS BIGINT) * 7 % 1600 AS DOUBLE)
+                    / 10.0) - 80.0 AS lat,
+               (CAST(CAST(substr(asset_id, 7) AS BIGINT) * 13 % 3600 AS DOUBLE)
+                    / 10.0) - 180.0 AS lon
+        FROM assets WHERE NOT is_archived
+    )
+    SELECT CAST(FLOOR(lat / 20) AS BIGINT) AS cell_lat,
+           CAST(FLOOR(lon / 20) AS BIGINT) AS cell_lon,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           """
+    + O_SUM("lat")
+    + """ / COUNT(*) AS centroid_lat,
+           """
+    + O_SUM("lon")
+    + """ / COUNT(*) AS centroid_lon
+    FROM pts
+    GROUP BY cell_lat, cell_lon
+    ORDER BY n_points DESC, cell_lat, cell_lon
+    LIMIT 50
+    """,
+)
+def q_vams_geo_grid(spark, sf_dir):
+    """Geo-grid aggregation — OpenSearch's ``geohash_grid`` /
+    ``geotile_grid`` bucket agg over the reference's gp_ geo_point
+    surface (map heat tiles): points bucket into fixed 20-degree cells
+    by pure integer floor division (the geotile scheme at low zoom —
+    same bit-twiddling family as the z-order quantizer, layout.py),
+    each cell reporting its point count and exact decimal-accumulated
+    centroid. One map-combinable aggregate over the scan; cells are
+    bounded (18x9 at this zoom) so the result is always tiny. The same
+    synthetic deterministic coordinates as q_vams_geo_search."""
+    t = tables(spark, sf_dir)
+    key_num = F.substring("asset_id", 7, 100).cast("bigint")
+    pts = (
+        t["assets"]
+        .filter(~F.col("is_archived"))
+        .select(
+            ((key_num * 7 % 1600).cast("double") / 10.0 - 80.0).alias("lat"),
+            ((key_num * 13 % 3600).cast("double") / 10.0 - 180.0).alias("lon"),
+        )
+    )
+    return (
+        pts.groupBy(
+            F.floor(F.col("lat") / 20).cast("bigint").alias("cell_lat"),
+            F.floor(F.col("lon") / 20).cast("bigint").alias("cell_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            _davg(F.col("lat"), "centroid_lat"),
+            _davg(F.col("lon"), "centroid_lon"),
+        )
+        .orderBy(F.desc("n_points"), "cell_lat", "cell_lon")
+        .limit(50)
+    )
