@@ -202,3 +202,34 @@ def test_suggest_serves_from_maintained_table(spark, tmp_path):
         t["search_assets"].filter(F.col("asset_name").contains("zephyr")).count()
         == 0
     )
+
+
+def test_more_like_this_facade(spark):
+    svc = _svc(spark)
+    out = svc.more_like_this("db_3", "asset_123", size=5)
+    rows = out.collect()
+    assert list(out.columns) == ["_mlt_key", "matched_terms", "mlt_score"]
+    assert 0 < len(rows) <= 5
+    # seed never appears in its own results
+    assert all(r["_mlt_key"] != "db_3|asset_123" for r in rows)
+    assert all(r["matched_terms"] >= 2 for r in rows)
+
+
+def test_percolate_facade(spark):
+    svc = _svc(spark)
+    pq = spark.createDataFrame(
+        [("pq_a", "red", "widget", "and"), ("pq_b", "red", "blue", "or")],
+        ["query_id", "term_a", "term_b", "mode"],
+    )
+    changed = svc.t["assets"].filter(~F.col("is_archived"))
+    out = svc.percolate(changed, pq).collect()
+    assert out  # fixture names contain red/blue/widget
+    by_asset = {r["asset_id"]: r["matched_queries"] for r in out}
+    # every AND match is also an OR match on the shared term
+    for r in out:
+        if "pq_a" in r["matched_queries"]:
+            assert "pq_b" in r["matched_queries"]
+    # matched ids are sorted, comma-joined scalars
+    for v in by_asset.values():
+        parts = v.split(",")
+        assert parts == sorted(parts)

@@ -1411,3 +1411,88 @@ def test_suggest_update_crash_between_sinks_recovers(spark, tmp_path, monkeypatc
     }
     assert got == expected
     assert "r" in {row[0] for row in got} and "w" not in {row[0] for row in got}
+
+
+def test_percolate_stream_matches_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Streaming percolation over two micro-batches equals one batch
+    percolate over the union of changes (stateless operator), and a
+    re-delivered batch rewrites its own partition instead of appending
+    duplicates (overwrite-by-batch sink contract)."""
+    import json
+    import os
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        percolate,
+        start_percolate_stream,
+    )
+    from pyspark.sql import functions as F
+
+    changes_dir = str(tmp_path / "changes")
+    sink = str(tmp_path / "notify")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(changes_dir)
+    pq = spark.createDataFrame(
+        [("pq_a", "red", "widget", "and"), ("pq_b", "blue", "rocket", "or")],
+        ["query_id", "term_a", "term_b", "mode"],
+    )
+
+    def put(name, rows):
+        with open(os.path.join(changes_dir, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    b1 = [
+        {"database_id": "db", "asset_id": "a1",
+         "asset_name": "red widget", "description": "large", "seq": 1},
+        {"database_id": "db", "asset_id": "a2",
+         "asset_name": "green anvil", "description": "plain", "seq": 2},
+    ]
+    b2 = [
+        {"database_id": "db", "asset_id": "a3",
+         "asset_name": "blue rocket", "description": "red widget", "seq": 3},
+    ]
+    put("b1.json", b1)
+    q = start_percolate_stream(spark, changes_dir, pq, sink, ckpt)
+    q.awaitTermination(120)
+    put("b2.json", b2)
+    q = start_percolate_stream(spark, changes_dir, pq, sink, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["asset_id"], r["n_queries"], r["matched_queries"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    all_changes = spark.createDataFrame(
+        b1 + b2,
+        "database_id string, asset_id string, asset_name string, "
+        "description string, seq bigint",
+    )
+    expected = {
+        (r["asset_id"], r["n_queries"], r["matched_queries"])
+        for r in percolate(
+            all_changes, pq, ["database_id", "asset_id"],
+            F.concat_ws(" ", F.col("asset_name"), F.col("description")),
+        ).collect()
+    }
+    assert got == expected
+    assert ("a2",) not in {(g[0],) for g in got}  # non-matching doc absent
+
+    # replay: re-running batch 1's work against the same sink partition
+    # (the at-least-once case) leaves the sink unchanged
+    before = got
+    b1_df = spark.createDataFrame(
+        b1,
+        "database_id string, asset_id string, asset_name string, "
+        "description string, seq bigint",
+    )
+    percolate(
+        b1_df, pq, ["database_id", "asset_id"],
+        F.concat_ws(" ", F.col("asset_name"), F.col("description")),
+    ).write.mode("overwrite").parquet(sink + "/batch=0")
+    after = {
+        (r["asset_id"], r["n_queries"], r["matched_queries"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert after == before

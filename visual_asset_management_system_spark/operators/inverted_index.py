@@ -589,3 +589,168 @@ def start_suggest_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# percolator (reverse search) and more-like-this
+# ---------------------------------------------------------------------------
+
+def percolate(
+    docs: DataFrame,
+    stored_queries: DataFrame,
+    id_cols: list[str],
+    text: Column,
+) -> DataFrame:
+    """Match documents against a registry of STORED queries —
+    OpenSearch's ``percolate`` query, the reverse-search primitive
+    behind saved searches / alert subscriptions (the reference checks
+    subscriptions per asset on change and notifies — sendEmail handler;
+    the matching itself is this operator).
+
+    ``stored_queries`` carries ``(query_id, term_a, term_b, mode)``
+    two-term predicates with and/or semantics. Returns one row per
+    document with >= 1 match: ``(*id_cols, n_queries int,
+    matched_queries string)`` — the matching ids sorted and
+    comma-joined (scalar output contract).
+
+    Plan: the registry explodes to (query_id, term) rows and
+    BROADCASTS; documents tokenize once to distinct (doc, term) pairs;
+    an equi-join + per-(doc, query) count decides satisfaction. Work is
+    proportional to matching terms only — no (doc x query) surface. At
+    100 TB the registry is user-subscription-sized (broadcastable by
+    assumption); the doc side is one scan of the changed documents."""
+    qterms = stored_queries.selectExpr(
+        "query_id", "mode", "term_a AS term"
+    ).unionAll(stored_queries.selectExpr("query_id", "mode", "term_b AS term"))
+    doc_terms = docs.select(
+        *id_cols,
+        F.explode(F.array_distinct(tokenize(text))).alias("term"),
+    )
+    hits = (
+        doc_terms.join(F.broadcast(qterms), "term")
+        .groupBy(*id_cols, "query_id", "mode")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    matched_q = hits.filter(
+        ((F.col("mode") == "and") & (F.col("matched") == 2))
+        | ((F.col("mode") == "or") & (F.col("matched") >= 1))
+    )
+    return matched_q.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_queries"),
+        F.array_join(F.array_sort(F.collect_list("query_id")), ",").alias(
+            "matched_queries"
+        ),
+    )
+
+
+def more_like_this(
+    docs: DataFrame,
+    id_col: str,
+    text: Column,
+    seed_pred: Column,
+    top_terms: int = 10,
+    min_match: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """More-like-this similarity search — OpenSearch's
+    ``more_like_this``: rank documents by summed idf of the seed
+    document's top TF-IDF terms they share. ``seed_pred`` selects the
+    seed row(s); returns ``(id_col, matched_terms int, mlt_score
+    double)`` top-k, seed excluded.
+
+    idf is grid-rounded to 1e-6 BEFORE a DECIMAL(38,10)-accumulated
+    sum (order-independent, engine-exact); the seed term ranking uses
+    the floor-form rounding and a term tiebreak. The idf dictionary is
+    vocabulary-bounded and broadcast; the seed term set (``top_terms``
+    rows) broadcasts into the scoring probe. See q_doc_more_like_this
+    (queries.py) for the differential oracle."""
+    tf = (
+        docs.select(id_col, F.explode(tokenize(text)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf")
+    )
+    seed_scored = (
+        tf.filter(seed_pred)
+        .join(F.broadcast(idf), "term")
+        .select(
+            "term",
+            "idf",
+            (F.floor(F.col("tf") * F.col("idf") * 1000000 + 0.5) / 1000000)
+            .alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("tfidf"), "term")
+    seed = (
+        seed_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_terms)
+        .select("term", "idf")
+    )
+    dsum = F.sum(F.col("idf").cast("decimal(38,10)")).cast("double")
+    return (
+        tf.filter(~seed_pred)
+        .join(F.broadcast(seed), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("matched_terms"),
+            dsum.alias("mlt_score"),
+        )
+        .filter(F.col("matched_terms") >= min_match)
+        .orderBy(F.desc("mlt_score"), id_col)
+        .limit(k)
+    )
+
+
+def start_percolate_stream(
+    spark,
+    changes_dir: str,
+    stored_queries: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    changes_schema: str = (
+        "database_id string, asset_id string, asset_name string, "
+        "description string, seq bigint"
+    ),
+    trigger_once: bool = True,
+):
+    """Structured Streaming percolation: every micro-batch of changed
+    assets is matched against the stored-query registry and the match
+    notifications land in a parquet sink — the push half of saved
+    searches / subscriptions (the reference notifies subscribers on
+    asset change; this stream computes which saved queries fired).
+
+    Percolation is stateless per document, so batch ≡ stream by
+    construction; replay safety comes from the sink layout — each
+    micro-batch OVERWRITES its own ``batch=<id>`` partition directory,
+    so an at-least-once redelivery rewrites identical rows instead of
+    appending duplicates (the same idempotence-by-partition contract as
+    the CDC search-table merge, streaming/cdc.py)."""
+    stream = (
+        spark.readStream.schema(changes_schema).format("json").load(changes_dir)
+    )
+
+    def handle(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        matches = percolate(
+            batch,
+            stored_queries,
+            ["database_id", "asset_id"],
+            F.concat_ws(" ", F.col("asset_name"), F.col("description")),
+        )
+        matches.write.mode("overwrite").parquet(
+            f"{sink_dir}/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

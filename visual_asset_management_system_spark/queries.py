@@ -8405,47 +8405,17 @@ def q_doc_more_like_this(spark, sf_dir):
     is order-independent and engine-exact. At 100 TB nothing but the
     (doc, term) aggregate leaves its natural key — the same maintained
     tf/df state the BM25 tier (operators/inverted_index.py) keeps."""
-    from .operators.inverted_index import tokenize
+    from .operators.inverted_index import more_like_this
 
     t = tables(spark, sf_dir)
-    docs = t["documents"]
-    tf = (
-        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
-        "term", F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf")
-    )
-    seed_scored = (
-        tf.filter(F.col("doc_id") == 0)
-        .join(F.broadcast(idf), "term")
-        .select(
-            "term",
-            "idf",
-            (F.floor(F.col("tf") * F.col("idf") * 1000000 + 0.5) / 1000000)
-            .alias("tfidf"),
-        )
-    )
-    w = Window.orderBy(F.desc("tfidf"), "term")
-    seed = (
-        seed_scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("term", "idf")
-    )
-    return (
-        tf.filter(F.col("doc_id") != 0)
-        .join(F.broadcast(seed), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("matched_terms"),
-            _dsum(F.col("idf"), "mlt_score"),
-        )
-        .filter(F.col("matched_terms") >= 2)
-        .orderBy(F.desc("mlt_score"), "doc_id")
-        .limit(20)
+    return more_like_this(
+        t["documents"],
+        "doc_id",
+        F.col("text"),
+        F.col("doc_id") == 0,
+        top_terms=10,
+        min_match=2,
+        k=20,
     )
 
 
@@ -8528,48 +8498,18 @@ def q_vams_percolate(spark, sf_dir):
     100 TB the stream side is the document corpus scan — there is no
     per-(doc x query) work for non-matching terms, the classic inverted
     percolation shape. Output is scalar-only (comma-joined ids)."""
-    from .operators.inverted_index import tokenize
+    from .operators.inverted_index import percolate
 
     t = tables(spark, sf_dir)
     pq = spark.createDataFrame(
         _PERCOLATE_QUERIES, ["query_id", "term_a", "term_b", "mode"]
     )
-    qterms = pq.selectExpr("query_id", "mode", "term_a AS term").unionAll(
-        pq.selectExpr("query_id", "mode", "term_b AS term")
-    )
-    doc_terms = (
-        t["assets"]
-        .filter(~F.col("is_archived"))
-        .select(
-            "database_id",
-            "asset_id",
-            F.explode(
-                F.array_distinct(
-                    tokenize(
-                        F.concat_ws(
-                            " ", F.col("asset_name"), F.col("description")
-                        )
-                    )
-                )
-            ).alias("term"),
-        )
-    )
-    hits = (
-        doc_terms.join(F.broadcast(qterms), "term")
-        .groupBy("database_id", "asset_id", "query_id", "mode")
-        .agg(F.count(F.lit(1)).alias("matched"))
-    )
-    matched_q = hits.filter(
-        ((F.col("mode") == "and") & (F.col("matched") == 2))
-        | ((F.col("mode") == "or") & (F.col("matched") >= 1))
-    )
     return (
-        matched_q.groupBy("database_id", "asset_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_queries"),
-            F.array_join(F.array_sort(F.collect_list("query_id")), ",").alias(
-                "matched_queries"
-            ),
+        percolate(
+            t["assets"].filter(~F.col("is_archived")),
+            pq,
+            ["database_id", "asset_id"],
+            F.concat_ws(" ", F.col("asset_name"), F.col("description")),
         )
         .orderBy(F.desc("n_queries"), "database_id", "asset_id")
         .limit(200)

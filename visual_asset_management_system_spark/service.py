@@ -209,6 +209,51 @@ class CatalogService:
         spark = changes.sparkSession
         return suggest_index_update(spark, state_dir, changes, batch_key, **kwargs)
 
+    def more_like_this(
+        self,
+        database_id: str,
+        asset_id: str,
+        top_terms: int = 10,
+        min_match: int = 2,
+        size: int = 20,
+    ) -> DataFrame:
+        """"Find assets like this one" — OpenSearch more_like_this over
+        the searched text fields (name + description), seeded by one
+        asset (operators/inverted_index.more_like_this; differential
+        oracle at queries.py q_doc_more_like_this)."""
+        from .operators.inverted_index import more_like_this as _mlt
+
+        live = self.t["assets"].filter(~F.col("is_archived")).withColumn(
+            "_mlt_key",
+            F.concat_ws("|", F.col("database_id"), F.col("asset_id")),
+        )
+        return _mlt(
+            live,
+            "_mlt_key",
+            F.concat_ws(" ", F.col("asset_name"), F.col("description")),
+            F.col("_mlt_key") == f"{database_id}|{asset_id}",
+            top_terms=top_terms,
+            min_match=min_match,
+            k=size,
+        )
+
+    def percolate(self, changed: DataFrame, stored_queries: DataFrame) -> DataFrame:
+        """Which saved searches match these changed assets — the
+        subscription/alerting reverse search (checkSubscriptionService +
+        sendEmail notification fan-out decide WHO to tell; this decides
+        WHAT matched). ``changed`` carries asset rows; ``stored_queries``
+        the (query_id, term_a, term_b, mode) registry
+        (operators/inverted_index.percolate; oracle at
+        queries.py q_vams_percolate)."""
+        from .operators.inverted_index import percolate as _perc
+
+        return _perc(
+            changed,
+            stored_queries,
+            ["database_id", "asset_id"],
+            F.concat_ws(" ", F.col("asset_name"), F.col("description")),
+        )
+
     # -- comments / tags / subscriptions (handlers/comments|tags|
     #    tagTypes|subscription/) -------------------------------------------
     def comments_for_version(
