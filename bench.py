@@ -64,6 +64,12 @@ BENCH_QUERIES = [
     "q_doc_line_dedup",
     "q_doc_ccnet_buckets",
     "q_events_interpolate",
+    # round-6 continuation: reverse search, MLT, link prediction, exact
+    # correlation sufficient statistics
+    "q_vams_percolate",
+    "q_doc_more_like_this",
+    "q_vams_link_jaccard",
+    "q_numeric_corr",
 ]
 
 
