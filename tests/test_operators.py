@@ -1251,3 +1251,109 @@ def test_bpe_learn_invariants(spark):
     # argmax sequence is non-increasing
     counts = [r["pair_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_percolate_randomized_against_model(spark):
+    """Randomized cross-check of the percolator against a pure-Python
+    model of the declared semantics (AND = both terms token-present,
+    OR = either; distinct token sets; sorted comma-joined ids), over
+    inputs the fixture never produces: empty docs, repeated terms,
+    queries whose two terms are identical, punctuation-split tokens."""
+    import random
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        percolate,
+    )
+
+    rng = random.Random(20260814)
+    vocab = ["red", "blue", "widget", "gear", "hot", "x9", "a-b", ""]
+    docs = []
+    for i in range(200):
+        docs.append(
+            (f"d{i:03d}", " ".join(rng.choices(vocab, k=rng.randint(0, 8))))
+        )
+    queries = []
+    for j in range(25):
+        a, b = rng.choice(vocab[:-1]), rng.choice(vocab[:-1])
+        queries.append((f"pq_{j:02d}", a, b, rng.choice(["and", "or"])))
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    pq = spark.createDataFrame(queries, ["query_id", "term_a", "term_b", "mode"])
+    got = {
+        r["doc_id"]: (r["n_queries"], r["matched_queries"])
+        for r in percolate(df, pq, ["doc_id"], F.col("text")).collect()
+    }
+
+    import re
+
+    def toks(text):
+        return {t for t in re.split("[^a-z0-9]+", text.lower()) if t}
+
+    for doc_id, text in docs:
+        ts = toks(text)
+        matched = sorted(
+            q
+            for q, a, b, mode in queries
+            if ((a in ts and b in ts) if mode == "and" else (a in ts or b in ts))
+        )
+        if matched:
+            assert got[doc_id] == (len(matched), ",".join(matched)), doc_id
+        else:
+            assert doc_id not in got
+
+
+def test_more_like_this_randomized_against_model(spark):
+    """Randomized MLT cross-check: seed term selection (floor-rounded
+    tfidf, term tiebreak) and candidate scoring (sum of grid-rounded
+    idf over shared seed terms, min_match filter, k cut with doc-id
+    tiebreak) against a pure-Python model."""
+    import math
+    import random
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        more_like_this,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(30)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 25))))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = more_like_this(
+        df, "doc_id", F.col("text"), F.col("doc_id") == 0,
+        top_terms=5, min_match=2, k=10,
+    ).collect()
+
+    tf = {}
+    for i, text in docs:
+        for t in text.split():
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    dfreq = {}
+    for (_, t) in tf:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    n = float(len(docs))
+    idf = {t: round(math.log(n / c), 6) for t, c in dfreq.items()}
+    seed_terms = sorted(
+        ((t, c) for (i, t), c in tf.items() if i == 0),
+        key=lambda tc: (
+            -(math.floor(tc[1] * idf[tc[0]] * 1000000 + 0.5) / 1000000),
+            tc[0],
+        ),
+    )[:5]
+    seed = {t for t, _ in seed_terms}
+    scores = {}
+    for (i, t) in tf:
+        if i != 0 and t in seed:
+            m, s = scores.get(i, (0, 0.0))
+            scores[i] = (m + 1, s + idf[t])
+    expect = sorted(
+        ((i, m, s) for i, (m, s) in scores.items() if m >= 2),
+        key=lambda x: (-x[2], x[0]),
+    )[:10]
+    assert [(r["doc_id"], r["matched_terms"]) for r in got] == [
+        (i, m) for i, m, _ in expect
+    ]
+    for r, (_, _, s) in zip(got, expect):
+        assert r["mlt_score"] == pytest.approx(s, rel=1e-9)
