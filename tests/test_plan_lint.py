@@ -164,7 +164,12 @@ def test_topk_windows_get_group_limit_pushdown(spark):
     final sort) — without it a hot group materializes its full window.
     Pin the physical pattern so a refactor that breaks pushdown
     (e.g. referencing the rank column before filtering) fails loudly."""
-    for name in ["q_doc_tfidf_keywords", "q_vams_suggest", "q_knn_join"]:
+    for name in [
+        "q_doc_tfidf_keywords",
+        "q_vams_suggest",
+        "q_knn_join",
+        "q_events_trending",
+    ]:
         plan = (
             QUERIES[name](spark, SF)
             ._jdf.queryExecution()
