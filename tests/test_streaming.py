@@ -1496,3 +1496,82 @@ def test_percolate_stream_matches_batch_and_replays_idempotently(
         for r in spark.read.parquet(sink).collect()
     }
     assert after == before
+
+
+def test_trending_stream_ranks_each_closed_window(spark, tmp_path):
+    """Streaming trending: tumbling hourly counts close under the
+    watermark; each closed window ranks its types by growth against the
+    PREVIOUS window's counts from the maintained store. Two availableNow
+    runs: run 1 closes hour 10 (no predecessor -> counts only), run 2
+    closes hour 11 and ranks it against hour 10."""
+    from visual_asset_management_system_spark.streaming.windows import (
+        start_trending_stream,
+    )
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "trend")
+    ckpt = str(tmp_path / "trendckpt")
+
+    # hour 10: a=2, b=3, c=1; the 11:40 event (hour 11) advances the
+    # watermark to 11:10 and closes hour 10 in run 1's flush batch
+    _write_events(
+        src,
+        [
+            _ev(1, 1, "a", 1.0, "2024-01-01T10:05:00Z"),
+            _ev(2, 1, "a", 1.0, "2024-01-01T10:10:00Z"),
+            _ev(3, 1, "b", 1.0, "2024-01-01T10:15:00Z"),
+            _ev(4, 1, "b", 1.0, "2024-01-01T10:20:00Z"),
+            _ev(5, 1, "b", 1.0, "2024-01-01T10:25:00Z"),
+            _ev(6, 1, "c", 1.0, "2024-01-01T10:50:00Z"),
+            _ev(7, 1, "a", 1.0, "2024-01-01T11:40:00Z"),
+        ],
+    )
+    q = start_trending_stream(
+        spark, src, sink, ckpt, window="1 hour", k=2, min_prev=1
+    )
+    q.awaitTermination(120)
+
+    # hour 11 completes: a=4 (one from run 1), b=1, c=3 — all at/after
+    # the 11:10 watermark so none is late; 12:50 closes hour 11 in run 2
+    _write_events(
+        src,
+        [
+            _ev(8, 1, "a", 1.0, "2024-01-01T11:15:00Z"),
+            _ev(9, 1, "a", 1.0, "2024-01-01T11:20:00Z"),
+            _ev(10, 1, "a", 1.0, "2024-01-01T11:25:00Z"),
+            _ev(11, 1, "b", 1.0, "2024-01-01T11:30:00Z"),
+            _ev(12, 1, "c", 1.0, "2024-01-01T11:35:00Z"),
+            _ev(13, 1, "c", 1.0, "2024-01-01T11:45:00Z"),
+            _ev(14, 1, "c", 1.0, "2024-01-01T11:55:00Z"),
+            _ev(15, 1, "d", 1.0, "2024-01-01T12:50:00Z"),
+        ],
+    )
+    q = start_trending_stream(
+        spark, src, sink, ckpt, window="1 hour", k=2, min_prev=1
+    )
+    q.awaitTermination(120)
+
+    counts = {
+        (r["window_start"].isoformat(), r["event_type"], r["n_events"])
+        for r in spark.read.parquet(sink + "/counts").collect()
+    }
+    assert ("2024-01-01T10:00:00", "b", 3) in counts
+    assert ("2024-01-01T11:00:00", "a", 4) in counts
+
+    trending = [
+        (r["event_type"], r["growth"], r["rnk"])
+        for r in spark.read.parquet(sink + "/trending")
+        .filter(F.col("window_start") == "2024-01-01T11:00:00")
+        .orderBy("rnk")
+        .collect()
+    ]
+    # growth vs hour 10: c = (3-1)/1 = 2.0, a = (4-2)/2 = 1.0,
+    # b = (1-3)/3 (cut by k=2)
+    assert trending == [("c", 2.0, 1), ("a", 1.0, 2)]
+    # hour 10 had no predecessor -> never ranked
+    assert (
+        spark.read.parquet(sink + "/trending")
+        .filter(F.col("window_start") == "2024-01-01T10:00:00")
+        .count()
+        == 0
+    )

@@ -238,3 +238,96 @@ def interval_join_streams(
         F.col("c.ts").alias("click_ts"),
         F.col("p.value").alias("purchase_value"),
     )
+
+
+def start_trending_stream(
+    spark,
+    events_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 day",
+    watermark: str = "30 minutes",
+    k: int = 3,
+    min_prev: int = 5,
+    trigger_once: bool = True,
+):
+    """Streaming trending top-k: tumbling watermarked counts feed a
+    per-window rate-of-change ranking as each window CLOSES (the
+    streaming form of q_events_trending's batch mirror).
+
+    Append mode emits every (window, type) row of a closed window in
+    the same micro-batch — the watermark crossing closes them together
+    — so the foreachBatch ranking always sees complete windows. Growth
+    needs the PREVIOUS window's counts, which closed in an earlier
+    batch: the closed-window counts land in a maintained parquet store
+    (``sink_dir/counts``) and each batch joins its windows against the
+    store's predecessors (cur.window_start == prev.window_end). Both
+    sink writes overwrite their own ``batch=<id>`` partition, so an
+    at-least-once replay rewrites identical rows — the same idempotence
+    contract as the CDC merges. State: the streaming agg holds only
+    in-flight windows (watermark-bounded); the store is
+    windows-x-types-sized, never raw events."""
+    counts = windowed_event_counts(
+        read_events_stream(spark, events_dir),
+        window=window,
+        watermark=watermark,
+    )
+
+    def handle(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        closed = batch.select(
+            "window_start", "window_end", "event_type", "n_events"
+        )
+        closed.write.mode("overwrite").parquet(
+            f"{sink_dir}/counts/batch={batch_id}"
+        )
+        store = spark.read.parquet(f"{sink_dir}/counts")
+        prev = store.select(
+            F.col("window_end").alias("prev_end"),
+            F.col("event_type").alias("prev_type"),
+            F.col("n_events").alias("prev_n"),
+        )
+        from pyspark.sql import Window as W
+
+        scored = (
+            closed.join(
+                prev,
+                (F.col("window_start") == F.col("prev_end"))
+                & (F.col("event_type") == F.col("prev_type")),
+            )
+            .filter(F.col("prev_n") >= min_prev)
+            .withColumn(
+                "growth",
+                F.floor(
+                    (
+                        (F.col("n_events") - F.col("prev_n")).cast("double")
+                        / F.col("prev_n")
+                    )
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000,
+            )
+        )
+        wd = W.partitionBy("window_start").orderBy(
+            F.desc("growth"), "event_type"
+        )
+        top = (
+            scored.withColumn("rnk", F.row_number().over(wd).cast("int"))
+            .filter(F.col("rnk") <= k)
+            .select(
+                "window_start", "event_type", "n_events", "prev_n",
+                "growth", "rnk",
+            )
+        )
+        top.write.mode("overwrite").parquet(
+            f"{sink_dir}/trending/batch={batch_id}"
+        )
+
+    writer = counts.writeStream.outputMode("append").foreachBatch(
+        handle
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
