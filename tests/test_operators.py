@@ -1357,3 +1357,38 @@ def test_more_like_this_randomized_against_model(spark):
     ]
     for r, (_, _, s) in zip(got, expect):
         assert r["mlt_score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_jaccard_link_prediction_degree_cap_guards_hubs(spark):
+    """The max_degree skew guard: a hub neighbor above the cap stops
+    generating pairs (its deg² flood disappears), while pairs formed
+    through low-degree neighbors keep their TRUE Jaccard — degrees for
+    the denominator still count the hub edges."""
+    from visual_asset_management_system_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    # hub h connects to n1..n6; besides that, n1-n2 share neighbor s
+    edges = [("h", f"n{i}") for i in range(1, 7)] + [
+        ("n1", "s"),
+        ("n2", "s"),
+    ]
+    df = spark.createDataFrame(edges, "from_asset_id string, to_asset_id string")
+
+    unguarded = jaccard_link_prediction(df).collect()
+    # every n_i pair co-occurs through h: C(6,2) = 15 pairs, plus
+    # (h, s) through their shared neighbors n1 and n2
+    pair_count = {(r["node_a"], r["node_b"]): r for r in unguarded}
+    assert len(pair_count) == 16
+    assert ("h", "s") in pair_count
+
+    capped = jaccard_link_prediction(df, max_degree=3).collect()
+    got = {(r["node_a"], r["node_b"]): r for r in capped}
+    # the hub (degree 6) no longer GENERATES pairs: the 15-pair flood
+    # disappears; n1-n2 survives via s, and h-s via the low-degree n1/n2
+    assert set(got) == {("n1", "n2"), ("h", "s")}
+    r = got[("n1", "n2")]
+    # true degrees: n1 = {h, s} = 2, n2 = {h, s} = 2; common via
+    # generation = {s} (h is capped out of generation but NOT degrees)
+    assert r["n_common"] == 1
+    assert r["jaccard"] == 0.333333  # 1 / (2 + 2 - 1)

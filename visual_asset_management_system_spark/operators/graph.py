@@ -495,3 +495,70 @@ def triangle_count(
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    src: str = "from_asset_id",
+    dst: str = "to_asset_id",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighbor-Jaccard link prediction — "assets you might want to
+    link": for every pair sharing >= 1 neighbor in the undirected view
+    of the edge list, |common neighbors| / |union of neighbors|
+    (assetLinks traversals expose the graph; the scoring is the
+    Spark-side extension; oracle at queries.py q_vams_link_jaccard).
+
+    Returns ``(node_a, node_b, n_common bigint, jaccard double)``,
+    unordered.
+
+    The pair surface materializes ONLY through shared neighbors (a
+    co-neighbor self-join, never a cross product); per-neighbor cost is
+    degree², the classic hub-skew surface. ``max_degree`` is the skew
+    guard: neighbors above the cap are excluded from pair GENERATION
+    (a super-node's deg² pair flood says little about any single pair
+    anyway — the same cap-don't-explode policy as the LSH band join's
+    max_bucket_size), while degrees for the Jaccard denominator still
+    count every edge, so surviving pairs keep their true score."""
+    und = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionAll(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    gen = und
+    if max_degree is not None:
+        nbr_deg = deg.select(
+            F.col("node").alias("nbr"), F.col("degree").alias("nbr_degree")
+        )
+        # node-cardinality join — equi-join on nbr, AQE picks the
+        # strategy (the degree table is |nodes|-sized; never assume it
+        # broadcasts)
+        gen = (
+            und.join(nbr_deg, "nbr")
+            .filter(F.col("nbr_degree") <= max_degree)
+            .select("node", "nbr")
+        )
+    rhs = gen.select(F.col("node").alias("node_b"), F.col("nbr").alias("nbr_b"))
+    common = (
+        gen.join(
+            rhs, (F.col("nbr") == F.col("nbr_b")) & (F.col("node") < F.col("node_b"))
+        )
+        .groupBy(F.col("node").alias("node_a"), "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("degree").alias("deg_b"))
+    jac = F.floor(
+        (
+            F.col("n_common").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+        )
+        * 1000000
+        + 0.5
+    ) / 1000000
+    return (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .select("node_a", "node_b", "n_common", jac.alias("jaccard"))
+    )

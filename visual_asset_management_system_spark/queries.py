@@ -8839,43 +8839,15 @@ def q_vams_link_jaccard(spark, sf_dir):
     Column references can silently resolve to one attribute and void
     the a<b predicate). Degrees join back on dictionary-sized keys. At
     100 TB the known skew risk is a hub neighbor fanning out n² pairs —
-    the same max-bucket guard as the LSH band join applies; fixture
-    degrees are chain-bounded."""
+    operators/graph.jaccard_link_prediction carries a max_degree skew
+    guard (hubs excluded from pair GENERATION, true degrees kept for
+    the denominator); the fixture graph is chain-bounded, so the
+    registered query runs unguarded for exact oracle parity."""
+    from .operators.graph import jaccard_link_prediction
+
     t = tables(spark, sf_dir)
-    links = t["asset_links"]
-    und = (
-        links.select(
-            F.col("from_asset_id").alias("node"), F.col("to_asset_id").alias("nbr")
-        )
-        .unionAll(
-            links.select(
-                F.col("to_asset_id").alias("node"),
-                F.col("from_asset_id").alias("nbr"),
-            )
-        )
-        .distinct()
-    )
-    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
-    rhs = und.select(F.col("node").alias("node_b"), F.col("nbr").alias("nbr_b"))
-    common = (
-        und.join(rhs, (F.col("nbr") == F.col("nbr_b")) & (F.col("node") < F.col("node_b")))
-        .groupBy(F.col("node").alias("node_a"), "node_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    da = deg.select(F.col("node").alias("node_a"), F.col("degree").alias("deg_a"))
-    db = deg.select(F.col("node").alias("node_b"), F.col("degree").alias("deg_b"))
-    jac = F.floor(
-        (
-            F.col("n_common").cast("double")
-            / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
-        )
-        * 1000000
-        + 0.5
-    ) / 1000000
     return (
-        common.join(da, "node_a")
-        .join(db, "node_b")
-        .select("node_a", "node_b", "n_common", jac.alias("jaccard"))
+        jaccard_link_prediction(t["asset_links"])
         .orderBy(F.desc("jaccard"), "node_a", "node_b")
         .limit(50)
     )
