@@ -364,3 +364,50 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", "rank")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    min_cosine: float = 0.9,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    embedding — cluster the corpus, then within each cluster drop every
+    item whose cosine to a LOWER-id cluster-mate exceeds the threshold,
+    keeping one representative per semantic near-dup group. Clusters
+    here are the deterministic LSH buckets (the paper's k-means is an
+    interchangeable partitioner; buckets keep the whole pipeline
+    SQL-replicable for the differential oracle), and the pair surface
+    is :func:`pairwise_cosine_within_buckets` — never all-pairs, with
+    the same ``max_bucket_size`` pair-bomb guard.
+
+    Returns one DECISION row per input: ``(id_col, bucket bigint,
+    is_kept boolean)`` — members of over-cap buckets generate no pairs
+    and stay kept (they belong to the cheaper exact-dedup pass).
+    Costs one extra bucket-assignment map stage over the pair join
+    (the signature is recomputed, not carried through the pair
+    aggregate)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = embeddings.select(
+        F.col(id_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    pairs = pairwise_cosine_within_buckets(
+        embeddings, dim, id_col, vec_col, n_planes, min_cosine, seed,
+        max_bucket_size,
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return b.join(dropped, id_col, "left").select(
+        id_col,
+        "bucket",
+        F.col("_dropped").isNull().alias("is_kept"),
+    )

@@ -8912,3 +8912,143 @@ def q_vams_geo_grid(spark, sf_dir):
         .orderBy(F.desc("n_points"), "cell_lat", "cell_lon")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6 (cont.): SemDeDup and function_score recency decay
+# ---------------------------------------------------------------------------
+
+def _semdedup_oracle() -> str:
+    """Generated oracle for SemDeDup: the near-dup planted corpus and
+    inlined hyperplanes (same construction as _emb_near_dup_oracle),
+    closed with the keep/drop decision — dropped iff a lower-id
+    bucket-mate is >= the threshold."""
+    planes = _hyperplanes(_EMB_DIM, 8, seed=42)
+
+    def plane_lit(i: int) -> str:
+        vals = ", ".join(repr(float(v)) for v in planes[i])
+        return f"([{vals}]::DOUBLE[])"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {_o_dot('embedding', plane_lit(i))} > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE * 2)
+        FROM embeddings
+    ), b AS (
+        SELECT vec_id, embedding,
+               CAST({bucket_terms} AS BIGINT) AS bucket
+        FROM corpus
+    ), bf AS (
+        SELECT * FROM b WHERE bucket IN (
+            SELECT bucket FROM b GROUP BY bucket
+            HAVING COUNT(*) <= {_EMB_NEAR_DUP_CAP}
+        )
+    ), dropped AS (
+        SELECT DISTINCT r.vec_id
+        FROM bf l JOIN bf r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE ROUND({_o_cosine('l.embedding', 'r.embedding')}, 6) >= 0.9
+    )
+    SELECT b.vec_id, b.bucket, (d.vec_id IS NULL) AS is_kept
+    FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+    ORDER BY b.vec_id
+    """
+
+
+@query("q_embedding_semdedup", _semdedup_oracle())
+def q_embedding_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the planted near-dup corpus:
+    cluster by the deterministic LSH signature, drop every vector whose
+    cosine to a lower-id cluster-mate is >= 0.9, keep one representative
+    per semantic group. Every planted ×2-scaled copy co-buckets with
+    its original (power-of-two scaling preserves the sign pattern
+    bit-for-bit) and must be dropped; the oracle reproduces the full
+    keep/drop decision vector, not a count. Pair surface is
+    bucket-bounded with the max_bucket_size pair-bomb guard; decisions
+    for over-cap buckets default to kept (exact-dedup's job). At 100 TB
+    the clusters are the partition key and each cluster's pair join is
+    local — the SemDeDup paper's per-cluster independence, verbatim."""
+    from .operators.similarity import semdedup
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(2.0)
+        ).alias("embedding"),
+    )
+    corpus = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS embedding"
+    ).unionByName(scaled)
+    return semdedup(
+        corpus, dim=_EMB_DIM, min_cosine=0.9,
+        max_bucket_size=_EMB_NEAR_DUP_CAP,
+    ).orderBy("vec_id")
+
+
+@query(
+    "q_vams_recency_decay",
+    oracle_with("files")
+    + """
+    , scored AS (
+        SELECT database_id, asset_id, file_key,
+               date_diff('day', CAST(last_modified AS DATE),
+                         DATE '1998-12-01') AS age_days,
+               CASE WHEN file_key LIKE '%.glb' THEN 2.0 ELSE 1.0 END
+                   AS match_boost
+        FROM files
+    )
+    SELECT database_id, asset_id, file_key, CAST(age_days AS INT) AS age_days,
+           FLOOR(match_boost * exp(-CAST(age_days AS DOUBLE) / 365.0)
+                 * 1000000 + 0.5) / 1000000 AS score
+    FROM scored
+    WHERE age_days >= 0
+    ORDER BY score DESC, database_id, asset_id, file_key
+    LIMIT 100
+    """,
+)
+def q_vams_recency_decay(spark, sf_dir):
+    """function_score recency decay — OpenSearch's ``function_score``
+    with an exp decay on a date field (the "boost fresh results"
+    ranking the reference's search tier gets from OpenSearch): a match
+    boost multiplied by exp(-age/365d), ages as exact integer day
+    diffs, the product floor-form grid-rounded BEFORE the top-k so
+    sub-ulp libm differences cannot reorder ties (the haversine
+    precedent: identical expression trees on both engines). Pure
+    scan-side projection + TakeOrderedAndProject — no exchange at all
+    until the k-row driver merge; at 100 TB the decay is a
+    per-partition heap's comparator, never a sort."""
+    t = tables(spark, sf_dir)
+    age = F.datediff(
+        F.lit("1998-12-01").cast("date"), F.col("last_modified").cast("date")
+    )
+    boost = F.when(F.col("file_key").endswith(".glb"), F.lit(2.0)).otherwise(
+        F.lit(1.0)
+    )
+    return (
+        t["files"]
+        .select(
+            "database_id",
+            "asset_id",
+            "file_key",
+            age.cast("int").alias("age_days"),
+            (
+                F.floor(
+                    boost
+                    * F.exp(-age.cast("double") / 365.0)
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
+            ).alias("score"),
+        )
+        .filter(F.col("age_days") >= 0)
+        .orderBy(F.desc("score"), "database_id", "asset_id", "file_key")
+        .limit(100)
+    )
