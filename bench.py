@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q_doc_more_like_this",
     "q_vams_link_jaccard",
     "q_numeric_corr",
+    "q_embedding_semdedup",
 ]
 
 
