@@ -1392,3 +1392,43 @@ def test_jaccard_link_prediction_degree_cap_guards_hubs(spark):
     # generation = {s} (h is capped out of generation but NOT degrees)
     assert r["n_common"] == 1
     assert r["jaccard"] == 0.333333  # 1 / (2 + 2 - 1)
+
+
+def test_correlation_matrix_randomized_against_numpy(spark):
+    """The sufficient-statistics correlation against numpy.corrcoef on
+    randomized data (correlated, anti-correlated, independent, constant
+    shift) — agreement to the 1e-6 grid, independent of partitioning."""
+    import numpy as np
+
+    from visual_asset_management_system_spark.operators.profiling import (
+        correlation_matrix,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 5000
+    x = rng.normal(10, 3, n)
+    y = 2.5 * x + rng.normal(0, 1, n)       # strongly correlated
+    z = -0.5 * x + rng.normal(0, 5, n)      # weakly anti-correlated
+    w = rng.normal(-4, 2, n)                # independent
+    data = [(float(a), float(b), float(c), float(d)) for a, b, c, d in zip(x, y, z, w)]
+    df = spark.createDataFrame(data, "x double, y double, z double, w double")
+
+    got = {
+        (r["col_x"], r["col_y"]): r["pearson_r"]
+        for r in correlation_matrix(df.repartition(17), ["x", "y", "z", "w"]).collect()
+    }
+    ref = np.corrcoef(np.vstack([x, y, z, w]))
+    names = ["x", "y", "z", "w"]
+    assert len(got) == 6
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            j = names.index(b)
+            assert got[(a, b)] == pytest.approx(ref[i, j], abs=2e-6), (a, b)
+    assert got[("x", "y")] > 0.98 and got[("x", "z")] < 0
+
+    # partitioning independence is exact, not approximate
+    again = {
+        (r["col_x"], r["col_y"]): r["pearson_r"]
+        for r in correlation_matrix(df.coalesce(1), ["x", "y", "z", "w"]).collect()
+    }
+    assert again == got

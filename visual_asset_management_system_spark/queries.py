@@ -8767,36 +8767,12 @@ def q_numeric_corr(spark, sf_dir):
     streaming double accumulation is partition-order-dependent. At
     100 TB this stays one scan + one 1-row reduce: the textbook
     sufficient-statistics shape."""
+    from .operators.profiling import correlation_matrix
+
     t = tables(spark, sf_dir)
-    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    for c in _CORR_COLS:
-        aggs.append(_dsum(F.col(c), f"s_{c}"))
-        aggs.append(_dsum(F.col(c) * F.col(c), f"s_{c}_{c}"))
-    pairs = [(x, y) for i, x in enumerate(_CORR_COLS) for y in _CORR_COLS[i + 1:]]
-    for x, y in pairs:
-        aggs.append(_dsum(F.col(x) * F.col(y), f"s_{x}_{y}"))
-    m = t["lineitem"].agg(*aggs)
-    rows = []
-    for x, y in pairs:
-        num = F.col("n") * F.col(f"s_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
-        den = F.sqrt(
-            F.col("n") * F.col(f"s_{x}_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
-        ) * F.sqrt(
-            F.col("n") * F.col(f"s_{y}_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
-        )
-        rows.append(
-            m.select(
-                F.lit(x).alias("col_x"),
-                F.lit(y).alias("col_y"),
-                (F.floor((num / den) * 1000000 + 0.5) / 1000000).alias(
-                    "pearson_r"
-                ),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("col_x", "col_y")
+    return correlation_matrix(t["lineitem"], _CORR_COLS).orderBy(
+        "col_x", "col_y"
+    )
 
 
 @query(
