@@ -1575,3 +1575,99 @@ def test_trending_stream_ranks_each_closed_window(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_detect_sequences_streaming_matches_model(spark, tmp_path):
+    """CEP funnel detection across two micro-batches equals a
+    pure-Python run of the declared automaton over the full ordered
+    event list: completion spanning batches, window-expiry reset with
+    the resetting event re-tried as a fresh start, wrong-order
+    non-completion, and non-overlapping second matches."""
+    from visual_asset_management_system_spark.streaming.windows import (
+        detect_sequences,
+        read_events_stream,
+        run_stream_to_parquet,
+    )
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "seqsink")
+    ckpt = str(tmp_path / "seqckpt")
+
+    b1 = [
+        # user 1: view+click in batch 1, purchase arrives in batch 2
+        _ev(1, 1, "view", 1.0, "2024-01-01T10:00:00Z"),
+        _ev(2, 1, "click", 1.0, "2024-01-01T10:10:00Z"),
+        # user 2: view, then nothing for > window
+        _ev(3, 2, "view", 1.0, "2024-01-01T10:00:00Z"),
+        # user 3: wrong order — click before any view
+        _ev(4, 3, "click", 1.0, "2024-01-01T10:00:00Z"),
+        _ev(5, 3, "purchase", 1.0, "2024-01-01T10:05:00Z"),
+    ]
+    b2 = [
+        _ev(6, 1, "purchase", 1.0, "2024-01-01T10:30:00Z"),
+        # user 1 second (non-overlapping) run, completed in one batch
+        _ev(7, 1, "view", 1.0, "2024-01-01T11:00:00Z"),
+        _ev(8, 1, "click", 1.0, "2024-01-01T11:05:00Z"),
+        _ev(9, 1, "purchase", 1.0, "2024-01-01T11:06:00Z"),
+        # user 2: click lands past the 1h window from the 10:00 view —
+        # resets; then a fresh full run completes
+        _ev(10, 2, "click", 1.0, "2024-01-01T11:30:00Z"),
+        _ev(11, 2, "view", 1.0, "2024-01-01T11:40:00Z"),
+        _ev(12, 2, "click", 1.0, "2024-01-01T11:45:00Z"),
+        _ev(13, 2, "purchase", 1.0, "2024-01-01T11:50:00Z"),
+    ]
+
+    _write_events(src, b1)
+    q = run_stream_to_parquet(
+        detect_sequences(read_events_stream(spark, src)), sink, ckpt
+    )
+    q.awaitTermination(120)
+    _write_events(src, b2)
+    q = run_stream_to_parquet(
+        detect_sequences(read_events_stream(spark, src)), sink, ckpt
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["start_ts"].isoformat(), r["end_ts"].isoformat())
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    # pure-Python model over the full per-user event-time-ordered list
+    import datetime as dt
+
+    pattern = ("view", "click", "purchase")
+    events_by_user: dict = {}
+    for e in b1 + b2:
+        ts = dt.datetime.fromisoformat(e["ts"].replace("Z", "+00:00")).timestamp()
+        events_by_user.setdefault(e["user_id"], []).append((ts, e["event_type"]))
+    expect = set()
+    for uid, evs in events_by_user.items():
+        evs.sort()
+        partial: list = []
+        for ts, etype in evs:
+            if partial and ts - partial[0] > 3600.0:
+                partial = []
+            k = len(partial)
+            if etype == pattern[k] and (k == 0 or ts > partial[-1]):
+                partial.append(ts)
+                if len(partial) == 3:
+                    expect.add(
+                        (
+                            uid,
+                            dt.datetime.fromtimestamp(
+                                partial[0], dt.timezone.utc
+                            ).replace(tzinfo=None).isoformat(),
+                            dt.datetime.fromtimestamp(
+                                partial[-1], dt.timezone.utc
+                            ).replace(tzinfo=None).isoformat(),
+                        )
+                    )
+                    partial = []
+    assert got == expect
+    # the cross-batch completion and both fresh runs are all present
+    assert (1, "2024-01-01T10:00:00", "2024-01-01T10:30:00") in got
+    assert (1, "2024-01-01T11:00:00", "2024-01-01T11:06:00") in got
+    assert (2, "2024-01-01T11:40:00", "2024-01-01T11:50:00") in got
+    # wrong-order user never matches
+    assert not any(u == 3 for u, _, _ in got)

@@ -331,3 +331,77 @@ def start_trending_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SEQ_OUT_SCHEMA = (
+    "user_id bigint, start_ts timestamp, end_ts timestamp, n_stages int"
+)
+SEQ_STATE_SCHEMA = "stage_ts array<double>"
+
+
+def detect_sequences(
+    events: DataFrame,
+    pattern: tuple[str, ...] = ("view", "click", "purchase"),
+    within_s: float = 3600.0,
+) -> DataFrame:
+    """CEP-style ordered sequence detection (streaming funnel): emit a
+    match whenever a user produces the pattern's stages in strictly
+    increasing event-time order with the whole run inside ``within_s``
+    of the first stage — the stateful streaming form of the batch
+    funnel (q_events_funnel's stacked window minimums).
+
+    Automaton semantics (deterministic, greedy-earliest,
+    non-overlapping): per user the state is the current partial match's
+    stage timestamps only — O(|pattern|), NOT an event buffer. Events
+    are processed in event-time order within each micro-batch; a stage
+    candidate must be strictly later than the previous stage, a run
+    older than the window resets the automaton (re-trying the resetting
+    event as a fresh first stage), and a completed match resets it for
+    the next non-overlapping run. A cross-batch straggler older than an
+    already-accepted stage cannot retroactively produce the earlier
+    match — the documented arrival-order caveat every bounded-state CEP
+    engine shares; bound late arrivals upstream with a watermark
+    (dedup_events_stream's horizon contract)."""
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        partial: list[float] = []
+        if state.exists:
+            (stage_ts,) = state.get
+            partial = list(stage_ts)
+        rows: list[tuple[float, str]] = []
+        for pdf in pdfs:
+            secs = pdf["ts"].astype("int64") / 1e9
+            rows.extend(zip(secs.tolist(), pdf["event_type"].tolist()))
+        rows.sort()
+        out = []
+        for ts, etype in rows:
+            if partial and ts - partial[0] > within_s:
+                partial = []
+            k = len(partial)
+            if etype == pattern[k] and (k == 0 or ts > partial[-1]):
+                partial.append(ts)
+                if len(partial) == len(pattern):
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "start_ts": pd.Timestamp(partial[0], unit="s"),
+                            "end_ts": pd.Timestamp(partial[-1], unit="s"),
+                            "n_stages": len(pattern),
+                        }
+                    )
+                    partial = []
+        if partial:
+            state.update((partial,))
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SEQ_OUT_SCHEMA,
+        stateStructType=SEQ_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
