@@ -1432,3 +1432,40 @@ def test_correlation_matrix_randomized_against_numpy(spark):
         for r in correlation_matrix(df.coalesce(1), ["x", "y", "z", "w"]).collect()
     }
     assert again == got
+
+
+def test_correlation_matrix_pairwise_null_deletion(spark):
+    """NULLs in profiled columns: every per-pair moment (including n)
+    must be conditioned on BOTH columns being non-null — pairwise
+    deletion, pandas ``DataFrame.corr`` semantics. The earlier shape
+    used a single unconditional COUNT(*) against null-skipping sums,
+    silently shifting r on any frame with NULLs (round-6 ADVICE)."""
+    import numpy as np
+    import pandas as pd
+
+    from visual_asset_management_system_spark.operators.profiling import (
+        correlation_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    x = rng.normal(0, 1, n)
+    y = 1.5 * x + rng.normal(0, 1, n)
+    z = rng.normal(-1, 3, n)
+    pdf = pd.DataFrame({"x": x, "y": y, "z": z})
+    for c in ["x", "y", "z"]:
+        pdf.loc[rng.choice(n, 400, replace=False), c] = np.nan
+
+    rows = [
+        tuple(None if pd.isna(v) else float(v) for v in rec)
+        for rec in pdf.itertuples(index=False)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {
+        (r["col_x"], r["col_y"]): r["pearson_r"]
+        for r in correlation_matrix(df.repartition(13), ["x", "y", "z"]).collect()
+    }
+    ref = pdf.corr()  # pairwise complete observations
+    assert len(got) == 3
+    for a, b in [("x", "y"), ("x", "z"), ("y", "z")]:
+        assert got[(a, b)] == pytest.approx(ref.loc[a, b], abs=2e-6), (a, b)

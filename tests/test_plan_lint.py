@@ -21,6 +21,8 @@ Rules:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from visual_asset_management_system_spark.operators import checkpointing
@@ -155,6 +157,57 @@ def test_output_schema_is_canonicalizable(spark, name):
         f"{name} emits non-scalar top-level columns {bad} — the driver "
         f"canonicalizer cannot sort these; stringify them in the final "
         f"projection (and mirror in the oracle)"
+    )
+
+
+#: Max times the EXECUTED plan may scan any one source table. Calibrated
+#: against the round-6 fleet: the widest legitimate fan-outs (dual-index
+#: union over part, semdedup's bucketed pair surface over embeddings,
+#: one-hop's double-sided enrichment) execute ≤ 6 scans of a table, with
+#: ReusedExchange deduplicating the rest. The round-6 verdict's
+#: repeated-subtree defect (q_numeric_corr: 12 lineitem scans / 24 hash
+#: aggregates / 0 ReusedExchange for a 6-row result) sat at 2× this
+#: budget — the class this lint exists to catch.
+_SCAN_BUDGET = 6
+
+_SCAN_RE = re.compile(r"Location: [^\[]*\[([^\]]*)")
+_TABLE_RE = re.compile(r"([A-Za-z0-9_]+)\.parquet")
+
+
+def _table_scan_counts(executed_plan: str) -> dict[str, int]:
+    """Per-source-table FileScan counts from an executed-plan string,
+    final AQE plan only (the AdaptiveSparkPlan string repeats the
+    pre-reuse initial plan below a marker — that section is advisory)."""
+    plan = executed_plan.split("== Initial Plan ==")[0]
+    counts: dict[str, int] = {}
+    for loc in _SCAN_RE.finditer(plan):
+        for path in loc.group(1).split(","):
+            m = _TABLE_RE.search(path)
+            if m:
+                counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_executed_plan_scan_budget(spark, name):
+    """Repeated-subtree lint: after execution (so ReuseExchange and
+    lineage-cut checkpoints have done their work), no registered query
+    may scan any single source table more than _SCAN_BUDGET times. A
+    plan that re-runs a shared aggregate per output row (the
+    q_numeric_corr round-6 defect: per-pair select + unionAll over the
+    same moments subtree) multiplies full-corpus scans at 100 TB while
+    every structural lint above still passes — only the executed scan
+    count sees it."""
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    df = QUERIES[name](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = _table_scan_counts(plan)
+    over = {t: n for t, n in counts.items() if n > _SCAN_BUDGET}
+    assert not over, (
+        f"{name} executed plan scans {over} times (budget {_SCAN_BUDGET} "
+        f"per table) — a shared subtree is being re-executed; materialize "
+        f"it once (single aggregate + explode, persist, or checkpoint)"
     )
 
 

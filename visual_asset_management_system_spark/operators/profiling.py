@@ -25,28 +25,43 @@ def correlation_matrix(
     df: DataFrame, cols: list[str], round_grid: int = 1000000
 ) -> DataFrame:
     """Pairwise Pearson correlation over ``cols``: one aggregate pass
-    collects n, Σx, Σx², Σxy for every pair; the matrix rows
-    ``(col_x, col_y, pearson_r)`` are scalar math over the single
-    moments row, floor-form grid-rounded. Returns the upper triangle
-    (col_x < col_y in ``cols`` order), unordered."""
-    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
-    for c in cols:
-        aggs.append(_dsum(F.col(c), f"s_{c}"))
-        aggs.append(_dsum(F.col(c) * F.col(c), f"s_{c}_{c}"))
+    collects per-pair moments (n, Σx, Σy, Σx², Σy², Σxy), each
+    conditioned on BOTH columns being non-null — the standard pairwise
+    deletion, so frames with NULLs in a profiled column get the correct
+    r per pair instead of a silently shifted n. The matrix rows
+    ``(col_x, col_y, pearson_r)`` are then emitted by exploding an
+    array of structs computed over the single moments row — one
+    FileScan, one map-combined reduce, zero repeated subtrees in the
+    physical plan (the earlier per-pair ``select``+``unionAll`` shape
+    re-ran the aggregate k(k−1)/2 times). Returns the upper triangle
+    (col_x < col_y in ``cols`` order), unordered, floor-form
+    grid-rounded."""
     pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1:]]
+    aggs = []
     for x, y in pairs:
-        aggs.append(_dsum(F.col(x) * F.col(y), f"s_{x}_{y}"))
-    m = df.agg(*aggs)
-    rows = []
-    for x, y in pairs:
-        num = F.col("n") * F.col(f"s_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
-        den = F.sqrt(
-            F.col("n") * F.col(f"s_{x}_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
-        ) * F.sqrt(
-            F.col("n") * F.col(f"s_{y}_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        p = f"{x}_{y}"
+        aggs.append(
+            F.count(F.when(both, F.lit(1))).cast("double").alias(f"n_{p}")
         )
-        rows.append(
-            m.select(
+        aggs.append(_dsum(F.when(both, F.col(x)), f"sx_{p}"))
+        aggs.append(_dsum(F.when(both, F.col(y)), f"sy_{p}"))
+        aggs.append(_dsum(F.when(both, F.col(x) * F.col(x)), f"sxx_{p}"))
+        aggs.append(_dsum(F.when(both, F.col(y) * F.col(y)), f"syy_{p}"))
+        aggs.append(_dsum(F.when(both, F.col(x) * F.col(y)), f"sxy_{p}"))
+    m = df.agg(*aggs)
+    structs = []
+    for x, y in pairs:
+        p = f"{x}_{y}"
+        n = F.col(f"n_{p}")
+        num = n * F.col(f"sxy_{p}") - F.col(f"sx_{p}") * F.col(f"sy_{p}")
+        den = F.sqrt(
+            n * F.col(f"sxx_{p}") - F.col(f"sx_{p}") * F.col(f"sx_{p}")
+        ) * F.sqrt(
+            n * F.col(f"syy_{p}") - F.col(f"sy_{p}") * F.col(f"sy_{p}")
+        )
+        structs.append(
+            F.struct(
                 F.lit(x).alias("col_x"),
                 F.lit(y).alias("col_y"),
                 (F.floor((num / den) * round_grid + 0.5) / round_grid).alias(
@@ -54,7 +69,4 @@ def correlation_matrix(
                 ),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return m.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
