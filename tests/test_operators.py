@@ -1359,6 +1359,68 @@ def test_more_like_this_randomized_against_model(spark):
         assert r["mlt_score"] == pytest.approx(s, rel=1e-9)
 
 
+def test_triangle_count_planted_hub_degree_orientation(spark):
+    """Skew posture of the triangle counter: a planted celebrity hub
+    (degree 1000) must (a) not change exactness — the count matches a
+    brute-force adjacency-set enumeration — and (b) contribute ZERO
+    wedge centers, because degree orientation points every star edge
+    leaf→hub and wedges are enumerated only at out-edges. Max
+    out-degree stays O(√m) regardless of the hub (the unoriented
+    b-centered join would materialize C(1000,2) ≈ 500k wedges here)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.graph import (
+        orient_by_degree,
+        triangle_count,
+    )
+
+    hub = "hub"
+    leaves = [f"l{i:04d}" for i in range(1000)]
+    edges = [(hub, lf) for lf in leaves]
+    clique = leaves[:5]
+    edges += list(itertools.combinations(clique, 2))
+    # direction dups + a self-loop: canonicalization must kill both
+    edges += [(leaves[1], hub), (hub, hub)]
+
+    # brute-force expected count over the simple undirected graph
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    nodes = sorted(adj)
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert expected == 20  # C(5,3) in-clique + one per clique edge via hub
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == expected
+
+    e = (
+        df.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    outdeg = {
+        r["u"]: r["n"]
+        for r in orient_by_degree(e)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert hub not in outdeg  # the hub centers no wedges at all
+    assert max(outdeg.values()) <= 5  # clique node: 4 in-clique + hub
+
+
 def test_jaccard_link_prediction_degree_cap_guards_hubs(spark):
     """The max_degree skew guard: a hub neighbor above the cap stops
     generating pairs (its deg² flood disappears), while pairs formed

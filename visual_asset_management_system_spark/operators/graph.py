@@ -469,13 +469,19 @@ def triangle_count(
     analytic metrics are the Spark-side extension).
 
     Shape: edges are canonicalized to a < b (LEAST/GREATEST — kills
-    direction duplicates and self-loops), then the classic two-join
-    enumeration counts each triangle exactly once via the total order
-    a < b < c: wedge (a,b)x(b,c) joined on the closing edge (a,c).
-    Both joins are equi-joins on node keys; at 100 TB the standard
-    refinement (orienting edges by degree so high-degree hubs never
-    expand wedges) drops in as a pre-computed degree join without
-    changing this plan's shape."""
+    direction duplicates and self-loops), then DEGREE-ORIENTED: every
+    edge points from its lower-(degree, id) endpoint to the higher one,
+    and wedges are enumerated only at the low end (the standard exact
+    O(m^1.5) node-iterator refinement). Each triangle is counted
+    exactly once — at its unique minimum-(degree, id) corner, whose two
+    incident edges both orient outward — and a celebrity hub of degree
+    d generates ~0 wedges instead of d²: under this orientation every
+    out-degree is O(√m) regardless of skew, which is what makes the
+    Σ outdeg² wedge surface survive a skewed 100 TB graph (the
+    unoriented b-centered join is Σ deg² — one hub at 10⁵ would
+    materialize 10¹⁰ wedges). Both joins remain equi-joins on node
+    keys; the closing check is a semi-join against the canonical edge
+    set."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -484,17 +490,47 @@ def triangle_count(
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
-    wedges = e.alias("e1").join(
-        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
-    ).select(
-        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
-    )
+    o = orient_by_degree(e)
+    wedges = o.alias("o1").join(
+        o.alias("o2"),
+        (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v")),
+    ).select(F.col("o1.v").alias("x"), F.col("o2.v").alias("y"))
     closed = wedges.join(
         e.alias("e3"),
-        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+        (F.col("x") == F.col("e3.a")) & (F.col("y") == F.col("e3.b")),
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def orient_by_degree(e: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges ``(a, b)`` from the
+    lower-(degree, id) endpoint to the higher: returns ``(u, v)`` with
+    ``(deg(u), u) < (deg(v), v)``. The (degree, id) key is a strict
+    total order over nodes (ids are distinct), so orientation is
+    deterministic and acyclic; max out-degree under it is O(√m), the
+    property triangle_count's wedge surface relies on. Two
+    node-cardinality equi-joins attach degrees — AQE picks the
+    strategy (the degree table is |nodes|-sized; never assume it
+    broadcasts)."""
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")), "b"
+    )
+    a_first = F.struct(F.col("deg_a"), F.col("a")) < F.struct(
+        F.col("deg_b"), F.col("b")
+    )
+    return ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
 
 
 def jaccard_link_prediction(

@@ -7653,9 +7653,11 @@ def q_vams_triangles(spark, sf_dir):
     triangle-free by construction (edges funnel into 50 hub assets), so
     two overlapping triangles are PLANTED and the base graph stays in
     the count — the oracle proves both that the planted triangles are
-    found and that the real graph contributes exactly zero. Canonical
-    a<b<c ordering counts each triangle once; two equi-joins, no
-    cartesian."""
+    found and that the real graph contributes exactly zero. Edges are
+    degree-oriented (lower-(degree,id) endpoint → higher) and wedges
+    enumerated only at out-edges, so each triangle is counted once at
+    its minimum corner and a celebrity hub generates ~0 wedges instead
+    of deg²; two equi-joins + a closing semi-join, no cartesian."""
     from .operators.graph import triangle_count
 
     t = tables(spark, sf_dir)
