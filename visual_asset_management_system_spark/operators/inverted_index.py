@@ -619,20 +619,32 @@ def percolate(
     proportional to matching terms only — no (doc x query) surface. At
     100 TB the registry is user-subscription-sized (broadcastable by
     assumption); the doc side is one scan of the changed documents."""
-    qterms = stored_queries.selectExpr(
-        "query_id", "mode", "term_a AS term"
-    ).unionAll(stored_queries.selectExpr("query_id", "mode", "term_b AS term"))
+    # distinct registry terms per query + the per-query required count:
+    # 'and' satisfaction compares matched DISTINCT terms against the
+    # query's own distinct-term count, so a degenerate stored query
+    # with term_a == term_b requires (and matches on) exactly one term
+    # — a raw row-count == 2 test would let one doc term joining both
+    # registry rows fire a spurious alert
+    qterms = (
+        stored_queries.selectExpr("query_id", "mode", "term_a AS term")
+        .unionAll(stored_queries.selectExpr("query_id", "mode", "term_b AS term"))
+        .distinct()
+    )
+    nreq = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_required")
+    )
+    qterms = qterms.join(nreq, "query_id")
     doc_terms = docs.select(
         *id_cols,
         F.explode(F.array_distinct(tokenize(text))).alias("term"),
     )
     hits = (
         doc_terms.join(F.broadcast(qterms), "term")
-        .groupBy(*id_cols, "query_id", "mode")
+        .groupBy(*id_cols, "query_id", "mode", "n_required")
         .agg(F.count(F.lit(1)).alias("matched"))
     )
     matched_q = hits.filter(
-        ((F.col("mode") == "and") & (F.col("matched") == 2))
+        ((F.col("mode") == "and") & (F.col("matched") == F.col("n_required")))
         | ((F.col("mode") == "or") & (F.col("matched") >= 1))
     )
     return matched_q.groupBy(*id_cols).agg(

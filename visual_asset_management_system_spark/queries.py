@@ -7157,8 +7157,12 @@ def q_doc_gopher_quality(spark, sf_dir):
     ), kept AS (
         SELECT l.* FROM lines l ANTI JOIN boiler b USING (line)
     ), totals AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
-        FROM lines GROUP BY doc_id
+        -- anchored on the ORIGINAL doc set (mirrors dedup_lines):
+        -- a doc with no non-empty lines still yields (id, '', 0)
+        SELECT b.doc_id, CAST(COALESCE(c.n_total, 0) AS BIGINT) AS n_total
+        FROM base b LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id
+        ) c ON b.doc_id = c.doc_id
     ), rebuilt AS (
         SELECT doc_id,
                array_to_string(list(line ORDER BY pos), chr(10)) AS text,

@@ -187,12 +187,15 @@ class CatalogService:
         dist = haversine_km(
             F.lit(lat), F.lit(lon), F.col(lat_col), F.col(lon_col)
         )
+        # full-row tiebreak after dist_km: rounded distances tie freely
+        # (1 m grid), and a single-column tiebreak would make the
+        # returned page nondeterministic across partitionings
         return (
             points.withColumn(
                 "dist_km", F.floor(dist * 1000 + 0.5) / 1000
             )
             .filter(F.col("dist_km") < radius_km)
-            .orderBy("dist_km", *points.columns[:1])
+            .orderBy("dist_km", *points.columns)
             .limit(size)
         )
 

@@ -28,33 +28,37 @@ per-directory swap is the non-transactional analog of dynamic partition
 overwrite; a crash mid-swap leaves other partitions intact and the
 at-least-once replay + idempotent recompute repairs the touched one.
 
-Object-store deployment note (100 TB): the swap primitive here
-(``_swap_partition_dir`` + ``_recover_and_sweep_trash``) relies on
-POSIX ``rename`` atomicity, which S3/GCS-style object stores do not
-provide. The production mapping is one-to-one onto a lakehouse table
-format's transactional commit:
+TWO COMMIT MODES, one merge plan (``commit_mode`` on every entry
+point; everything above the sink — routing, affected-key recompute,
+the merge plan itself — is storage-agnostic DataFrame code shared by
+both):
 
-    merged micro-batch write   → ``MERGE INTO sink USING batch ON keys``
-                                 (Delta/Iceberg/Hudi — copy-on-write of
-                                 exactly the touched files, like our
-                                 touched-partition rewrite)
-    _swap_partition_dir        → the format's atomic manifest/log commit
-                                 (no rename pair, no crash window)
-    _recover_and_sweep_trash   → unnecessary (commit is all-or-nothing);
-                                 orphaned staged files are handled by
-                                 VACUUM / expire-snapshots
-    compact_sink               → OPTIMIZE / rewrite-data-files
-
-Everything above the sink (routing, affected-key recompute, the merge
-plan itself) is storage-agnostic DataFrame code and transfers as-is;
-only the ~60 lines of directory-swap plumbing are the local-filesystem
-stand-in for that commit protocol.
+- ``"rename"`` (local fast path): touched ``_part=`` directories are
+  swapped in place via POSIX rename pairs with a ``.trash`` aside +
+  recovery sweep. Atomic and cheap on a real filesystem; NOT safe on
+  S3-class object stores, where rename is copy+delete.
+- ``"manifest"`` (object-store path, the same protocol lakehouse
+  formats use): data directories are IMMUTABLE — each merge writes its
+  touched partitions to a fresh ``data/<version>/`` directory and then
+  atomically publishes a single small ``_manifest.json`` (one-file
+  rename locally ≙ one PUT on S3) mapping partition id → current data
+  directory. Readers resolve the manifest; at every instant they see
+  either the old or the new complete snapshot, never a mix — no rename
+  of data, no trash, no crash window. A crash before the manifest
+  commit leaves only unreferenced orphan directories, removed by the
+  vacuum sweep at the start of the next merge (production: with a
+  retention grace so in-flight readers of recent snapshots finish).
+  On a Delta/Iceberg runtime this whole mode collapses into
+  ``MERGE INTO`` + the format's own log commit, and ``compact_sink``
+  into OPTIMIZE / rewrite-data-files.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,6 +95,7 @@ def apply_cdc_batch(
     recompute,
     sink_dir: str,
     key_cols: list[str] = ("database_id", "asset_id"),
+    commit_mode: str = "rename",
 ) -> None:
     """One micro-batch upsert: recompute changed rows, merge into sink.
 
@@ -98,10 +103,14 @@ def apply_cdc_batch(
     given distinct keys (the streaming analog of the full rebuild,
     restricted by semi-join). REMOVE events drop their rows.
 
-    Partial rewrite: only the hash-partition directories whose keys
-    appear in the batch are read, merged, and swapped; untouched
-    directories are never opened. The ``collect()`` of touched partition
-    ids is bounded by N_SINK_PARTITIONS (≤32 rows).
+    Partial rewrite: only the hash partitions whose keys appear in the
+    batch are read, merged, and republished; untouched partitions are
+    never opened. The ``collect()`` of touched partition ids is bounded
+    by N_SINK_PARTITIONS (≤32 rows). ``commit_mode`` picks how the
+    merged partitions become visible: ``"rename"`` (POSIX directory
+    swap, local fast path) or ``"manifest"`` (immutable data dirs + an
+    atomically-published manifest — the object-store-safe protocol; see
+    module docstring).
     """
     spark = batch.sparkSession
     keys = batch.select(*key_cols).distinct()
@@ -111,6 +120,10 @@ def apply_cdc_batch(
     fresh = _partition_of(
         recompute(keys).join(removes, list(key_cols), "left_anti"), list(key_cols)
     )
+
+    if commit_mode == "manifest":
+        _apply_manifest_merge(spark, keys, fresh, sink_dir, list(key_cols))
+        return
 
     # recover BEFORE the fresh-sink check: a crash can leave the sink's
     # only _part directory in .trash with the live dir missing — without
@@ -205,10 +218,143 @@ def _swap_partition_dir(staging: str, sink_dir: str, p: int) -> None:
         pass
 
 
+# ---------------------------------------------------------------------------
+# manifest commit mode: immutable data dirs + atomic single-file publish
+# ---------------------------------------------------------------------------
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def _load_manifest(sink_dir: str) -> dict[int, str]:
+    """Current snapshot: partition id → sink-relative data directory
+    (``data/<version>/_part=<p>``). Missing manifest = empty sink."""
+    path = os.path.join(sink_dir, MANIFEST_NAME)
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        return {int(k): v for k, v in json.load(f)["parts"].items()}
+
+
+def _commit_manifest(sink_dir: str, parts: dict[int, str]) -> None:
+    """Atomically publish a new snapshot: write the manifest to a temp
+    sibling, fsync, and rename onto ``_manifest.json`` — the one-file
+    commit point. On an object store this is a single PUT of a small
+    object (atomic per-object), which is exactly why all data
+    directories are immutable and only this pointer ever changes."""
+    os.makedirs(sink_dir, exist_ok=True)
+    tmp = os.path.join(sink_dir, f".{MANIFEST_NAME}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"parts": {str(k): v for k, v in sorted(parts.items())}}, f
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(sink_dir, MANIFEST_NAME))
+
+
+def _vacuum_unreferenced(sink_dir: str, parts: dict[int, str]) -> None:
+    """Remove data directories the current manifest does not reference:
+    orphans from a crash before the commit point, and directories
+    superseded by a later commit. Runs at the START of each merge
+    (single-writer). A production deployment adds a retention grace
+    (lakehouse VACUUM semantics) so readers holding a recent snapshot
+    finish before its directories disappear."""
+    data_root = os.path.join(sink_dir, "data")
+    referenced = {v for v in parts.values()}
+    if os.path.isdir(data_root):
+        for ver in os.listdir(data_root):
+            vdir = os.path.join(data_root, ver)
+            if not os.path.isdir(vdir):
+                continue
+            for d in os.listdir(vdir):
+                if d.startswith("_part=") and f"data/{ver}/{d}" not in referenced:
+                    shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
+            if not any(d.startswith("_part=") for d in os.listdir(vdir)):
+                shutil.rmtree(vdir, ignore_errors=True)
+    if os.path.isdir(sink_dir):  # tmp manifests from crashed commits
+        for f in os.listdir(sink_dir):
+            if f.startswith(f".{MANIFEST_NAME}.tmp-"):
+                os.remove(os.path.join(sink_dir, f))
+
+
+def read_sink(
+    spark: SparkSession,
+    sink_dir: str,
+    commit_mode: str = "rename",
+    parts: list[int] | None = None,
+) -> DataFrame | None:
+    """Read the sink's current snapshot under either commit mode,
+    optionally restricted to a set of partition ids (manifest mode
+    prunes unlisted directories without opening them — the manifest IS
+    the partition index). Returns None when the sink is empty. Manifest
+    mode yields the data columns only (``_part`` is directory metadata;
+    recompute it from the keys via ``_partition_of`` when needed)."""
+    if commit_mode == "rename":
+        # emptiness = no partition dirs left (a _SUCCESS marker from the
+        # initial full write may survive after every row is removed)
+        if not os.path.isdir(sink_dir) or not any(
+            d.startswith("_part=") for d in os.listdir(sink_dir)
+        ):
+            return None
+        df = spark.read.parquet(sink_dir)
+        return df.filter(F.col("_part").isin(parts)) if parts is not None else df
+    man = _load_manifest(sink_dir)
+    sel = [v for p, v in sorted(man.items()) if parts is None or p in parts]
+    if not sel:
+        return None
+    return spark.read.parquet(*[os.path.join(sink_dir, v) for v in sel])
+
+
+def _apply_manifest_merge(
+    spark: SparkSession,
+    keys: DataFrame,
+    fresh: DataFrame,
+    sink_dir: str,
+    key_cols: list[str],
+) -> None:
+    """Manifest-mode merge: write the merged touched partitions to an
+    immutable ``data/<version>/`` directory, then flip the manifest.
+
+    No crash window: until ``_commit_manifest`` succeeds, readers
+    resolve the previous manifest to the previous (complete) snapshot;
+    a crash mid-write leaves only an unreferenced version directory for
+    the next vacuum. Replay of an at-least-once batch writes a new
+    version with identical content and re-commits — idempotent by
+    construction. A touched partition whose merged row set is empty
+    simply drops out of the manifest (the REMOVE-empties-partition
+    case)."""
+    man = _load_manifest(sink_dir)
+    _vacuum_unreferenced(sink_dir, man)
+    touched = sorted(
+        r["_part"]
+        for r in _partition_of(keys, key_cols).select("_part").distinct().collect()
+    )
+    merged = fresh
+    old = read_sink(spark, sink_dir, "manifest", parts=touched)
+    if old is not None:
+        surviving = _partition_of(
+            old.join(keys, key_cols, "left_anti"), key_cols
+        )
+        merged = surviving.unionByName(fresh)
+    version = uuid.uuid4().hex[:12]
+    vdir = os.path.join(sink_dir, "data", version)
+    merged.write.partitionBy("_part").mode("overwrite").parquet(vdir)
+    written = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(vdir)
+        if d.startswith("_part=")
+    }
+    new_man = {p: v for p, v in man.items() if p not in touched}
+    for p in sorted(written):
+        new_man[p] = f"data/{version}/_part={p}"
+    _commit_manifest(sink_dir, new_man)
+
+
 def compact_sink(
     spark: SparkSession,
     sink_dir: str,
     max_files_per_partition: int = 4,
+    commit_mode: str = "rename",
 ) -> list[int]:
     """Small-file compaction for the CDC sink — the OPTIMIZE half of the
     partial-rewrite story: every micro-batch rewrite adds files to its
@@ -221,6 +367,38 @@ def compact_sink(
     On a lakehouse runtime this is ``OPTIMIZE``/rewrite-data-files; on
     plain parquet it is a maintenance job scheduled off the write path.
     """
+    if commit_mode == "manifest":
+        man = _load_manifest(sink_dir)
+        _vacuum_unreferenced(sink_dir, man)
+
+        def n_files(rel: str) -> int:
+            d = os.path.join(sink_dir, rel)
+            return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+        crowded = sorted(
+            p for p, rel in man.items() if n_files(rel) > max_files_per_partition
+        )
+        if not crowded:
+            return []
+        # one job: per-directory reads re-tagged with their partition id
+        # (the immutable dirs don't carry _part inside the files)
+        rows = None
+        for p in crowded:
+            part = spark.read.parquet(
+                os.path.join(sink_dir, man[p])
+            ).withColumn("_part", F.lit(p))
+            rows = part if rows is None else rows.unionByName(part)
+        version = uuid.uuid4().hex[:12]
+        vdir = os.path.join(sink_dir, "data", version)
+        rows.repartition("_part").write.partitionBy("_part").mode(
+            "overwrite"
+        ).parquet(vdir)
+        new_man = dict(man)
+        for p in crowded:
+            new_man[p] = f"data/{version}/_part={p}"
+        _commit_manifest(sink_dir, new_man)
+        return crowded
+
     # Recovery FIRST: a crash between the swap's renames can leave a
     # partition's only copy in the .trash sibling while the live sink
     # dir itself is absent — an early return on isdir would skip it.
@@ -343,7 +521,10 @@ def route_changes(batch: DataFrame) -> DataFrame:
 
 
 def _expand_null_path_file_events(
-    sub: DataFrame, sink_dir: str, file_keys_of_assets=None
+    sub: DataFrame,
+    sink_dir: str,
+    file_keys_of_assets=None,
+    commit_mode: str = "rename",
 ) -> DataFrame:
     """Expand file-target events with NULL file_path to explicit file
     keys at the asset grain.
@@ -373,11 +554,10 @@ def _expand_null_path_file_events(
     asset_keys = flags.select("database_id", "asset_id")
     key3 = ["database_id", "asset_id", "file_path"]
     expanded: DataFrame | None = None
-    if os.path.isdir(sink_dir) and os.listdir(sink_dir):
-        expanded = (
-            spark.read.parquet(sink_dir)
-            .select(*key3)
-            .join(F.broadcast(asset_keys), ["database_id", "asset_id"], "left_semi")
+    sink = read_sink(spark, sink_dir, commit_mode)
+    if sink is not None:
+        expanded = sink.select(*key3).join(
+            F.broadcast(asset_keys), ["database_id", "asset_id"], "left_semi"
         )
     if file_keys_of_assets is not None:
         src_keys = file_keys_of_assets(asset_keys).select(*key3)
@@ -403,6 +583,7 @@ def apply_routed_cdc_batch(
     recomputes: dict[str, object],
     sink_dirs: dict[str, str],
     file_keys_of_assets=None,
+    commit_mode: str = "rename",
 ) -> None:
     """Routed micro-batch: dispatch events per target index, then run the
     partial-rewrite merge per target. ``recomputes``/``sink_dirs`` map
@@ -429,13 +610,18 @@ def apply_routed_cdc_batch(
             # event's expansion must see the file keys of the
             # still-trashed partition, or those files are never
             # re-indexed/deleted and stale index rows survive silently
-            _recover_and_sweep_trash(sink_dirs[target])
+            # (manifest mode has no such window — readers always resolve
+            # a complete committed snapshot)
+            if commit_mode == "rename":
+                _recover_and_sweep_trash(sink_dirs[target])
             sub = _expand_null_path_file_events(
-                sub, sink_dirs[target], file_keys_of_assets
+                sub, sink_dirs[target], file_keys_of_assets, commit_mode
             )
         if sub.isEmpty():
             continue
-        apply_cdc_batch(sub, recomputes[target], sink_dirs[target], key_cols)
+        apply_cdc_batch(
+            sub, recomputes[target], sink_dirs[target], key_cols, commit_mode
+        )
 
 
 def start_search_table_stream(
@@ -446,6 +632,7 @@ def start_search_table_stream(
     checkpoint_dir: str,
     key_cols: list[str] = ("database_id", "asset_id"),
     trigger_once: bool = True,
+    commit_mode: str = "rename",
 ):
     """Structured Streaming wrapper: file-source change log → foreachBatch
     merge. ``trigger_once`` runs available data then stops (test mode);
@@ -458,7 +645,7 @@ def start_search_table_stream(
     def handle(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        apply_cdc_batch(batch, recompute, sink_dir, key_cols)
+        apply_cdc_batch(batch, recompute, sink_dir, key_cols, commit_mode)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -475,6 +662,7 @@ def start_routed_stream(
     recomputes: dict[str, object],
     checkpoint_dir: str,
     trigger_once: bool = True,
+    commit_mode: str = "rename",
 ):
     """Routed variant: one change-log stream feeding BOTH search tables
     through route_changes (the full assetIndexer/fileIndexer dispatch)."""
@@ -487,7 +675,9 @@ def start_routed_stream(
     def handle(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        apply_routed_cdc_batch(batch, recomputes, sink_dirs)
+        apply_routed_cdc_batch(
+            batch, recomputes, sink_dirs, commit_mode=commit_mode
+        )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

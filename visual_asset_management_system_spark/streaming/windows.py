@@ -88,7 +88,18 @@ SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events int, sum_value double"
 )
-SESSION_STATE_SCHEMA = "ts array<double>, vals array<double>"
+SESSION_STATE_SCHEMA = "ts array<long>, vals array<double>"
+
+
+def _ts_us(s: pd.Series) -> pd.Series:
+    """Event-time column → int64 epoch-MICROseconds. Integers, not
+    float seconds: at 2024-era epochs float64 ulp is ~400 ns, so a
+    float-second carrier drifts emitted timestamps sub-microsecond off
+    the true event time and breaks exact kappa-replay parity with the
+    batch mirrors for non-second-aligned events. Microseconds are the
+    native precision of both Spark TimestampType and the parquet sink,
+    so the int carrier is lossless end-to-end."""
+    return s.astype("datetime64[us]").astype("int64")
 
 
 def _sessionize_fn(
@@ -98,21 +109,21 @@ def _sessionize_fn(
 ) -> Iterable[pd.DataFrame]:
     """Per-user session assembly: merge pending events with the batch,
     emit every session closed by a ≥gap silence, keep the trailing open
-    session in state. Timestamps ride as epoch-second doubles (state
-    schemas are Arrow-simple types)."""
+    session in state. Timestamps ride as int64 epoch-microseconds (see
+    _ts_us — exact, unlike a float-second carrier)."""
     (user_id,) = key
-    rows: list[tuple[float, float]] = []
+    rows: list[tuple[int, float]] = []
     if state.exists:
         ts_list, val_list = state.get
         rows.extend(zip(ts_list, val_list))
     for pdf in pdfs:
-        secs = pdf["ts"].astype("int64") / 1e9
-        rows.extend(zip(secs.tolist(), pdf["value"].tolist()))
+        rows.extend(zip(_ts_us(pdf["ts"]).tolist(), pdf["value"].tolist()))
     rows.sort()
 
-    sessions: list[list[tuple[float, float]]] = [[]]
+    gap_us = SESSION_GAP_S * 1_000_000
+    sessions: list[list[tuple[int, float]]] = [[]]
     for ts, val in rows:
-        if sessions[-1] and ts - sessions[-1][-1][0] > SESSION_GAP_S:
+        if sessions[-1] and ts - sessions[-1][-1][0] > gap_us:
             sessions.append([])
         sessions[-1].append((ts, val))
 
@@ -127,8 +138,8 @@ def _sessionize_fn(
     out = [
         {
             "user_id": user_id,
-            "session_start": pd.Timestamp(s[0][0], unit="s"),
-            "session_end": pd.Timestamp(s[-1][0], unit="s"),
+            "session_start": pd.Timestamp(s[0][0], unit="us"),
+            "session_end": pd.Timestamp(s[-1][0], unit="us"),
             "n_events": len(s),
             "sum_value": float(sum(v for _, v in s)),
         }
@@ -250,6 +261,7 @@ def start_trending_stream(
     k: int = 3,
     min_prev: int = 5,
     trigger_once: bool = True,
+    retain_windows: int | None = 2,
 ):
     """Streaming trending top-k: tumbling watermarked counts feed a
     per-window rate-of-change ranking as each window CLOSES (the
@@ -259,19 +271,30 @@ def start_trending_stream(
     the same micro-batch — the watermark crossing closes them together
     — so the foreachBatch ranking always sees complete windows. Growth
     needs the PREVIOUS window's counts, which closed in an earlier
-    batch: the closed-window counts land in a maintained parquet store
-    (``sink_dir/counts``) and each batch joins its windows against the
-    store's predecessors (cur.window_start == prev.window_end). Both
-    sink writes overwrite their own ``batch=<id>`` partition, so an
-    at-least-once replay rewrites identical rows — the same idempotence
-    contract as the CDC merges. State: the streaming agg holds only
+    batch: the closed-window counts are upserted into a maintained CDC
+    merge sink (``sink_dir/counts``, the same idempotent
+    partial-rewrite merge the search tables use, keyed on
+    (window_start, event_type)) and each batch joins its windows
+    against the store's predecessors (cur.window_start ==
+    prev.window_end). The store is BOUNDED, not append-forever: rows
+    whose window ended more than ``retain_windows`` windows before the
+    oldest window closing in this batch can never be a growth
+    predecessor again and are REMOVEd in the same merge (retain ≥ 2
+    provably keeps every predecessor any future closing window can
+    still need, because closed windows advance with the watermark), and
+    ``compact_sink`` rewrites any partition the repeated merges have
+    fragmented. An at-least-once replay re-merges identical rows —
+    the CDC idempotence contract. State: the streaming agg holds only
     in-flight windows (watermark-bounded); the store is
-    windows-x-types-sized, never raw events."""
+    retain-horizon-sized, never raw events."""
+    from .cdc import apply_cdc_batch, compact_sink, read_sink
+
     counts = windowed_event_counts(
         read_events_stream(spark, events_dir),
         window=window,
         watermark=watermark,
     )
+    key_cols = ["window_start", "event_type"]
 
     def handle(batch, batch_id: int) -> None:
         if batch.isEmpty():
@@ -279,10 +302,29 @@ def start_trending_stream(
         closed = batch.select(
             "window_start", "window_end", "event_type", "n_events"
         )
-        closed.write.mode("overwrite").parquet(
-            f"{sink_dir}/counts/batch={batch_id}"
-        )
-        store = spark.read.parquet(f"{sink_dir}/counts")
+        counts_dir = f"{sink_dir}/counts"
+        upserts = closed.withColumn("event_name", F.lit("MODIFY"))
+        events = upserts
+        if retain_windows is not None:
+            one = closed.limit(1).collect()[0]  # bounded: window length
+            win_len = one["window_end"] - one["window_start"]
+            mn = closed.agg(F.min("window_start")).collect()[0][0]
+            horizon = mn - (retain_windows - 1) * win_len
+            stale = read_sink(spark, counts_dir)
+            if stale is not None:
+                events = upserts.unionByName(
+                    stale.filter(F.col("window_end") < F.lit(horizon))
+                    .select(*closed.columns)
+                    .withColumn("event_name", F.lit("REMOVE"))
+                )
+
+        def recompute(keys):
+            return closed.join(keys, key_cols, "left_semi")
+
+        apply_cdc_batch(events, recompute, counts_dir, key_cols)
+        compact_sink(spark, counts_dir, max_files_per_partition=4)
+
+        store = read_sink(spark, counts_dir)
         prev = store.select(
             F.col("window_end").alias("prev_end"),
             F.col("event_type").alias("prev_type"),
@@ -336,13 +378,14 @@ def start_trending_stream(
 SEQ_OUT_SCHEMA = (
     "user_id bigint, start_ts timestamp, end_ts timestamp, n_stages int"
 )
-SEQ_STATE_SCHEMA = "stage_ts array<double>"
+SEQ_STATE_SCHEMA = "stage_ts array<long>"
 
 
 def detect_sequences(
     events: DataFrame,
     pattern: tuple[str, ...] = ("view", "click", "purchase"),
     within_s: float = 3600.0,
+    watermark: str = "30 minutes",
 ) -> DataFrame:
     """CEP-style ordered sequence detection (streaming funnel): emit a
     match whenever a user produces the pattern's stages in strictly
@@ -360,23 +403,41 @@ def detect_sequences(
     the next non-overlapping run. A cross-batch straggler older than an
     already-accepted stage cannot retroactively produce the earlier
     match — the documented arrival-order caveat every bounded-state CEP
-    engine shares; bound late arrivals upstream with a watermark
-    (dedup_events_stream's horizon contract)."""
+    engine shares; late arrivals are bounded by the ``watermark``
+    (dedup_events_stream's horizon contract).
+
+    State EXPIRES: the input is watermarked and the operator runs under
+    EventTimeTimeout, with each kept partial scheduled to time out once
+    the watermark passes ``first_stage + within_s`` — at that point no
+    admissible future event can extend the run (anything passing the
+    watermark filter would reset it), so the state is dropped. Without
+    this, a user who emits ``view`` and never converts holds state
+    forever: O(|pattern|) per user but unbounded in users, the one
+    leak that matters at 100 TB user cardinality. A partial already
+    expired relative to the current watermark is dropped eagerly in
+    the same pass."""
+    within_us = int(round(within_s * 1_000_000))
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed first_stage + within_s with no new
+            # events for this user: the partial can never complete
+            state.remove()
+            return
         (user_id,) = key
-        partial: list[float] = []
+        partial: list[int] = []
         if state.exists:
             (stage_ts,) = state.get
             partial = list(stage_ts)
-        rows: list[tuple[float, str]] = []
+        rows: list[tuple[int, str]] = []
         for pdf in pdfs:
-            secs = pdf["ts"].astype("int64") / 1e9
-            rows.extend(zip(secs.tolist(), pdf["event_type"].tolist()))
+            rows.extend(
+                zip(_ts_us(pdf["ts"]).tolist(), pdf["event_type"].tolist())
+            )
         rows.sort()
         out = []
         for ts, etype in rows:
-            if partial and ts - partial[0] > within_s:
+            if partial and ts - partial[0] > within_us:
                 partial = []
             k = len(partial)
             if etype == pattern[k] and (k == 0 or ts > partial[-1]):
@@ -385,23 +446,29 @@ def detect_sequences(
                     out.append(
                         {
                             "user_id": user_id,
-                            "start_ts": pd.Timestamp(partial[0], unit="s"),
-                            "end_ts": pd.Timestamp(partial[-1], unit="s"),
+                            "start_ts": pd.Timestamp(partial[0], unit="us"),
+                            "end_ts": pd.Timestamp(partial[-1], unit="us"),
                             "n_stages": len(pattern),
                         }
                     )
                     partial = []
+        wm_ms = state.getCurrentWatermarkMs()
+        if partial and (partial[0] + within_us) // 1000 <= wm_ms:
+            partial = []  # already expired — unreachable by any on-time event
         if partial:
             state.update((partial,))
+            state.setTimeoutTimestamp((partial[0] + within_us) // 1000 + 1)
         else:
             state.remove()
         if out:
             yield pd.DataFrame(out)
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.withWatermark("ts", watermark).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         fn,
         outputStructType=SEQ_OUT_SCHEMA,
         stateStructType=SEQ_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
