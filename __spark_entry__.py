@@ -46,15 +46,8 @@ _RECHECK_OVERRIDES: list[str] = [
     # the dependency (e.g. a shared helper imported at queries.py
     # module top rather than inside the query function).
     #
-    # r6: the char-LM scorer was restructured into the queries.py-local
-    # _char_lm_scores helper (per-(doc,bigram) pre-aggregation) — a
-    # dependency git-module tracking can't attribute.
-    "q_doc_char_lm_score",
-    # r6: eav.py's validation path is among the most-reworked modules
-    # since this query's last green (r02); the r5 verdict names it a
-    # priority recheck but oldest-green ordering alone leaves it just
-    # outside the 8 remaining window slots.
-    "q_vams_schema_validation",
+    # (r6 overrides q_doc_char_lm_score / q_vams_schema_validation
+    # pruned: both driver-green in CORRECTNESS_r06.)
 ]
 
 #: the driver's oracle gate checks this many leading queries() entries

@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "q_vams_link_jaccard",
     "q_numeric_corr",
     "q_embedding_semdedup",
+    # round-7: public perf records for the graph tier (degree-oriented
+    # triangle counting) and the suggest/autocomplete tier
+    "q_vams_triangles",
+    "q_vams_suggest",
 ]
 
 
