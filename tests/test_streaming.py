@@ -2031,3 +2031,53 @@ def test_trending_counts_store_prunes_and_compacts(spark, tmp_path):
             "2024-01-01T13:00:00",
         ]
     }
+
+
+def test_sessionize_emits_open_session_on_watermark_expiry(spark, tmp_path):
+    """Session-closing TTL: a user who goes silent has their trailing
+    open session EMITTED (as closed — the gap has provably passed once
+    the watermark crosses last_event + gap) and their state freed,
+    instead of both lingering forever. Matches the batch mirror's
+    treatment of trailing sessions."""
+    from visual_asset_management_system_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_parquet,
+        sessionize_stateful,
+    )
+
+    src = str(tmp_path / "sess_ttl_events")
+    sink = str(tmp_path / "sess_ttl_sink")
+    ckpt = str(tmp_path / "sess_ttl_ckpt")
+
+    def run(rows):
+        _write_events(src, rows)
+        q = run_stream_to_parquet(
+            sessionize_stateful(read_events_stream(spark, src)), sink, ckpt
+        )
+        q.awaitTermination(120)
+
+    # user 7 bursts then goes silent forever
+    run(
+        [
+            _ev(1, 7, "click", 1.0, "2024-01-01T10:00:00Z"),
+            _ev(2, 7, "click", 2.0, "2024-01-01T10:10:00Z"),
+        ]
+    )
+    assert spark.read.parquet(sink).count() == 0  # still open
+
+    # an unrelated user's event advances the watermark past
+    # 10:10 + 30min gap (wm = 14:00 - 30min = 13:30): user 7's session
+    # closes by timeout in the trailing no-data batch
+    run([_ev(3, 9, "click", 5.0, "2024-01-01T14:00:00Z")])
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 7 and r["n_events"] == 2 and r["sum_value"] == 3.0
+    assert r["session_start"].isoformat() == "2024-01-01T10:00:00"
+    assert r["session_end"].isoformat() == "2024-01-01T10:10:00"
+    # user 7's state is gone; only user 9's fresh open session remains
+    users = {
+        s["key"]["user_id"]
+        for s in spark.read.format("statestore").load(ckpt).collect()
+    }
+    assert users == {9}

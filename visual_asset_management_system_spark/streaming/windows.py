@@ -102,6 +102,16 @@ def _ts_us(s: pd.Series) -> pd.Series:
     return s.astype("datetime64[us]").astype("int64")
 
 
+def _session_row(user_id, s: list[tuple[int, float]]) -> dict:
+    return {
+        "user_id": user_id,
+        "session_start": pd.Timestamp(s[0][0], unit="us"),
+        "session_end": pd.Timestamp(s[-1][0], unit="us"),
+        "n_events": len(s),
+        "sum_value": float(sum(v for _, v in s)),
+    }
+
+
 def _sessionize_fn(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
@@ -109,9 +119,19 @@ def _sessionize_fn(
 ) -> Iterable[pd.DataFrame]:
     """Per-user session assembly: merge pending events with the batch,
     emit every session closed by a ≥gap silence, keep the trailing open
-    session in state. Timestamps ride as int64 epoch-microseconds (see
-    _ts_us — exact, unlike a float-second carrier)."""
+    session in state with an event-time timeout at its closing gap.
+    Timestamps ride as int64 epoch-microseconds (see _ts_us — exact,
+    unlike a float-second carrier)."""
     (user_id,) = key
+    if state.hasTimedOut:
+        # watermark passed last_event + gap with no new events: the
+        # open session is CLOSED by definition — emit it and free the
+        # state (no on-time event can ever extend it: anything passing
+        # the watermark filter now starts a new session)
+        ts_list, val_list = state.get
+        state.remove()
+        yield pd.DataFrame([_session_row(user_id, list(zip(ts_list, val_list)))])
+        return
     rows: list[tuple[int, float]] = []
     if state.exists:
         ts_list, val_list = state.get
@@ -132,39 +152,44 @@ def _sessionize_fn(
         state.update(
             ([t for t, _ in open_session], [v for _, v in open_session])
         )
+        expiry_ms = open_session[-1][0] // 1000 + SESSION_GAP_S * 1000 + 1
+        state.setTimeoutTimestamp(
+            max(expiry_ms, state.getCurrentWatermarkMs() + 1)
+        )
     else:
         state.remove()
 
-    out = [
-        {
-            "user_id": user_id,
-            "session_start": pd.Timestamp(s[0][0], unit="us"),
-            "session_end": pd.Timestamp(s[-1][0], unit="us"),
-            "n_events": len(s),
-            "sum_value": float(sum(v for _, v in s)),
-        }
-        for s in closed
-    ]
+    out = [_session_row(user_id, s) for s in closed]
     if out:
         yield pd.DataFrame(out)
 
 
-def sessionize_stateful(events: DataFrame) -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user sessionization with an explicit pending-session state.
 
-    State size is O(open sessions), independent of stream length. The
-    trailing open session is only emitted once a later event closes it —
-    deterministic without relying on wall-clock timeouts.
-    """
+    State size is O(open sessions WITHIN the gap horizon), independent
+    of stream length AND of silent-user cardinality: the input is
+    watermarked and the operator runs under EventTimeTimeout, so a
+    trailing open session is emitted as closed — and its state freed —
+    once the watermark passes ``last_event + gap``, exactly when a
+    later event could no longer extend it. Emission is still
+    event-time-deterministic (no wall clock): the same event stream
+    replays to the same sessions, matching the batch mirror
+    (q_events_sessionize) including trailing sessions. Rows later than
+    the watermark are dropped — the module's uniform late-data
+    contract."""
     return (
-        events.groupBy("user_id")
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_fn,
             outputStructType=SESSION_OUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
