@@ -2081,3 +2081,44 @@ def test_sessionize_emits_open_session_on_watermark_expiry(spark, tmp_path):
         for s in spark.read.format("statestore").load(ckpt).collect()
     }
     assert users == {9}
+
+
+@pytest.mark.parametrize("mode", ["rename", "manifest"])
+def test_cdc_merge_randomized_against_dict_model(spark, tmp_path, mode):
+    """Model-based check of the merge under both commit modes: a seeded
+    random sequence of INSERT/MODIFY/REMOVE batches over a small key
+    space must leave the sink exactly equal to a driver-side dict model
+    (last-writer-wins upsert, REMOVE deletes) after EVERY batch — the
+    partial-rewrite/manifest plumbing must be invisible at the
+    semantics level."""
+    import random
+
+    rng = random.Random(77 if mode == "rename" else 78)
+    sink = str(tmp_path / f"model_sink_{mode}")
+    recompute = _recompute_factory(spark)
+
+    model: dict[str, str] = {}
+    live = [f"asset_{i}" for i in range(20)]  # recompute knows these
+    seq = 0
+    for _ in range(6):
+        n = rng.randint(1, 5)
+        rows = []
+        for _ in range(n):
+            a = rng.choice(live)
+            ev = rng.choice(["INSERT", "MODIFY", "REMOVE"])
+            seq += 1
+            rows.append((seq, ev, "assets", "db_1", a, None, None))
+        batch = spark.createDataFrame(rows, _CDC_SCHEMA)
+        # model: REMOVE wins for a key if ANY event in the batch is a
+        # REMOVE (mirrors the engine: removes are anti-joined out of the
+        # recomputed rows); otherwise the key upserts to its current doc
+        by_key: dict[str, bool] = {}
+        for _, ev, _, _, a, _, _ in rows:
+            by_key[a] = by_key.get(a, False) or (ev == "REMOVE")
+        for a, removed in by_key.items():
+            if removed:
+                model.pop(a, None)
+            else:
+                model[a] = f"NAME {a.split('_')[1]}"
+        apply_cdc_batch(batch, recompute, sink, commit_mode=mode)
+        assert _sink_rows(spark, sink, mode) == model
