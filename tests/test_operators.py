@@ -1497,12 +1497,15 @@ def test_correlation_matrix_randomized_against_numpy(spark):
     assert again == got
 
 
-def test_correlation_matrix_pairwise_null_deletion(spark):
-    """NULLs in profiled columns: every per-pair moment (including n)
-    must be conditioned on BOTH columns being non-null — pairwise
-    deletion, pandas ``DataFrame.corr`` semantics. The earlier shape
-    used a single unconditional COUNT(*) against null-skipping sums,
-    silently shifting r on any frame with NULLs (round-6 ADVICE)."""
+def test_correlation_matrix_complete_case_null_deletion(spark):
+    """NULLs in profiled columns: complete-case (listwise) deletion —
+    rows with a NULL in ANY profiled column are excluded from every
+    moment including n, pandas ``df.dropna().corr()`` semantics. The
+    earlier shape used an unconditional COUNT(*) against null-skipping
+    sums, silently shifting r on any frame with NULLs (round-6
+    ADVICE); complete-case is the documented contract (chosen over
+    per-pair conditioning to keep the decimal aggregate count at
+    k(k+3)/2+1)."""
     import numpy as np
     import pandas as pd
 
@@ -1528,7 +1531,7 @@ def test_correlation_matrix_pairwise_null_deletion(spark):
         (r["col_x"], r["col_y"]): r["pearson_r"]
         for r in correlation_matrix(df.repartition(13), ["x", "y", "z"]).collect()
     }
-    ref = pdf.corr()  # pairwise complete observations
+    ref = pdf.dropna().corr()  # complete cases only
     assert len(got) == 3
     for a, b in [("x", "y"), ("x", "z"), ("y", "z")]:
         assert got[(a, b)] == pytest.approx(ref.loc[a, b], abs=2e-6), (a, b)
