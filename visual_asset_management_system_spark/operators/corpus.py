@@ -274,8 +274,10 @@ def dedup_lines(
     # anchor on the ORIGINAL id set, not the exploded lines relation:
     # a document whose text has no non-empty lines never enters
     # ``lines`` and would otherwise vanish from the output instead of
-    # yielding (id, '', 0) — every input doc gets exactly one row
-    ids = df.select(F.col(id_col).alias("id")).distinct()
+    # yielding (id, '', 0) — every input doc gets exactly one row.
+    # ``id_col`` is a document key (unique by contract), so no distinct
+    # shuffle is spent re-deduplicating it
+    ids = df.select(F.col(id_col).alias("id"))
     return (
         ids.join(n_lines, "id", "left")
         .join(rebuilt, "id", "left")

@@ -624,16 +624,18 @@ def percolate(
     # query's own distinct-term count, so a degenerate stored query
     # with term_a == term_b requires (and matches on) exactly one term
     # — a raw row-count == 2 test would let one doc term joining both
-    # registry rows fire a spurious alert
-    qterms = (
-        stored_queries.selectExpr("query_id", "mode", "term_a AS term")
-        .unionAll(stored_queries.selectExpr("query_id", "mode", "term_b AS term"))
-        .distinct()
+    # registry rows fire a spurious alert. Both the dedup and the count
+    # are PER-ROW projections (array_distinct over the two terms), not
+    # a distinct+groupBy+self-join — the registry subplan stays
+    # shuffle-free before its broadcast
+    qterms = stored_queries.select(
+        "query_id",
+        "mode",
+        F.size(F.array_distinct(F.array("term_a", "term_b"))).alias(
+            "n_required"
+        ),
+        F.explode(F.array_distinct(F.array("term_a", "term_b"))).alias("term"),
     )
-    nreq = qterms.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_required")
-    )
-    qterms = qterms.join(nreq, "query_id")
     doc_terms = docs.select(
         *id_cols,
         F.explode(F.array_distinct(tokenize(text))).alias("term"),
