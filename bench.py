@@ -96,6 +96,33 @@ def _calibrate() -> float:
     return round(time.time() - t0, 3)
 
 
+def _calibrate_mc(n_threads: int = 8) -> float:
+    """Parallel-throughput reference: the same element-wise loop run
+    concurrently on ``n_threads`` (numpy releases the GIL, so Python
+    threads genuinely occupy cores). Round 7 observed UNTOUCHED heavy
+    queries re-timing 25-45% slower at an EQUAL single-core calib —
+    shared-CPU neighbors can halve many-core throughput while leaving
+    one core's speed intact, and the parallel stages of the heavy
+    queries are exactly what that hits. Normalize multi-core-bound
+    numbers by this, single-stage numbers by calib_sec."""
+    import threading
+
+    import numpy as np
+
+    def work():
+        a = np.arange(500_000, dtype=np.float64) / 1e6
+        for _ in range(60):
+            a = np.tanh(a * 1.0000001 + 0.1) % 0.7
+
+    threads = [threading.Thread(target=work) for _ in range(n_threads)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     # Every step is fenced: one red query must cost one row of the
     # artifact, never the whole round's performance signal — and a
@@ -116,6 +143,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["_calibrate"] = f"{type(exc).__name__}: {exc}"[:500]
         calib = 0.0
+    try:
+        calib_mc = _calibrate_mc()
+    except Exception as exc:  # noqa: BLE001
+        errors["_calibrate_mc"] = f"{type(exc).__name__}: {exc}"[:500]
+        calib_mc = 0.0
     try:
         spark = get_spark(app_name="spark-vams-bench")
         spark.sparkContext.setLogLevel("ERROR")
@@ -222,6 +254,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calib_sec": calib,
+        "calib_mc_sec": calib_mc,
     }
     if errors:
         out["errors"] = errors
