@@ -221,76 +221,88 @@ def dedup_lines(
     boilerplate (nav bars, cookie banners, license headers) and is
     removed from every document; documents are reassembled in original
     line order. Returns (id, text, n_removed) — text with surviving
-    lines re-joined by ``delim``.
+    lines re-joined by ``delim``; every input doc yields exactly one
+    row (empty/whitespace-only docs come back as (id, '', 0),
+    all-boilerplate docs as (id, '', n_lines)).
 
     Distinct from :func:`repeated_ngrams` (which REPORTS repeated
     token spans): this one rewrites the corpus, and its unit is the
     line, the natural boilerplate boundary.
 
-    Scale shape: one posexplode (lines with positions), a per-line-key
-    distinct-doc count that shuffles (line_hash, id) pairs deduplicated
-    map-side, a left-anti equi-join of instances against the
-    boilerplate keys (both sides partitioned by line hash — no
-    broadcast needed, the boilerplate set is corpus-sized at 100 TB),
-    and a per-document reassembly groupBy whose reducer state is
-    bounded by single-document size. Hashing the line (xxhash64) keeps
-    the shuffle key fixed-width instead of shipping full line text."""
+    Scale shape: a single posexplode_outer carries (pos, line, per-doc
+    line total) — the _outer keeps line-less docs as one null-line
+    row, so no separate id-anchor branch re-reads ``df``; the per-doc
+    total rides along as a column, so no separate counting branch does
+    either. That leaves exactly TWO consumers of the exploded relation
+    (the boilerplate-key aggregate and the instance join) — CTE
+    semantics: a raw-scan upstream is simply read twice with pruned
+    columns, while a caller whose upstream is computed checkpoints it
+    first (q_corpus_build_v2 does) so both branches read the
+    materialization; when the upstream carries an exchange, AQE
+    additionally dedupes it to a ReusedExchange. No explicit
+    repartition: ENSURE_REQUIREMENTS co-partitions the join on
+    line_key only when the boilerplate side is too big to broadcast.
+    Boilerplate is marked with a LEFT join rather than anti (null
+    line_keys never match — SQL join semantics keep the placeholder
+    rows flowing), and removal happens inside the reassembly aggregate
+    via null-skipping collect_list, so docs whose every line was
+    boilerplate still produce their output row. Hashing the line
+    (xxhash64) keeps the shuffle key fixed-width instead of shipping
+    full line text; reducer state stays bounded by single-document
+    size."""
     from .partitioning import ensure_min_parallelism
 
-    lines = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.filter(
-                # explicit lambda: passing F.trim directly makes
-                # transform bind its element INDEX as trim's second
-                # (trim-characters) parameter -> nothing is trimmed
-                F.transform(F.split(F.col(text_col), delim), lambda s: F.trim(s)),
-                lambda s: s != "",
-            )
-        ).alias("pos", "line"),
-    ).withColumn("line_key", F.xxhash64("line"))
+    line_arr = F.filter(
+        # explicit lambda: passing F.trim directly makes
+        # transform bind its element INDEX as trim's second
+        # (trim-characters) parameter -> nothing is trimmed
+        F.transform(F.split(F.col(text_col), delim), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    lines = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            # coalesce: a NULL text yields a NULL split/size, but the
+            # doc must still report 0 lines, not NULL
+            F.coalesce(F.size(line_arr), F.lit(0))
+            .cast("bigint")
+            .alias("_n_total"),
+            F.posexplode_outer(line_arr).alias("pos", "line"),
+        )
+        .withColumn("line_key", F.xxhash64("line"))
+    )
     boiler = (
-        lines.select("line_key", "id")
+        lines.filter(F.col("line").isNotNull())
+        .select("line_key", "id")
         .distinct()
         .groupBy("line_key")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("line_key")
+        .select("line_key", F.lit(True).alias("_boiler"))
     )
-    kept = lines.join(boiler, "line_key", "left_anti")
-    n_lines = lines.groupBy("id").agg(F.count(F.lit(1)).alias("_n_total"))
-    rebuilt = kept.groupBy("id").agg(
+    marked = lines.join(boiler, "line_key", "left")
+    keep = F.col("_boiler").isNull() & F.col("line").isNotNull()
+    return marked.groupBy("id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("pos", "line"))
+                    # when() yields NULL for dropped lines and
+                    # collect_list skips null elements
+                    F.collect_list(
+                        F.when(keep, F.struct("pos", "line"))
+                    )
                 ),
                 lambda s: s["line"],
             ),
             delim,
-        ).alias("text"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
-    # anchor on the ORIGINAL id set, not the exploded lines relation:
-    # a document whose text has no non-empty lines never enters
-    # ``lines`` and would otherwise vanish from the output instead of
-    # yielding (id, '', 0) — every input doc gets exactly one row.
-    # ``id_col`` is a document key (unique by contract), so no distinct
-    # shuffle is spent re-deduplicating it
-    ids = df.select(F.col(id_col).alias("id"))
-    return (
-        ids.join(n_lines, "id", "left")
-        .join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("text", F.lit("")).alias(text_col),
-            (
-                F.coalesce("_n_total", F.lit(0))
-                - F.coalesce("_n_kept", F.lit(0))
-            )
-            .cast("bigint")
-            .alias("n_removed"),
-        )
+        ).alias("_text"),
+        F.count(F.when(keep, F.lit(1))).alias("_n_kept"),
+        F.first("_n_total").alias("_nt"),
+    ).select(
+        F.col("id").alias(id_col),
+        F.col("_text").alias(text_col),
+        (F.col("_nt") - F.col("_n_kept")).cast("bigint").alias("n_removed"),
     )
 
 

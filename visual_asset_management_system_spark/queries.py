@@ -8248,8 +8248,11 @@ def q_corpus_build_v2(spark, sf_dir):
         )
         .select("doc_id", "text")
     )
+    # checkpoint the staging point: dedup_lines fans out to two
+    # consumers, and staged carries the (HOF-heavy) filter stack —
+    # materialize it once instead of evaluating it per branch
     rewritten = (
-        dedup_lines(staged, min_docs=2)
+        dedup_lines(maybe_checkpoint(staged), min_docs=2)
         .filter(F.col("text") != "")
         .select("doc_id", "text")
     )
