@@ -150,14 +150,16 @@ def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
     reproducible in any engine). Returns array<string> (distinct,
     sorted)."""
     empty = F.array().cast("array<string>")
-    toks = tokens(F.lower(text))
-    n = F.size(toks)
-    # guard every sequence() endpoint: sequence(1, 0) counts DOWN
+    # single-pass lookahead regex builds the k-token windows (see
+    # word_shingles for the mid-token-safety argument), md5 mapped
+    # over the captured strings; fewer-than-k-token docs yield no
+    # matches, so no explicit sequence() endpoint guard is needed
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    pat = r"(?=((?:\S+ ){" + str(k - 1) + r"}\S+))\S+ ?"
     grams = F.when(
-        n >= k,
+        text.isNotNull(),
         F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            F.regexp_extract_all(norm, F.lit(pat), 1), lambda g: F.md5(g)
         ),
     ).otherwise(empty)
     n_grams = F.size(grams)
@@ -216,17 +218,20 @@ def repetition_score(text: Column, n: int = 3) -> Column:
     with fewer than n tokens score 0. Pure array expressions — shares
     :func:`word_shingles`-style slicing but keeps DUPLICATES (the
     whole point is counting them), so it cannot reuse the
-    dedup shingle helper, which distincts."""
+    dedup shingle helper, which distincts. Gram construction is the
+    same single-pass lookahead regex as the shingle helper (one JVM
+    regex pass instead of an interpreted slice-per-index transform);
+    duplicates are preserved because no array_distinct is applied
+    before counting."""
     from pyspark.sql import functions as F  # local alias for clarity
 
-    toks = tokens(F.lower(text))
-    m = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(m - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    pat = r"(?=((?:\S+ ){" + str(n - 1) + r"}\S+))\S+ ?"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     return F.when(
-        m >= n, F.round((total - distinct) / total, 6)
+        total >= 1, F.round((total - distinct) / total, 6)
     ).otherwise(F.lit(0.0))
 
 
