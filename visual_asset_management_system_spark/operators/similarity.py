@@ -27,7 +27,17 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<numeric> columns, JVM-side."""
+    """Dot product of two array<numeric> columns, JVM-side.
+
+    Deliberately the zip_with/aggregate HOF form: array lambdas are
+    interpreted, but they walk the array once with cheap closures. An
+    unrolled element_at chain (measured, dim=64) is several times
+    SLOWER — the giant expression breaks whole-stage codegen and pays
+    a boxed bounds-checked lookup per term — so don't "optimize" this
+    into element_at terms. The cheap win lives one level up: norms
+    are per-ROW quantities, so pair joins must precompute them before
+    the join (see pairwise_cosine_within_buckets / knn_join) instead
+    of letting cosine() recompute both norms per PAIR."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -43,6 +53,18 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _py_l2_norm(vec: list[float]) -> float:
+    """Driver-side l2 norm of a literal vector, accumulating in the
+    same left-to-right IEEE-double order as :func:`l2_norm` — the
+    result is bit-identical to evaluating the HOF on the literal."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def cosine_topk(
@@ -62,10 +84,15 @@ def cosine_topk(
     """
     q = F.array(*[F.lit(float(x)) for x in query_vector])
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # the query norm is a constant — fold it on the driver instead of
+    # re-evaluating an aggregate over the literal array per row
+    q_norm = F.lit(_py_l2_norm(query_vector))
     return (
         embeddings.select(
             F.col(id_col),
-            F.round(cosine(vec_d, q), round_digits).alias("cosine_sim"),
+            F.round(
+                dot(vec_d, q) / (l2_norm(vec_d) * q_norm), round_digits
+            ).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -300,6 +327,11 @@ def pairwise_cosine_within_buckets(
             .select("bucket")
         )
         b = b.join(ok_buckets, ["bucket"], "left_semi")
+    # norms are per-ROW: compute once before the self-join so each of
+    # the O(bucket²) pairs does one dot instead of one dot + two norm
+    # walks; dot/(na*nb) is the same expression as cosine(), so the
+    # float result is bit-identical
+    b = b.withColumn("nrm", l2_norm(F.col("v")))
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(
@@ -309,7 +341,11 @@ def pairwise_cosine_within_buckets(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("l.v"), F.col("r.v"))
+                / (F.col("l.nrm") * F.col("r.nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= min_cosine)
     )
@@ -343,11 +379,11 @@ def knn_join(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = ensure_min_parallelism(corpus).select(
         F.col(corpus_id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
@@ -356,9 +392,12 @@ def knn_join(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("cv"), F.col("qv")), round_digits).alias(
-                "cosine_sim"
-            ),
+            # per-row norms precomputed (qn broadcast with the query
+            # set, cn before the join) — one dot per pair
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+                round_digits,
+            ).alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
