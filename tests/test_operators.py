@@ -1535,3 +1535,100 @@ def test_correlation_matrix_complete_case_null_deletion(spark):
     assert len(got) == 3
     for a, b in [("x", "y"), ("x", "z"), ("y", "z")]:
         assert got[(a, b)] == pytest.approx(ref.loc[a, b], abs=2e-6), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# randomized model test: regex n-gram construction (round 7)
+# ---------------------------------------------------------------------------
+
+def test_regex_ngram_construction_matches_model(spark):
+    """The lookahead-regex gram builders (word_shingles,
+    repetition_score, winnow_fingerprints) against a plain-Python
+    reference over a seeded adversarial corpus — repeated tokens,
+    mixed whitespace runs, boundary token counts, empties. Pins the
+    mid-token-safety argument of the regex form with data the fixture
+    corpus doesn't contain. ASCII-only alphabet: Java and Python agree
+    on lower() there, so any diff is a gram-construction bug, not a
+    locale artifact."""
+    import hashlib
+    import math
+    import random
+    import re as _re
+
+    from visual_asset_management_system_spark.operators.dedup import (
+        word_shingles,
+    )
+    from visual_asset_management_system_spark.operators.text import (
+        repetition_score,
+        winnow_fingerprints,
+    )
+
+    rnd = random.Random(7)
+    words = ["a", "bb", "ccc", "Tok", "tok", "x1", "....", "-", "e"]
+    ws = [" ", "  ", "\t", "\n", " \t ", "\n\n ", "\x0b", "\r\n"]
+    docs = ["", " ", "\t\n", "solo", "two words", "a a a a a a"]
+    for _ in range(200):
+        n_tok = rnd.randrange(0, 12)
+        parts = []
+        for i in range(n_tok):
+            if i:
+                parts.append(rnd.choice(ws))
+            parts.append(rnd.choice(words))
+        if rnd.random() < 0.3:
+            parts.insert(0, rnd.choice(ws))
+        if rnd.random() < 0.3:
+            parts.append(rnd.choice(ws))
+        docs.append("".join(parts))
+
+    def toks(text):
+        # mirror the engine: trim strips SPACE only, split on Java \s+
+        t = text.strip(" ").lower()
+        return [w for w in _re.split(r"[ \t\n\x0b\f\r]+", t) if w]
+
+    def grams(text, n):
+        tk = toks(text)
+        return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+    def model_shingles(text, n=3):
+        seen, out = set(), []
+        for g in grams(text, n):
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    def model_repetition(text, n=3):
+        gs = grams(text, n)
+        if not gs:
+            return 0.0
+        x = (len(gs) - len(set(gs))) / len(gs)
+        return math.floor(x * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+
+    def model_winnow(text, k=5, window=4):
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams(text, k)]
+        if len(hs) < window:
+            return []
+        mins = {
+            min(hs[i : i + window]) for i in range(len(hs) - window + 1)
+        }
+        return sorted(mins)
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["i", "text"]
+    )
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            word_shingles(F.col("text")).alias("sh"),
+            repetition_score(F.col("text")).alias("rep"),
+            winnow_fingerprints(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        assert list(got[i]["sh"]) == model_shingles(d), (i, repr(d))
+        assert got[i]["rep"] == pytest.approx(model_repetition(d), abs=0), (
+            i,
+            repr(d),
+        )
+        assert list(got[i]["fp"]) == model_winnow(d), (i, repr(d))
