@@ -311,13 +311,23 @@ def pairwise_cosine_within_buckets(
     grade and belong to the cheaper exact-dedup pass. Costs one extra
     aggregation on the same ``bucket`` key the pair join shuffles on.
     """
+    from .checkpointing import maybe_checkpoint
     from .partitioning import ensure_min_parallelism
 
     planes = _hyperplanes(dim, n_planes, seed)
-    b = ensure_min_parallelism(embeddings).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    # the bucketed+normed relation fans out to three consumers (the
+    # bucket-size guard, both self-join sides — and semdedup stacks
+    # more on top); eager localCheckpoint materializes the n_planes
+    # dot products and the norm ONCE per vector instead of per
+    # consumer — the same staging discipline as the minhash signature
+    # checkpoint in dedup.minhash_lsh_candidates
+    b = maybe_checkpoint(
+        ensure_min_parallelism(embeddings).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
     )
     if max_bucket_size is not None:
         ok_buckets = (
@@ -327,11 +337,10 @@ def pairwise_cosine_within_buckets(
             .select("bucket")
         )
         b = b.join(ok_buckets, ["bucket"], "left_semi")
-    # norms are per-ROW: compute once before the self-join so each of
-    # the O(bucket²) pairs does one dot instead of one dot + two norm
-    # walks; dot/(na*nb) is the same expression as cosine(), so the
-    # float result is bit-identical
-    b = b.withColumn("nrm", l2_norm(F.col("v")))
+    # norms are per-ROW (computed once in the checkpointed relation
+    # above) so each of the O(bucket²) pairs does one dot instead of
+    # one dot + two norm walks; dot/(na*nb) is the same expression as
+    # cosine(), so the float result is bit-identical
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(

@@ -4888,27 +4888,31 @@ def q21_waiting_supplier(spark, sf_dir):
     re-scans of lineitem with a single map-combinable groupBy:
     EXISTS other-supplier      <=> n_supp >= 2
     NOT EXISTS other-R-supplier <=> n_r_supp = 1   (l1 itself is R).
-    The oracle keeps the correlated form, so the differential crosses
-    two genuinely different plan shapes."""
+    ONE lineitem scan total: when n_r_supp = 1 the waiting supplier IS
+    the single distinct R-supplier, so the same aggregate carries its
+    key (min over the R-conditioned suppkey) and the order's R-line
+    count — no join back to the R rows. The subsequent orders join
+    runs on the per-ORDER relation (already one row per orderkey),
+    not the line-level one. The oracle keeps the correlated form, so
+    the differential crosses two genuinely different plan shapes."""
     t = tables(spark, sf_dir)
     li = t["lineitem"]
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+    is_r = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+        F.countDistinct(F.when(is_r, F.col("l_suppkey"))).alias("n_r_supp"),
+        F.min(F.when(is_r, F.col("l_suppkey"))).alias("r_suppkey"),
+        F.count(F.when(is_r, F.lit(1))).alias("n_r_lines"),
     )
     return (
-        li.filter(F.col("l_returnflag") == "R")
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
         .join(
             t["orders"].filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("r_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_r_lines").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
