@@ -678,7 +678,14 @@ def more_like_this(
     vocabulary-bounded and broadcast; the seed term set (``top_terms``
     rows) broadcasts into the scoring probe. See q_doc_more_like_this
     (queries.py) for the differential oracle."""
-    tf = (
+    from .checkpointing import maybe_checkpoint
+
+    # tf fans out to three consumers (document frequencies, the seed
+    # term ranking, the scoring probe) — materialize the one tokenize+
+    # count pass instead of re-exploding the corpus per consumer. At
+    # scale this relation is the maintained postings state the BM25
+    # tier already persists; the checkpoint is its standalone stand-in.
+    tf = maybe_checkpoint(
         docs.select(id_col, F.explode(tokenize(text)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
