@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     # triangle counting) and the suggest/autocomplete tier
     "q_vams_triangles",
     "q_vams_suggest",
+    # round-7: exact substring dedup (Lee et al. 2022 rewrite form)
+    "q_doc_substring_dedup",
 ]
 
 

@@ -1632,3 +1632,33 @@ def test_regex_ngram_construction_matches_model(spark):
             repr(d),
         )
         assert list(got[i]["fp"]) == model_winnow(d), (i, repr(d))
+
+
+def test_dedup_substrings_planted(spark):
+    """Planted-case contract of the Lee-et-al substring dedup: shared
+    16-token spans cut from every occurrence (cross-doc and self-
+    repeat), shorter/unique docs untouched, empty docs pass through."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        dedup_substrings,
+    )
+
+    span = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (1, f"alpha {span} beta"),
+        (2, f"gamma delta {span}"),
+        (3, "short unique text"),
+        (4, f"{span} {span}"),  # self-repeat: every window duplicated
+        (5, ""),
+        (6, " ".join(f"u{i}" for i in range(17))),  # unique, >= min_len
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup_substrings(df).collect()
+    }
+    assert out[1] == ("alpha beta", 16)
+    assert out[2] == ("gamma delta", 16)
+    assert out[3] == ("short unique text", 0)
+    assert out[4] == ("", 32)
+    assert out[5] == ("", 0)
+    assert out[6][1] == 0

@@ -306,6 +306,104 @@ def dedup_lines(
     )
 
 
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 16,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") at token granularity:
+    every token position covered by a ``min_len``-token window whose
+    exact (lowercased, whitespace-normalized) occurrence count across
+    the corpus is >= ``min_count`` is REMOVED from every document.
+    This is the REWRITE form of :func:`repeated_ngrams` (which only
+    reports spans) and the token-unit sibling of :func:`dedup_lines`
+    (line unit). The aggressive all-occurrences cut mirrors the
+    released deduplicate-text-datasets behavior; within-document
+    repetition counts toward ``min_count`` exactly like cross-document
+    repetition (a doc repeating its own 16-token span twice is cut).
+
+    Returns one row per input doc: (id_col, text_col, n_removed) —
+    kept tokens re-joined by single spaces (token-level surgery cannot
+    preserve original whitespace), n_removed = number of removed token
+    positions; docs with no tokens or no duplicated spans pass through
+    with n_removed = 0.
+
+    Scale shape: the paper's suffix array is replaced by the
+    equivalent fixed-length window join — a suffix array over 100 TB
+    is a single global structure, while L-gram instances are an
+    embarrassingly shuffleable relation. One pass builds each doc's
+    token and (position-aligned, duplicate-preserving) gram arrays —
+    the same single-regex gram builder as word_shingles, checkpointed
+    because it feeds both the instance relation and the final rebuild.
+    Instances shuffle once on the 8-byte gram hash for the
+    map-combinable frequency count; duplicated instances semi-join on
+    the same key (AQE skew-join splits boilerplate-grade hot keys);
+    per-doc start lists aggregate with state bounded by document
+    length; coverage expansion, token filtering, and reassembly are
+    per-row array expressions (O(tokens x covered) per doc, bounded by
+    document size like gopher's line scan, never corpus size). Hash
+    note: xxhash64 collisions could spuriously mark a gram duplicated;
+    at 64 bits this is negligible and the differential oracle (which
+    joins on gram STRINGS) would surface it."""
+    from .checkpointing import maybe_checkpoint
+    from .partitioning import ensure_min_parallelism
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    pat = r"(?=((?:\S+ ){" + str(min_len - 1) + r"}\S+))\S+ ?"
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    base = maybe_checkpoint(
+        ensure_min_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            toks.alias("tk"),
+            F.when(F.col(text_col).isNotNull(),
+                   F.regexp_extract_all(norm, F.lit(pat), 1))
+            .otherwise(F.array().cast("array<string>"))
+            .alias("grams"),
+        )
+    )
+    inst = base.select(
+        "id", F.posexplode("grams").alias("pos", "g")
+    ).select("id", "pos", F.xxhash64("g").alias("k"))
+    dup_keys = (
+        inst.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("k")
+    )
+    dup_starts = (
+        inst.join(dup_keys, "k", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = base.join(dup_starts, "id", "left")
+    empty_int = F.array().cast("array<int>")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("starts"), empty_int),
+                # gram starts satisfy s + min_len - 1 <= n - 1 by
+                # construction, so no end clamp is needed
+                lambda s: F.sequence(s, s + (min_len - 1)),
+            )
+        )
+    )
+    n = F.size(F.col("tk"))
+    # sequence(0, -1) DESCENDS — guard the empty-doc endpoint
+    all_pos = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(empty_int)
+    kept_idx = F.filter(all_pos, lambda p: ~F.array_contains(covered, p))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(
+            " ",
+            F.transform(kept_idx, lambda p: F.element_at(F.col("tk"), p + 1)),
+        ).alias(text_col),
+        F.size(covered).cast("bigint").alias("n_removed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # incremental (streaming) corpus construction
 # --------------------------------------------------------------------------

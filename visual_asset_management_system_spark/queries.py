@@ -3983,6 +3983,81 @@ def q_doc_repeated_ngrams(spark, sf_dir):
     )
 
 
+@query(
+    "q_doc_substring_dedup",
+    """
+    WITH toks0 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, tk FROM toks0
+        UNION ALL
+        SELECT doc_id + 1000000, list_slice(tk, 1, GREATEST(len(tk) - 5, 1))
+        FROM toks0
+    ), grams AS (
+        SELECT doc_id,
+               unnest(range(0, GREATEST(len(tk) - 15, 0))) AS pos,
+               unnest(list_transform(range(0, GREATEST(len(tk) - 15, 0)),
+                      i -> array_to_string(tk[i + 1:i + 16], ' '))) AS g
+        FROM toks
+    ), dupg AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+    ), dup AS (
+        SELECT doc_id, pos FROM grams JOIN dupg USING (g)
+    ), covered AS (
+        SELECT DISTINCT doc_id, unnest(range(pos, pos + 16)) AS p FROM dup
+    ), positions AS (
+        SELECT doc_id, tk, unnest(range(0, len(tk))) AS p FROM toks
+    ), kept AS (
+        SELECT positions.doc_id,
+               string_agg(tk[positions.p + 1], ' ' ORDER BY positions.p)
+                 AS text_kept
+        FROM positions LEFT JOIN covered
+          ON positions.doc_id = covered.doc_id AND positions.p = covered.p
+        WHERE covered.p IS NULL
+        GROUP BY positions.doc_id
+    ), nrem AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr
+        FROM covered GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(k.text_kept, '') AS text,
+           CAST(COALESCE(n.nr, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN kept k USING (doc_id) LEFT JOIN nrem n USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q_doc_substring_dedup(spark, sf_dir):
+    """Exact substring DEDUP — the rewrite form of suffix-array
+    substring deduplication (Lee et al. 2022; operators/corpus.py
+    dedup_substrings): every token position covered by a 16-token
+    window occurring >= 2 times across the corpus is removed from
+    every document. Corpus = documents ∪ a mutated copy (last 5 tokens
+    dropped, id + 1,000,000), so every >= 21-token document provably
+    shares long spans with its mutation and both copies come back cut;
+    shorter documents pass through untouched. Complements
+    q_doc_repeated_ngrams (reports spans, no rewrite) and
+    q_doc_line_dedup (line unit)."""
+    from .operators.corpus import dedup_substrings
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda tok: tok != ""
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    return dedup_substrings(
+        docs.unionByName(mutated), min_len=16, min_count=2
+    ).orderBy("doc_id")
+
+
 def _pii_oracle() -> str:
     """PII-audit oracle built from the SAME pattern strings the engine
     applies (operators/pii.py PII_PATTERNS) — byte-identical regexes in
