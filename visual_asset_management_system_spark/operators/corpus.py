@@ -354,18 +354,21 @@ def dedup_substrings(
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     pat = r"(?=((?:\S+ ){" + str(min_len - 1) + r"}\S+))\S+ ?"
     toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    # checkpoint TOKENS only (~1x corpus bytes): the gram array would
+    # multiply the materialization by min_len, and only the instance
+    # branch needs it — rebuilt there from the re-joined tokens, which
+    # ARE the normalized text the gram regex is defined over
     base = maybe_checkpoint(
         ensure_min_parallelism(df).select(
             F.col(id_col).alias("id"),
-            toks.alias("tk"),
-            F.when(F.col(text_col).isNotNull(),
-                   F.regexp_extract_all(norm, F.lit(pat), 1))
-            .otherwise(F.array().cast("array<string>"))
-            .alias("grams"),
+            F.coalesce(toks, F.array().cast("array<string>")).alias("tk"),
         )
     )
+    grams = F.regexp_extract_all(
+        F.array_join(F.col("tk"), " "), F.lit(pat), 1
+    )
     inst = base.select(
-        "id", F.posexplode("grams").alias("pos", "g")
+        "id", F.posexplode(grams).alias("pos", "g")
     ).select("id", "pos", F.xxhash64("g").alias("k"))
     dup_keys = (
         inst.groupBy("k")
