@@ -288,6 +288,35 @@ def ivf_topk(
     return cosine_topk(candidates, query_vector, k, id_col, vec_col)
 
 
+def _bucketed_norms(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    seed: int,
+) -> DataFrame:
+    """Checkpointed (id, v, bucket, nrm) staging relation. The
+    bucketed+normed relation fans out to three consumers inside the
+    pair join (bucket-size guard, both self-join sides — and semdedup
+    stacks its decision anchor on top); eager localCheckpoint
+    materializes the n_planes bucket dots and the norm ONCE per
+    vector instead of per consumer — the same staging discipline as
+    the minhash signature checkpoint in dedup.minhash_lsh_candidates."""
+    from .checkpointing import maybe_checkpoint
+    from .partitioning import ensure_min_parallelism
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return maybe_checkpoint(
+        ensure_min_parallelism(embeddings).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
+
+
 def pairwise_cosine_within_buckets(
     embeddings: DataFrame,
     dim: int,
@@ -297,6 +326,7 @@ def pairwise_cosine_within_buckets(
     min_cosine: float = 0.8,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: exact cosine within LSH buckets only —
     the embedding-cosine variant of MinHash-LSH dedup. ``dim`` is the
@@ -311,23 +341,8 @@ def pairwise_cosine_within_buckets(
     grade and belong to the cheaper exact-dedup pass. Costs one extra
     aggregation on the same ``bucket`` key the pair join shuffles on.
     """
-    from .checkpointing import maybe_checkpoint
-    from .partitioning import ensure_min_parallelism
-
-    planes = _hyperplanes(dim, n_planes, seed)
-    # the bucketed+normed relation fans out to three consumers (the
-    # bucket-size guard, both self-join sides — and semdedup stacks
-    # more on top); eager localCheckpoint materializes the n_planes
-    # dot products and the norm ONCE per vector instead of per
-    # consumer — the same staging discipline as the minhash signature
-    # checkpoint in dedup.minhash_lsh_candidates
-    b = maybe_checkpoint(
-        ensure_min_parallelism(embeddings).select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-            l2_norm(F.col(vec_col)).alias("nrm"),
-        )
+    b = _base if _base is not None else _bucketed_norms(
+        embeddings, dim, id_col, vec_col, n_planes, seed
     )
     if max_bucket_size is not None:
         ok_buckets = (
@@ -440,14 +455,11 @@ def semdedup(
     Costs one extra bucket-assignment map stage over the pair join
     (the signature is recomputed, not carried through the pair
     aggregate)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    b = embeddings.select(
-        F.col(id_col),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    base = _bucketed_norms(embeddings, dim, id_col, vec_col, n_planes, seed)
+    b = base.select(F.col("id").alias(id_col), "bucket")
     pairs = pairwise_cosine_within_buckets(
         embeddings, dim, id_col, vec_col, n_planes, min_cosine, seed,
-        max_bucket_size,
+        max_bucket_size, _base=base,
     )
     dropped = (
         pairs.select(F.col("id_b").alias(id_col))
