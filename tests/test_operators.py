@@ -1662,3 +1662,60 @@ def test_dedup_substrings_planted(spark):
     assert out[4] == ("", 32)
     assert out[5] == ("", 0)
     assert out[6][1] == 0
+
+
+def test_dedup_substrings_matches_model(spark):
+    """Randomized corpus (seeded; small vocabulary so duplicated spans
+    arise by chance, plus planted shared spans) against a plain-Python
+    reference of the covered-position semantics."""
+    import random
+    import re as _re
+
+    from visual_asset_management_system_spark.operators.corpus import (
+        dedup_substrings,
+    )
+
+    L, MIN_COUNT = 4, 2  # small window so random collisions occur
+    rnd = random.Random(11)
+    vocab = ["a", "b", "c"]
+    docs = []
+    shared = "a b c a b c a b"
+    for i in range(60):
+        n = rnd.randrange(0, 14)
+        toks = [rnd.choice(vocab) for _ in range(n)]
+        txt = " ".join(toks)
+        if rnd.random() < 0.3:
+            txt = (txt + " " + shared).strip()
+        docs.append((i, txt))
+    docs += [(100, ""), (101, "   "), (102, "x y z w")]
+
+    def toks(text):
+        t = text.strip(" ").lower()
+        return [w for w in _re.split(r"[ \t\n\x0b\f\r]+", t) if w]
+
+    def model():
+        tk = {i: toks(t) for i, t in docs}
+        freq = {}
+        for i, ts in tk.items():
+            for p in range(len(ts) - L + 1):
+                g = " ".join(ts[p : p + L])
+                freq[g] = freq.get(g, 0) + 1
+        out = {}
+        for i, ts in tk.items():
+            covered = set()
+            for p in range(len(ts) - L + 1):
+                if freq[" ".join(ts[p : p + L])] >= MIN_COUNT:
+                    covered.update(range(p, p + L))
+            kept = [ts[p] for p in range(len(ts)) if p not in covered]
+            out[i] = (" ".join(kept), len(covered))
+        return out
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup_substrings(df, min_len=L, min_count=MIN_COUNT).collect()
+    }
+    want = model()
+    assert set(got) == set(want)
+    for i in sorted(want):
+        assert got[i] == want[i], (i, got[i], want[i])
