@@ -294,17 +294,34 @@ def ngram_jaccard_pairs(
             F.col(id_col).alias("id"),
             word_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
+        # shingle arrays are DISTINCT by construction, so the union
+        # size is |a| + |b| - |a ∩ b| exactly (integer identity, no
+        # float drift) — carry the per-doc size and skip the per-pair
+        # array_union walk entirely
+        .withColumn("n_sh", F.size("sh"))
         .transform(maybe_checkpoint)
     )
+    sh_a = (
+        sh.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a")
+        .withColumnRenamed("n_sh", "n_a")
+    )
+    sh_b = (
+        sh.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b")
+        .withColumnRenamed("n_sh", "n_b")
+    )
     return (
-        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        # separate column: referencing the intersect twice inside one
+        # expression would re-evaluate the array walk per reference
+        # (interpreted HOF-adjacent expressions get no CSE)
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                F.col("_i") / (F.col("n_a") + F.col("n_b") - F.col("_i")), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)
