@@ -48,6 +48,15 @@ _RECHECK_OVERRIDES: list[str] = [
     #
     # (r6 overrides q_doc_char_lm_score / q_vams_schema_validation
     # pruned: both driver-green in CORRECTNESS_r06.)
+    #
+    # r8: q21 was rewritten to one scan in round 7 AFTER its only green
+    # row (r5) and the end-of-round hash regenerate erased its
+    # staleness (VERDICT r7 finding #1) — pin it until it re-greens.
+    # The two r3-era names are fingerprint-stable but pinned once to
+    # end the freshness debate (VERDICT r7, next-round item 2).
+    "q21_waiting_supplier",
+    "q_workflow_executions",
+    "q_doc_sample_split",
 ]
 
 #: the driver's oracle gate checks this many leading queries() entries

@@ -1,44 +1,197 @@
-"""Regenerate QUERY_HASHES.json: a per-query fingerprint (md5 of the
-query function's source + its oracle SQL) captured at the END of each
-round, i.e. the code the round's correctness gate ran against.
+"""Reconstruct QUERY_HASHES.json: a per-query fingerprint (md5 of the
+query function's source + its oracle SQL) of the code each query's
+LATEST GREEN correctness gate actually ran — recomputed from git, so
+the snapshot is a pure function of (git history, CORRECTNESS_r*.json)
+and can be regenerated at ANY point in a round without erasing
+staleness.
 
 __spark_entry__._auto_recheck compares current fingerprints against
-this snapshot: a driver-green name whose fingerprint changed since the
-snapshot needs a recheck — this catches queries.py-LOCAL changes
+this snapshot: a driver-green name whose fingerprint changed since its
+green gate needs a recheck — this catches queries.py-LOCAL changes
 (shared helpers, inline rewrites) that git module-attribution can't
-see. Run as the last step of a round's work:
+see.
+
+Why reconstruction instead of a blanket capture (the round-7 verdict's
+finding #1): a blanket regenerate at round end ERASES staleness for a
+query rewritten in-round but NOT inside that round's 50-slot gate
+window — the snapshot would then match the new source even though no
+gate ever ran it (q21_waiting_supplier, rewritten r7, green row r5).
+And "refresh only gate-green names" at round end still has the same
+hole one round later, because the script necessarily runs BEFORE the
+round's gate. Reconstruction closes it exactly: each round's gate runs
+against the tree of its `round N: verdict/...` commit (that commit
+only ADDS result files), so the fingerprint a green row certifies is
+computable from git forever. Per name: find its latest green round R,
+check out round R's gate commit into a temp worktree, fingerprint the
+query there. Names never green are omitted (_auto_recheck only
+consults the snapshot for green names; their first green gate will
+mint their entry).
+
+Run once per round (idempotent):
 
     python scripts/update_query_hashes.py
 """
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import inspect
 import json
 import os
+import re
+import subprocess
 import sys
+import tempfile
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# run inside each historical worktree; prints {name: fingerprint} JSON.
+# QUERIES/ORACLES is the stable module contract across all rounds.
+_FP_SNIPPET = """
+import hashlib, inspect, json, sys
+sys.path.insert(0, sys.argv[1])
 from visual_asset_management_system_spark.queries import ORACLES, QUERIES
+out = {}
+for name, fn in QUERIES.items():
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = ""
+    blob = src + "\\n--oracle--\\n" + ORACLES.get(name, "")
+    out[name] = hashlib.md5(blob.encode()).hexdigest()
+print(json.dumps(out))
+"""
 
 
-def fingerprints() -> dict[str, str]:
+def fingerprints(queries, oracles) -> dict[str, str]:
+    """Fingerprint the CURRENT working tree (shared with tests and
+    __spark_entry__._auto_recheck's comparison side)."""
     out = {}
-    for name, fn in QUERIES.items():
+    for name, fn in queries.items():
         try:
             src = inspect.getsource(fn)
         except (OSError, TypeError):
             src = ""
-        blob = src + "\n--oracle--\n" + ORACLES.get(name, "")
+        blob = src + "\n--oracle--\n" + oracles.get(name, "")
         out[name] = hashlib.md5(blob.encode()).hexdigest()
     return dict(sorted(out.items()))
 
 
+def latest_green_rounds(repo: str = REPO) -> dict[str, int]:
+    """name -> latest round with a GREEN row (most-recent-wins; a red
+    latest row removes the name — it re-enters the never-checked class
+    and its snapshot entry is irrelevant until it greens again)."""
+    latest: dict[str, tuple[int, bool]] = {}
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = bool(
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match") is not False
+                and row.get("err") is None
+            )
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, ok)
+    return {n: r for n, (r, ok) in latest.items() if ok}
+
+
+def gate_commits(repo: str = REPO) -> dict[int, str]:
+    """round -> sha of its `round N: verdict/...` commit (the tree the
+    round-N gate ran, modulo the result files that commit adds)."""
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H %s"],
+            cwd=repo, capture_output=True, text=True, timeout=15,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        return {}
+    out: dict[int, str] = {}
+    for line in log.splitlines():
+        m = re.match(r"(\w+) round (\d+): verdict", line)
+        if m:
+            out.setdefault(int(m.group(2)), m.group(1))
+    return out
+
+
+def historical_fingerprints(sha: str, repo: str = REPO) -> dict[str, str]:
+    """Fingerprints of the repo as of ``sha`` via a temp worktree."""
+    with tempfile.TemporaryDirectory(prefix="qh_") as tmp:
+        wt = os.path.join(tmp, "wt")
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, sha],
+            cwd=repo, check=True, capture_output=True, timeout=60,
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _FP_SNIPPET, wt],
+                capture_output=True, text=True, timeout=300, cwd=wt,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(proc.stderr[-2000:])
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=repo, capture_output=True, timeout=60,
+            )
+
+
+def reconstruct(
+    green_rounds: dict[str, int],
+    commits: dict[int, str],
+    fp_at: dict[int, dict[str, str]],
+    old: dict[str, str],
+) -> dict[str, str]:
+    """Pure merge: name -> fingerprint at its latest green gate.
+    Falls back to the prior entry when a round's commit or historical
+    fingerprint is unavailable (never invents a current-tree hash for
+    an old green row)."""
+    out: dict[str, str] = {}
+    for name, rnd in green_rounds.items():
+        hist = fp_at.get(rnd, {})
+        if name in hist:
+            out[name] = hist[name]
+        elif name in old:
+            out[name] = old[name]
+    return dict(sorted(out.items()))
+
+
 if __name__ == "__main__":
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, "QUERY_HASHES.json")
+    path = os.path.join(REPO, "QUERY_HASHES.json")
+    try:
+        with open(path) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        old = {}
+    green = latest_green_rounds()
+    commits = gate_commits()
+    fp_at: dict[int, dict[str, str]] = {}
+    for rnd in sorted({r for r in green.values()}):
+        sha = commits.get(rnd)
+        if sha is None:
+            print(f"round {rnd}: no gate commit found — keeping old entries")
+            continue
+        try:
+            fp_at[rnd] = historical_fingerprints(sha)
+            print(f"round {rnd}: fingerprinted {len(fp_at[rnd])} queries @ {sha[:10]}")
+        except Exception as exc:  # noqa: BLE001 — keep old entries on any failure
+            print(f"round {rnd}: reconstruction failed ({exc}) — keeping old entries")
+    merged = reconstruct(green, commits, fp_at, old)
+    changed = sorted(n for n in merged if old.get(n) != merged[n])
+    dropped = sorted(n for n in old if n not in merged)
     with open(path, "w") as f:
-        json.dump(fingerprints(), f, indent=1)
-    print(f"wrote {len(fingerprints())} fingerprints to {path}")
+        json.dump(merged, f, indent=1)
+    print(
+        f"wrote {len(merged)} fingerprints to {path} "
+        f"(changed: {len(changed)} {changed[:6]}; dropped never/red: "
+        f"{len(dropped)} {dropped[:6]})"
+    )

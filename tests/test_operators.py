@@ -1644,9 +1644,9 @@ def test_dedup_substrings_planted(spark):
 
     span = " ".join(f"w{i}" for i in range(16))
     rows = [
-        (1, f"alpha {span} beta"),
-        (2, f"gamma delta {span}"),
-        (3, "short unique text"),
+        (1, f"Alpha {span} Beta"),
+        (2, f"gamma delta {span.upper()}"),  # case-insensitive match
+        (3, "short Unique text"),
         (4, f"{span} {span}"),  # self-repeat: every window duplicated
         (5, ""),
         (6, " ".join(f"u{i}" for i in range(17))),  # unique, >= min_len
@@ -1656,9 +1656,10 @@ def test_dedup_substrings_planted(spark):
         r["doc_id"]: (r["text"], r["n_removed"])
         for r in dedup_substrings(df).collect()
     }
-    assert out[1] == ("alpha beta", 16)
+    # matching is case-insensitive; KEPT text preserves original case
+    assert out[1] == ("Alpha Beta", 16)
     assert out[2] == ("gamma delta", 16)
-    assert out[3] == ("short unique text", 0)
+    assert out[3] == ("short Unique text", 0)
     assert out[4] == ("", 32)
     assert out[5] == ("", 0)
     assert out[6][1] == 0
@@ -1677,9 +1678,11 @@ def test_dedup_substrings_matches_model(spark):
 
     L, MIN_COUNT = 4, 2  # small window so random collisions occur
     rnd = random.Random(11)
-    vocab = ["a", "b", "c"]
+    # mixed-case vocabulary: "B" and "b" must count as the SAME gram
+    # while kept text preserves whichever case the doc used
+    vocab = ["a", "B", "c", "b"]
     docs = []
-    shared = "a b c a b c a b"
+    shared = "a b C a b c A b"
     for i in range(60):
         n = rnd.randrange(0, 14)
         toks = [rnd.choice(vocab) for _ in range(n)]
@@ -1687,24 +1690,28 @@ def test_dedup_substrings_matches_model(spark):
         if rnd.random() < 0.3:
             txt = (txt + " " + shared).strip()
         docs.append((i, txt))
-    docs += [(100, ""), (101, "   "), (102, "x y z w")]
+    docs += [(100, ""), (101, "   "), (102, "x Y z w")]
 
     def toks(text):
-        t = text.strip(" ").lower()
-        return [w for w in _re.split(r"[ \t\n\x0b\f\r]+", t) if w]
+        return [
+            w
+            for w in _re.split(r"[ \t\n\x0b\f\r]+", text.strip(" "))
+            if w
+        ]
 
     def model():
         tk = {i: toks(t) for i, t in docs}
         freq = {}
         for i, ts in tk.items():
             for p in range(len(ts) - L + 1):
-                g = " ".join(ts[p : p + L])
+                g = " ".join(w.lower() for w in ts[p : p + L])
                 freq[g] = freq.get(g, 0) + 1
         out = {}
         for i, ts in tk.items():
             covered = set()
             for p in range(len(ts) - L + 1):
-                if freq[" ".join(ts[p : p + L])] >= MIN_COUNT:
+                g = " ".join(w.lower() for w in ts[p : p + L])
+                if freq[g] >= MIN_COUNT:
                     covered.update(range(p, p + L))
             kept = [ts[p] for p in range(len(ts)) if p not in covered]
             out[i] = (" ".join(kept), len(covered))
@@ -1719,3 +1726,34 @@ def test_dedup_substrings_matches_model(spark):
     assert set(got) == set(want)
     for i in sorted(want):
         assert got[i] == want[i], (i, got[i], want[i])
+
+
+def test_dedup_substrings_long_doc_linear(spark):
+    """Regression guard for the kept-token filter's complexity: a
+    fully-duplicated long document (60k tokens, two identical copies)
+    makes `covered` span the whole doc — the former per-position
+    array_contains scan was O(tokens x covered) in ONE row (3.6e9
+    comparisons here); hash-based array_except is linear and finishes
+    in seconds. Asserts the full-cut semantics and a generous wall
+    bound that the quadratic form blows through."""
+    import time
+
+    from visual_asset_management_system_spark.operators.corpus import (
+        dedup_substrings,
+    )
+
+    n = 60_000
+    body = " ".join(f"t{i % 9973}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, body + " " + body), (2, "lone unique filler doc")],
+        ["doc_id", "text"],
+    )
+    t0 = time.monotonic()
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup_substrings(df, min_len=16, min_count=2).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert out[1] == ("", 2 * n)
+    assert out[2][1] == 0
+    assert elapsed < 90, f"long-doc dedup took {elapsed:.1f}s"

@@ -242,9 +242,11 @@ def dedup_lines(
     additionally dedupes it to a ReusedExchange. No explicit
     repartition: ENSURE_REQUIREMENTS co-partitions the join on
     line_key only when the boilerplate side is too big to broadcast.
-    Boilerplate is marked with a LEFT join rather than anti (null
-    line_keys never match — SQL join semantics keep the placeholder
-    rows flowing), and removal happens inside the reassembly aggregate
+    Boilerplate is marked with a LEFT join rather than anti (the
+    placeholder rows carry an explicitly NULL line_key — xxhash64(NULL)
+    would be the non-null seed constant — so SQL join semantics keep
+    them flowing unmatched), and removal happens inside the reassembly
+    aggregate
     via null-skipping collect_list, so docs whose every line was
     boilerplate still produce their output row. Hashing the line
     (xxhash64) keeps the shuffle key fixed-width instead of shipping
@@ -270,7 +272,14 @@ def dedup_lines(
             .alias("_n_total"),
             F.posexplode_outer(line_arr).alias("pos", "line"),
         )
-        .withColumn("line_key", F.xxhash64("line"))
+        # guard the hash: xxhash64(NULL) is the SEED (a non-null
+        # constant), so unguarded placeholder rows would all share one
+        # real hash value that CAN collide with a boilerplate key —
+        # null it out so the LEFT join genuinely never matches them
+        .withColumn(
+            "line_key",
+            F.when(F.col("line").isNotNull(), F.xxhash64("line")),
+        )
     )
     boiler = (
         lines.filter(F.col("line").isNotNull())
@@ -318,6 +327,11 @@ def dedup_substrings(
     every token position covered by a ``min_len``-token window whose
     exact (lowercased, whitespace-normalized) occurrence count across
     the corpus is >= ``min_count`` is REMOVED from every document.
+    Matching is case-insensitive, but kept text preserves the source's
+    ORIGINAL case: tokens are split from the raw text and lowercasing
+    happens only inside gram construction (lowercasing never produces
+    whitespace, so the raw-token and lowered-token boundaries are
+    identical — the positions line up by construction).
     This is the REWRITE form of :func:`repeated_ngrams` (which only
     reports spans) and the token-unit sibling of :func:`dedup_lines`
     (line unit). The aggressive all-occurrences cut mirrors the
@@ -326,10 +340,10 @@ def dedup_substrings(
     repetition (a doc repeating its own 16-token span twice is cut).
 
     Returns one row per input doc: (id_col, text_col, n_removed) —
-    kept tokens re-joined by single spaces (token-level surgery cannot
-    preserve original whitespace), n_removed = number of removed token
-    positions; docs with no tokens or no duplicated spans pass through
-    with n_removed = 0.
+    kept original-case tokens re-joined by single spaces (token-level
+    surgery cannot preserve original whitespace), n_removed = number
+    of removed token positions; docs with no tokens or no duplicated
+    spans pass through with n_removed = 0.
 
     Scale shape: the paper's suffix array is replaced by the
     equivalent fixed-length window join — a suffix array over 100 TB
@@ -342,22 +356,24 @@ def dedup_substrings(
     map-combinable frequency count; duplicated instances semi-join on
     the same key (AQE skew-join splits boilerplate-grade hot keys);
     per-doc start lists aggregate with state bounded by document
-    length; coverage expansion, token filtering, and reassembly are
-    per-row array expressions (O(tokens x covered) per doc, bounded by
-    document size like gopher's line scan, never corpus size). Hash
+    length; coverage expansion, token filtering (hash-based
+    array_except, linear in tokens + covered), and reassembly are
+    per-row array expressions bounded by document size like gopher's
+    line scan, never corpus size. Hash
     note: xxhash64 collisions could spuriously mark a gram duplicated;
     at 64 bits this is negligible and the differential oracle (which
     joins on gram STRINGS) would surface it."""
     from .checkpointing import maybe_checkpoint
     from .partitioning import ensure_min_parallelism
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     pat = r"(?=((?:\S+ ){" + str(min_len - 1) + r"}\S+))\S+ ?"
-    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     # checkpoint TOKENS only (~1x corpus bytes): the gram array would
     # multiply the materialization by min_len, and only the instance
-    # branch needs it — rebuilt there from the re-joined tokens, which
-    # ARE the normalized text the gram regex is defined over
+    # branch needs it — rebuilt there by lowering the re-joined tokens,
+    # which IS the normalized text the gram regex is defined over
     base = maybe_checkpoint(
         ensure_min_parallelism(df).select(
             F.col(id_col).alias("id"),
@@ -365,7 +381,7 @@ def dedup_substrings(
         )
     )
     grams = F.regexp_extract_all(
-        F.array_join(F.col("tk"), " "), F.lit(pat), 1
+        F.lower(F.array_join(F.col("tk"), " ")), F.lit(pat), 1
     )
     inst = base.select(
         "id", F.posexplode(grams).alias("pos", "g")
@@ -396,7 +412,12 @@ def dedup_substrings(
     n = F.size(F.col("tk"))
     # sequence(0, -1) DESCENDS — guard the empty-doc endpoint
     all_pos = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(empty_int)
-    kept_idx = F.filter(all_pos, lambda p: ~F.array_contains(covered, p))
+    # array_except is hash-based and preserves the LEFT array's order;
+    # all_pos is distinct and ascending, so kept positions come back
+    # ordered in linear time — a per-position array_contains scan of
+    # `covered` would be O(tokens x covered) in a single row (10^10
+    # comparisons for a fully-duplicated 100k-token doc)
+    kept_idx = F.array_except(all_pos, covered)
     return joined.select(
         F.col("id").alias(id_col),
         F.concat_ws(

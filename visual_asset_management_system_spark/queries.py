@@ -3988,7 +3988,7 @@ def q_doc_repeated_ngrams(spark, sf_dir):
     """
     WITH toks0 AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               list_filter(string_split_regex(trim(text), '\\s+'),
                            t -> t <> '') AS tk
         FROM documents
     ), toks AS (
@@ -4000,7 +4000,8 @@ def q_doc_repeated_ngrams(spark, sf_dir):
         SELECT doc_id,
                unnest(range(0, GREATEST(len(tk) - 15, 0))) AS pos,
                unnest(list_transform(range(0, GREATEST(len(tk) - 15, 0)),
-                      i -> array_to_string(tk[i + 1:i + 16], ' '))) AS g
+                      i -> lower(array_to_string(tk[i + 1:i + 16], ' '))))
+                 AS g
         FROM toks
     ), dupg AS (
         SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
@@ -4033,8 +4034,9 @@ def q_doc_substring_dedup(spark, sf_dir):
     """Exact substring DEDUP — the rewrite form of suffix-array
     substring deduplication (Lee et al. 2022; operators/corpus.py
     dedup_substrings): every token position covered by a 16-token
-    window occurring >= 2 times across the corpus is removed from
-    every document. Corpus = documents ∪ a mutated copy (last 5 tokens
+    window occurring >= 2 times across the corpus (case-insensitive
+    match; kept text preserves original case) is removed from every
+    document. Corpus = documents ∪ a mutated copy (last 5 tokens
     dropped, id + 1,000,000), so every >= 21-token document provably
     shares long spans with its mutation and both copies come back cut;
     shorter documents pass through untouched. Complements
