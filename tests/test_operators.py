@@ -1303,6 +1303,38 @@ def test_percolate_randomized_against_model(spark):
             assert doc_id not in got
 
 
+def test_percolate_duplicate_term_query(spark):
+    """Targeted regression for the r6 advisory: a stored 'and' query
+    with term_a == term_b requires exactly ONE distinct term — it must
+    fire on a doc containing the term once, and a genuine two-term
+    'and' query must NOT fire on a doc holding only one of its terms
+    no matter how often that term repeats (doc terms are distinct)."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        percolate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "red"),  # single occurrence of the degenerate term
+            ("d2", "blue blue blue blue"),  # repeats must not fake AND
+            ("d3", "blue gear"),
+        ],
+        "doc_id string, text string",
+    )
+    pq = spark.createDataFrame(
+        [
+            ("pq_dup", "red", "red", "and"),
+            ("pq_and", "blue", "gear", "and"),
+        ],
+        ["query_id", "term_a", "term_b", "mode"],
+    )
+    got = {
+        r["doc_id"]: r["matched_queries"]
+        for r in percolate(docs, pq, ["doc_id"], F.col("text")).collect()
+    }
+    assert got == {"d1": "pq_dup", "d3": "pq_and"}
+
+
 def test_more_like_this_randomized_against_model(spark):
     """Randomized MLT cross-check: seed term selection (floor-rounded
     tfidf, term tiebreak) and candidate scoring (sum of grid-rounded

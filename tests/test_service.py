@@ -174,6 +174,36 @@ def test_geo_search_facade(spark):
     assert hits[0]["dist_km"] == 0.0 and 0 < hits[1]["dist_km"] < 100
 
 
+def test_geo_search_tie_page_deterministic_across_partitionings(spark):
+    """Targeted regression for the r6 advisory: distances are grid-
+    rounded to 1 m, so a ring of points ties freely — the returned
+    size-limited page must be identical whatever the physical layout
+    (the full-row tiebreak after dist_km, service.py geo_search).
+    Plant 40 points at the SAME rounded distance plus row-level
+    variety, take a page of 10 under several partitionings/orders."""
+    svc = _svc(spark)
+    rows = [
+        # one degree of longitude at the equator, name varies per row —
+        # identical dist_km after the 1 m grid for all of them
+        (f"tie_{i:02d}", 0.0, 1.0, f"site_{i % 7}")
+        for i in range(40)
+    ] + [("near", 0.0, 0.5, "x"), ("far", 0.0, 30.0, "y")]
+    base = spark.createDataFrame(
+        rows, "asset_id string, lat double, lon double, label string"
+    )
+    pages = []
+    for df in (
+        base,
+        base.repartition(13, "label"),
+        base.repartition(1),
+        base.orderBy(F.col("asset_id").desc()).repartition(5),
+    ):
+        page = svc.geo_search(df, 0.0, 0.0, radius_km=200.0, size=10)
+        pages.append([tuple(r) for r in page.collect()])
+    assert pages[0] == pages[1] == pages[2] == pages[3]
+    assert pages[0][0][0] == "near"  # closest point leads the page
+
+
 def test_suggest_serves_from_maintained_table(spark, tmp_path):
     """With a CDC-maintained suggest table in the tables dict, the
     facade serves from it (no rebuild over live assets)."""

@@ -1729,6 +1729,62 @@ def test_detect_sequences_state_expires_after_window(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 0
 
 
+def test_detect_sequences_exact_boundary_completes(spark, tmp_path):
+    """Boundary contract at ts == first_stage + within_s: the match
+    condition admits it (reset uses strict >), so the eager-expiry
+    check must use strict < against the ms watermark — an <= check
+    drops the partial one batch early. The miss window is real only
+    for sub-ms event times (deadline_ms FLOORS first+within, so a
+    boundary completer at .000500 still passes Spark's late filter
+    while deadline_ms == wm_ms) — exactly the round-7 advisory's
+    us-vs-ms comparison mismatch."""
+    from visual_asset_management_system_spark.streaming.windows import (
+        detect_sequences,
+        read_events_stream,
+        run_stream_to_parquet,
+    )
+
+    src = str(tmp_path / "events")
+    sink = str(tmp_path / "seqsink")
+    ckpt = str(tmp_path / "seqckpt")
+
+    def run_batch(rows):
+        _write_events(src, rows)
+        q = run_stream_to_parquet(
+            detect_sequences(
+                read_events_stream(spark, src), pattern=("view", "click")
+            ),
+            sink,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: partial opens at 10:00:00.000500 → deadline_us
+    # 11:00:00.000500, deadline_ms FLOORS to 11:00:00.000
+    run_batch([_ev(1, 1, "view", 1.0, "2024-01-01T10:00:00.000500Z")])
+    # batch 2: another user pins the watermark to exactly deadline_ms
+    # (11:30 event - 30m delay = 11:00:00.000)
+    run_batch([_ev(2, 9, "view", 1.0, "2024-01-01T11:30:00Z")])
+    # batch 3: a non-matching on-time event (ts > wm by 400us) invokes
+    # fn for user 1 while wm_ms == deadline_ms — an <= eager check
+    # would drop the partial here
+    run_batch([_ev(3, 1, "purchase", 1.0, "2024-01-01T11:00:00.000400Z")])
+    # batch 4: the completer lands at exactly first + within_s — on
+    # time (500us past the watermark) and admissible (reset is
+    # strict >)
+    run_batch([_ev(4, 1, "click", 1.0, "2024-01-01T11:00:00.000500Z")])
+
+    got = {
+        (r["user_id"], r["start_ts"].isoformat(), r["end_ts"].isoformat())
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert (
+        1,
+        "2024-01-01T10:00:00.000500",
+        "2024-01-01T11:00:00.000500",
+    ) in got
+
+
 # ---------------------------------------------------------------------------
 # manifest commit mode: immutable data dirs + atomic single-file publish
 # ---------------------------------------------------------------------------
@@ -1880,6 +1936,59 @@ def test_manifest_crash_before_commit_keeps_old_snapshot(spark, tmp_path, monkey
 
     referenced = {rel.split("/")[1] for rel in _load_manifest(sink).values()}
     assert set(os.listdir(data_root)) == referenced
+
+
+def test_manifest_reader_during_commit_sees_old_snapshot(spark, tmp_path, monkeypatch):
+    """Concurrent-reader interleaving (round-7 verdict item 8): a
+    reader that resolves the sink BETWEEN the new version's data-dir
+    write and the manifest rename must see the OLD complete snapshot —
+    never a mix, never the half-published new version. Interleave
+    deterministically by wrapping _commit_manifest: at call time the
+    data dirs are fully written, the manifest is not yet flipped."""
+    from visual_asset_management_system_spark.streaming import cdc
+
+    sink = str(tmp_path / "interleave_sink")
+    recompute = _recompute_factory(spark)
+    batch1 = spark.createDataFrame(
+        [
+            (1, "INSERT", "assets", "db_1", "asset_1", None, None),
+            (2, "INSERT", "assets", "db_1", "asset_2", None, None),
+        ],
+        _CDC_SCHEMA,
+    )
+    apply_cdc_batch(batch1, recompute, sink, commit_mode="manifest")
+    before = _sink_rows(spark, sink, "manifest")
+    assert set(before) == {"asset_1", "asset_2"}
+
+    real_commit = cdc._commit_manifest
+    seen_during_commit = {}
+
+    def commit_with_reader(sink_dir, parts):
+        # the interleaved reader: new data dirs exist on disk, the
+        # manifest still points at the previous version set
+        seen_during_commit["rows"] = _sink_rows(spark, sink, "manifest")
+        seen_during_commit["versions"] = sorted(
+            os.listdir(os.path.join(sink, "data"))
+        )
+        real_commit(sink_dir, parts)
+
+    monkeypatch.setattr(cdc, "_commit_manifest", commit_with_reader)
+    batch2 = spark.createDataFrame(
+        [
+            (3, "MODIFY", "assets", "db_1", "asset_1", None, None),
+            (4, "REMOVE", "assets", "db_1", "asset_2", None, None),
+        ],
+        _CDC_SCHEMA,
+    )
+    apply_cdc_batch(batch2, recompute, sink, commit_mode="manifest")
+
+    # mid-commit reader saw the OLD snapshot exactly, even though the
+    # new version directory was already fully written beside it
+    assert seen_during_commit["rows"] == before
+    assert len(seen_during_commit["versions"]) == 2
+    # post-commit readers see the new state
+    after = _sink_rows(spark, sink, "manifest")
+    assert set(after) == {"asset_1"} and after["asset_1"] == "NAME 1"
 
 
 def test_manifest_compact_sink_rewrites_crowded_partitions(spark, tmp_path):

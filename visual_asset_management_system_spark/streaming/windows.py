@@ -88,6 +88,15 @@ SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events int, sum_value double"
 )
+# STATE-SCHEMA COMPATIBILITY: these applyInPandasWithState schemas
+# changed in round 7 (array<double> second-carriers -> array<long>
+# microsecond-carriers; NoTimeout -> EventTimeTimeout). Spark persists
+# the state schema inside the streaming checkpoint, so a checkpoint
+# written by the previous schema CANNOT be resumed by this code —
+# discard the checkpoint directory (replaying the source rebuilds the
+# state; every stateful operator here is replay-idempotent by test)
+# or run the old binary to drain it first. Applies equally to
+# SEQ_STATE_SCHEMA below.
 SESSION_STATE_SCHEMA = "ts array<long>, vals array<double>"
 
 
@@ -478,7 +487,14 @@ def detect_sequences(
                     )
                     partial = []
         wm_ms = state.getCurrentWatermarkMs()
-        if partial and (partial[0] + within_us) // 1000 <= wm_ms:
+        # STRICT <: the match condition admits an event at exactly
+        # ts == first_stage + within_s (reset uses strict >), and such
+        # an event still passes the late filter when the watermark
+        # equals that ms boundary — dropping at <= would silently miss
+        # a completable sequence at the exact within_s boundary. The
+        # registered timeout (deadline_ms + 1) stays > watermark, so
+        # keeping the partial one extra tick cannot double-fire.
+        if partial and (partial[0] + within_us) // 1000 < wm_ms:
             partial = []  # already expired — unreachable by any on-time event
         if partial:
             state.update((partial,))
