@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "q_vams_suggest",
     # round-7: exact substring dedup (Lee et al. 2022 rewrite form)
     "q_doc_substring_dedup",
+    # round-8: public perf records for the ITERATIVE graph tier —
+    # pointer-jumping components, BFS descendants, pagerank (the one
+    # family absent from BENCH_r1-r7)
+    "q_vams_related_components",
+    "q_vams_descendants",
+    "q_vams_pagerank",
 ]
 
 

@@ -179,7 +179,7 @@ _SCAN_BUDGET = 6
 #: warm). The override still fails the k(k-1)/2-scaling
 #: repeated-subtree class this lint hunts (the round-6 defect executed
 #: 12 identical scans for k=4; k=5 would be 20).
-_SCAN_BUDGET_OVERRIDES = {"q_vams_bm25_search": 11}
+_SCAN_BUDGET_OVERRIDES: dict[str, int] = {}
 
 _SCAN_RE = re.compile(r"Location: [^\[]*\[([^\]]*)")
 _TABLE_RE = re.compile(r"([A-Za-z0-9_]+)\.parquet")

@@ -1126,6 +1126,162 @@ def test_corpus_build_stream_equals_batch_pipeline(spark, tmp_path):
     assert {2, 3, 5, 6, 7} & got == set()  # every reject class rejected
 
 
+def _substring_prefix_expect(spark, batches, upto, L, C):
+    """Batch-operator reference for PREFIX semantics: what
+    dedup_substrings over batches[0..upto] emits for batch `upto`'s
+    ids."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        dedup_substrings,
+    )
+
+    prefix = [r for b in batches[: upto + 1] for r in b]
+    ids = {r[0] for r in batches[upto]}
+    df = spark.createDataFrame(prefix, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in dedup_substrings(df, min_len=L, min_count=C).collect()
+        if r["doc_id"] in ids
+    }
+
+
+def test_substring_index_update_matches_prefix_batch(spark, tmp_path):
+    """Incremental substring dedup equals the batch operator over the
+    corpus PREFIX: each batch's emitted rows match dedup_substrings run
+    on all docs seen so far, restricted to the batch — cross-batch
+    duplication cuts the LATER occurrence (the earlier doc is already
+    emitted and never retracted), within-batch duplication cuts both,
+    case-insensitive matching preserves original case, empty docs flow
+    through."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        substring_index_update,
+    )
+
+    L, C = 4, 2
+    span = "w1 w2 w3 w4"
+    batches = [
+        [
+            (1, f"Alpha {span} beta gamma"),
+            (2, "lone unique doc one two"),
+            (3, ""),
+        ],
+        [
+            (4, f"delta {span.upper()} epsilon"),  # dup of batch-1 span
+            (5, f"{span} zeta {span}"),  # also self-repeat
+        ],
+        [
+            (6, f"eta {span} theta"),  # store count is now >= 2 anyway
+            (7, "fresh unseen words only here"),
+        ],
+    ]
+    state = str(tmp_path / "substate")
+    for i, b in enumerate(batches):
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in substring_index_update(
+                spark,
+                state,
+                spark.createDataFrame(b, "doc_id long, text string"),
+                min_len=L,
+                min_count=C,
+                batch_key=f"b{i}",
+            ).collect()
+        }
+        want = _substring_prefix_expect(spark, batches, i, L, C)
+        assert got == want, (i, got, want)
+    # spot-check the semantics the invariant encodes: batch-1 doc kept
+    # its span (count 1 at emission); batch-2 docs lost theirs
+    assert _substring_prefix_expect(spark, batches, 0, L, C)[1][1] == 0
+    assert _substring_prefix_expect(spark, batches, 1, L, C)[4][1] == L
+
+
+def test_substring_index_update_replay_does_not_double_count(spark, tmp_path):
+    """At-least-once replay: re-running a batch with the same batch_key
+    after its state append must emit identical rows AND leave the store
+    counts un-inflated — with min_count=3, a gram seen once in batch 2
+    and once in batch 3 stays KEPT (total 2); a double-counted batch-2
+    append would push it to 3 and spuriously cut batch 3."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        substring_index_update,
+    )
+
+    L, C = 4, 3
+    span = "p1 p2 p3 p4"
+    state = str(tmp_path / "substate")
+
+    def run(rows, key):
+        return {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in substring_index_update(
+                spark,
+                state,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                min_len=L,
+                min_count=C,
+                batch_key=key,
+            ).collect()
+        }
+
+    b2 = [(10, f"one {span} two")]
+    first = run(b2, "b2")
+    replay = run(b2, "b2")  # crash-after-append replay
+    assert first == replay == {10: (f"one {span} two", 0)}
+
+    got3 = run([(20, f"three {span} four")], "b3")
+    # correct total = 1 (store) + 1 (batch) = 2 < 3 → kept intact
+    assert got3 == {20: (f"three {span} four", 0)}
+
+
+def test_substring_dedup_stream_matches_prefix_and_replays(spark, tmp_path):
+    """Streaming wrapper end-to-end: file-source batches rewrite against
+    the maintained gram store with prefix-batch semantics; restarting
+    the stream with no new input changes nothing (checkpointed,
+    effectively-once)."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        start_substring_dedup_stream,
+    )
+
+    L, C = 4, 2
+    span = "s1 s2 s3 s4"
+    batches = [
+        [(1, f"Head {span} tail"), (2, "plain unique filler text")],
+        [(3, f"{span} again here"), (4, f"and {span} once more")],
+    ]
+    docs_dir = str(tmp_path / "docs_in")
+    os.makedirs(docs_dir)
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    for i, b in enumerate(batches):
+        with open(os.path.join(docs_dir, f"b{i}.json"), "w") as f:
+            for did, text in b:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        q = start_substring_dedup_stream(
+            spark, docs_dir, state, out, ckpt, min_len=L, min_count=C
+        )
+        q.awaitTermination(180)
+
+    def sink_rows():
+        return {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = sink_rows()
+    want = _substring_prefix_expect(spark, batches, 0, L, C)
+    want.update(_substring_prefix_expect(spark, batches, 1, L, C))
+    assert got == want
+    # batch-1 doc kept its span; both batch-2 occurrences were cut
+    assert got[1][1] == 0 and got[3][1] == L and got[4][1] == L
+
+    # restart with no new files: a no-op, sink unchanged
+    q = start_substring_dedup_stream(
+        spark, docs_dir, state, out, ckpt, min_len=L, min_count=C
+    )
+    q.awaitTermination(180)
+    assert sink_rows() == got
+
+
 def test_corpus_index_update_out_of_order_rejects_either_side(spark, tmp_path):
     """A new doc that near-dups an ALREADY-STORED doc is rejected even
     when the new doc's id is smaller — the corpus never ends up with

@@ -366,10 +366,6 @@ def dedup_substrings(
     from .checkpointing import maybe_checkpoint
     from .partitioning import ensure_min_parallelism
 
-    pat = r"(?=((?:\S+ ){" + str(min_len - 1) + r"}\S+))\S+ ?"
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
     # checkpoint TOKENS only (~1x corpus bytes): the gram array would
     # multiply the materialization by min_len, and only the instance
     # branch needs it — rebuilt there by lowering the re-joined tokens,
@@ -377,21 +373,54 @@ def dedup_substrings(
     base = maybe_checkpoint(
         ensure_min_parallelism(df).select(
             F.col(id_col).alias("id"),
-            F.coalesce(toks, F.array().cast("array<string>")).alias("tk"),
+            _substring_tokens(text_col).alias("tk"),
         )
     )
-    grams = F.regexp_extract_all(
-        F.lower(F.array_join(F.col("tk"), " ")), F.lit(pat), 1
-    )
-    inst = base.select(
-        "id", F.posexplode(grams).alias("pos", "g")
-    ).select("id", "pos", F.xxhash64("g").alias("k"))
+    inst = _substring_instances(base, min_len)
     dup_keys = (
         inst.groupBy("k")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= min_count)
         .select("k")
     )
+    return _substring_rewrite(base, inst, dup_keys, id_col, text_col, min_len)
+
+
+def _substring_tokens(text_col: str) -> Column:
+    """Original-case token array of the raw text, \\s+-split; NULL/empty
+    texts yield an empty array (never NULL)."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    return F.coalesce(toks, F.array().cast("array<string>"))
+
+
+def _substring_instances(base: DataFrame, min_len: int) -> DataFrame:
+    """(id, pos, k) gram-instance relation: one row per ``min_len``-token
+    window start, k = xxhash64 of the LOWERCASED space-joined gram
+    (lowercasing introduces no whitespace, so positions align with the
+    original-case token array)."""
+    pat = r"(?=((?:\S+ ){" + str(min_len - 1) + r"}\S+))\S+ ?"
+    grams = F.regexp_extract_all(
+        F.lower(F.array_join(F.col("tk"), " ")), F.lit(pat), 1
+    )
+    return base.select(
+        "id", F.posexplode(grams).alias("pos", "g")
+    ).select("id", "pos", F.xxhash64("g").alias("k"))
+
+
+def _substring_rewrite(
+    base: DataFrame,
+    inst: DataFrame,
+    dup_keys: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+) -> DataFrame:
+    """Coverage expansion + kept-token reassembly shared by the batch
+    and incremental substring-dedup forms: semi-join the instances on
+    the duplicated keys, aggregate per-doc start lists (state bounded
+    by doc length), expand to covered positions, rebuild kept text."""
     dup_starts = (
         inst.join(dup_keys, "k", "left_semi")
         .groupBy("id")
@@ -637,6 +666,173 @@ def start_corpus_build_stream(
             batch_key=key,
             commit=lambda accepted: accepted.write.mode("overwrite").parquet(
                 _os.path.join(corpus_dir, f"batch={key}")
+            ),
+            **update_kwargs,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --------------------------------------------------------------------------
+# incremental (streaming) substring deduplication
+# --------------------------------------------------------------------------
+
+def substring_index_update(
+    spark,
+    state_dir: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 16,
+    min_count: int = 2,
+    batch_key: str | None = None,
+    commit=None,
+) -> DataFrame:
+    """One incremental step of exact substring deduplication: rewrite a
+    batch of NEW documents against a maintained gram-frequency store —
+    the kappa counterpart of :func:`dedup_substrings`, closing the last
+    batch-only corpus stage (the minhash-store pattern of
+    ``dedup.corpus_index_update``).
+
+    PREFIX semantics (the causal form of the batch rule): a batch doc's
+    covered positions are computed from gram counts over store ∪ batch,
+    so each emitted row equals what ``dedup_substrings`` over the
+    corpus PREFIX up to and including this batch would emit for that
+    doc. A gram first duplicated by a FUTURE batch does not
+    retroactively cut already-emitted docs (they are never retracted —
+    the same non-retraction contract as corpus_index_update's
+    representatives); the future batch's own occurrences ARE cut, since
+    by then the store carries the earlier instances.
+
+    State under ``state_dir``: ``grams/`` — append-only parquet of
+    ``(k bigint, c bigint, batch_tag string)`` per-batch gram-hash
+    counts. Readers aggregate ``max(c)`` per (k, batch_tag) before
+    summing across tags, so a replayed append (identical deterministic
+    counts under the same ``batch_key``) collapses instead of
+    double-counting — COUNT state needs this where the membership/pair
+    stores tolerate raw duplicates. Callers without a stable
+    ``batch_key`` get a fresh uuid tag per append (exactly-once only if
+    they call exactly once).
+
+    Crash safety (at-least-once replay): nothing is appended until
+    AFTER the optional ``commit(result)`` callback returns, and the
+    store read excludes rows tagged with the CURRENT ``batch_key`` — a
+    batch replayed from any crash point recomputes the identical
+    rewritten rows.
+
+    Scale shape: the batch's instance relation shuffles once on the
+    8-byte gram hash; the store is probed with a semi-join against the
+    BROADCAST batch key set (one store scan, no store shuffle — the
+    probe result is batch-bounded); the append is the batch's
+    map-combined per-gram counts. The store grows by one small file set
+    per batch and is never rewritten; a maintenance job may compact it
+    by pre-aggregating (k, batch_tag) → one row without changing reader
+    results."""
+    import os as _os
+    import uuid as _uuid
+
+    gram_dir = _os.path.join(state_dir, "grams")
+    tag = batch_key if batch_key is not None else _uuid.uuid4().hex
+
+    base = new_docs.select(
+        F.col(id_col).alias("id"), _substring_tokens(text_col).alias("tk")
+    ).localCheckpoint(eager=True)
+    inst = _substring_instances(base, min_len)
+    batch_counts = inst.groupBy("k").agg(F.count(F.lit(1)).alias("_bc"))
+    batch_counts = batch_counts.localCheckpoint(eager=True)
+
+    total = batch_counts
+    have_store = _os.path.isdir(gram_dir) and any(
+        f.endswith(".parquet") for f in _os.listdir(gram_dir)
+    )
+    if have_store:
+        store = spark.read.parquet(gram_dir)
+        if batch_key is not None:
+            # a crashed prior attempt of THIS batch may have appended
+            store = store.filter(F.col("batch_tag") != batch_key)
+        hits = store.join(
+            F.broadcast(batch_counts.select("k")), "k", "left_semi"
+        )
+        store_counts = (
+            # collapse replayed duplicate appends: identical (k, tag)
+            # rows carry identical deterministic counts
+            hits.groupBy("k", "batch_tag")
+            .agg(F.max("c").alias("_c1"))
+            .groupBy("k")
+            .agg(F.sum("_c1").alias("_sc"))
+        )
+        total = (
+            batch_counts.join(store_counts, "k", "left")
+            .select(
+                "k",
+                (
+                    F.col("_bc") + F.coalesce(F.col("_sc"), F.lit(0))
+                ).alias("_bc"),
+            )
+        )
+    dup_keys = total.filter(F.col("_bc") >= min_count).select("k")
+    result = _substring_rewrite(
+        base, inst, dup_keys, id_col, text_col, min_len
+    ).localCheckpoint(eager=True)
+
+    # sink first, state after: a crash in between replays into a clean
+    # (tag-excluded) store view and reproduces the same rewritten rows
+    if commit is not None:
+        commit(result)
+    batch_counts.select(
+        "k",
+        F.col("_bc").cast("bigint").alias("c"),
+        F.lit(tag).alias("batch_tag"),
+    ).write.mode("append").parquet(gram_dir)
+    return result
+
+
+def start_substring_dedup_stream(
+    spark,
+    docs_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    docs_schema: str = "doc_id bigint, text string",
+    trigger_once: bool = True,
+    **update_kwargs,
+):
+    """Structured Streaming wrapper around
+    :func:`substring_index_update`: a file-source document stream is
+    substring-deduplicated against the maintained gram store and the
+    rewritten rows land in ``out_dir`` — effectively-once via the same
+    partition-overwrite-before-state-append protocol as
+    :func:`start_corpus_build_stream`."""
+    import os as _os
+
+    stream = (
+        spark.readStream.schema(docs_schema).format("json").load(docs_dir)
+    )
+
+    reserved = {"batch_key", "commit"} & set(update_kwargs)
+    if reserved:
+        raise TypeError(
+            f"{sorted(reserved)} are managed by the stream wrapper "
+            "(per-micro-batch key + partition-overwrite sink) and cannot "
+            "be overridden"
+        )
+
+    def handle(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        key = f"b{batch_id}"
+        substring_index_update(
+            spark,
+            state_dir,
+            batch,
+            batch_key=key,
+            commit=lambda result: result.write.mode("overwrite").parquet(
+                _os.path.join(out_dir, f"batch={key}")
             ),
             **update_kwargs,
         )
