@@ -211,7 +211,14 @@ def _driver_order(names: list[str]) -> list[str]:
     seen: set[str] = set()
     recheck = [n for n in recheck if not (n in seen or seen.add(n))]
     recheck = recheck[: max(0, _GATE_WINDOW - len(never))]
-    rest = [n for n in names if n in green and n not in set(recheck)]
+    # oldest green row first: when never + recheck leave spare window
+    # capacity, it drains the freshness tail instead of re-running
+    # whatever happened to register earliest
+    order_idx = {n: i for i, n in enumerate(names)}
+    rest = sorted(
+        (n for n in names if n in green and n not in set(recheck)),
+        key=lambda n: (green[n], order_idx[n]),
+    )
     return never + recheck + rest
 
 
