@@ -1231,6 +1231,105 @@ def test_substring_index_update_replay_does_not_double_count(spark, tmp_path):
     assert got3 == {20: (f"three {span} four", 0)}
 
 
+def test_substring_index_update_random_batch_splits(spark, tmp_path):
+    """Property form of the prefix invariant: over a seeded random
+    corpus (tiny vocabulary so duplicated grams arise by chance, plus
+    empty/whitespace docs) split into random batch boundaries, every
+    batch's emitted rows equal dedup_substrings over the prefix."""
+    import random
+
+    from visual_asset_management_system_spark.operators.corpus import (
+        substring_index_update,
+    )
+
+    rnd = random.Random(88)
+    vocab = ["a", "B", "c"]
+    docs = []
+    for i in range(40):
+        n = rnd.randrange(0, 10)
+        docs.append((i, " ".join(rnd.choice(vocab) for _ in range(n))))
+    docs += [(100, ""), (101, "   ")]
+    rnd.shuffle(docs)
+    cuts = sorted(rnd.sample(range(1, len(docs)), 3))
+    batches = [
+        docs[a:b] for a, b in zip([0] + cuts, cuts + [len(docs)])
+    ]
+    L, C = 3, 2
+    state = str(tmp_path / "randstate")
+    for i, b in enumerate(batches):
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in substring_index_update(
+                spark,
+                state,
+                spark.createDataFrame(b, "doc_id long, text string"),
+                min_len=L,
+                min_count=C,
+                batch_key=f"b{i}",
+            ).collect()
+        }
+        want = _substring_prefix_expect(spark, batches, i, L, C)
+        assert got == want, (i, got, want)
+
+
+def test_compact_gram_store_preserves_decisions(spark, tmp_path):
+    """Gram-store compaction: pre-summing per-batch counts into one row
+    per gram changes no future dedup decision; a tag listed in
+    exclude_tags survives verbatim so its batch can still replay
+    without double-counting."""
+    from visual_asset_management_system_spark.operators.corpus import (
+        compact_gram_store,
+        substring_index_update,
+    )
+
+    L, C = 4, 3
+    span = "g1 g2 g3 g4"
+    state = str(tmp_path / "cstate")
+
+    def run(rows, key):
+        return {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in substring_index_update(
+                spark,
+                state,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                min_len=L,
+                min_count=C,
+                batch_key=key,
+            ).collect()
+        }
+
+    run([(1, f"a {span} b")], "b0")
+    b1 = [(2, f"c {span} d")]
+    run(b1, "b1")
+
+    # compact everything except b1 (the only batch that may replay)
+    n_rows = compact_gram_store(spark, state, exclude_tags=("b1",))
+    assert n_rows > 0
+    store = spark.read.parquet(str(tmp_path / "cstate" / "grams"))
+    tags = {r["batch_tag"] for r in store.select("batch_tag").distinct().collect()}
+    assert "b1" in tags and "b0" not in tags
+
+    # replay of the excluded batch still collapses (no double count)...
+    replay = run(b1, "b1")
+    assert replay == {2: (f"c {span} d", 0)}
+    # ...so batch 2's totals are exact: span count = 2 (b0+b1) < 3 with
+    # the batch occurrence making 3 → cut in batch 2 precisely now
+    got2 = run([(3, f"e {span} f")], "b2")
+    assert got2 == {3: ("e f", L)}
+
+    # a second, full compaction leaves one row per gram
+    n2 = compact_gram_store(spark, state)
+    per_gram = (
+        spark.read.parquet(str(tmp_path / "cstate" / "grams"))
+        .groupBy("k")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert per_gram == 0 and n2 > 0
+
+
 def test_substring_dedup_stream_matches_prefix_and_replays(spark, tmp_path):
     """Streaming wrapper end-to-end: file-source batches rewrite against
     the maintained gram store with prefix-batch semantics; restarting

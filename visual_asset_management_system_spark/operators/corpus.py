@@ -843,3 +843,57 @@ def start_substring_dedup_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_gram_store(
+    spark,
+    state_dir: str,
+    exclude_tags: tuple[str, ...] = (),
+) -> int:
+    """Compact the substring-dedup gram store: pre-aggregate the
+    per-batch (k, c, batch_tag) rows into one row per gram under a
+    fresh synthetic tag, so reader-side work stops growing with batch
+    count (the OPTIMIZE analog of cdc.compact_sink for COUNT state).
+
+    Replay safety: collapsing a batch's rows into the compacted total
+    discards its tag, so a LATER at-least-once replay of that same
+    batch would re-append counts that no longer dedupe — pass the tags
+    of any batch that may still replay in ``exclude_tags`` (under the
+    streaming wrapper that is only the most recent micro-batch: the
+    checkpoint commits earlier ones). Excluded tags are carried through
+    verbatim. Maintenance job, single writer (same assumption as every
+    store rewrite here); the swap is a directory rename, atomic on a
+    filesystem — on an object store run it as the manifest-commit
+    pattern instead. Returns the store's row count after compaction."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    gram_dir = _os.path.join(state_dir, "grams")
+    if not _os.path.isdir(gram_dir):
+        return 0
+    store = spark.read.parquet(gram_dir)
+    keep = store.filter(F.col("batch_tag").isin(list(exclude_tags)))
+    old = store.filter(~F.col("batch_tag").isin(list(exclude_tags)))
+    compacted = (
+        # same dedup-then-sum the readers apply, frozen into one row
+        old.groupBy("k", "batch_tag")
+        .agg(F.max("c").alias("_c1"))
+        .groupBy("k")
+        .agg(F.sum("_c1").cast("bigint").alias("c"))
+        .withColumn(
+            "batch_tag", F.lit(f"_compacted-{_uuid.uuid4().hex[:12]}")
+        )
+        .select("k", "c", "batch_tag")
+    )
+    out = compacted.unionByName(keep.select("k", "c", "batch_tag"))
+    tmp = gram_dir + ".compact_tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    swap_aside = gram_dir + ".old"
+    _shutil.rmtree(swap_aside, ignore_errors=True)
+    _os.replace(gram_dir, swap_aside)
+    _os.replace(tmp, gram_dir)
+    _shutil.rmtree(swap_aside, ignore_errors=True)
+    return n
