@@ -96,6 +96,102 @@ def test_hash_sample_and_split_are_deterministic(spark):
         hash_sample(df, 1.5, "doc_id")
 
 
+def test_dsir_log_weights_match_python_model(spark):
+    """DSIR importance weights (sampling.dsir_log_weights) against a
+    plain-Python model of the add-1 smoothed bigram log-ratio: exact
+    integer columns bit-equal, log_weight within float tolerance;
+    empty/short docs keep their row with weight 0; and the HASHED
+    scale path equals the unhashed form on a collision-free fixture."""
+    import math
+
+    from visual_asset_management_system_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (3, "stocks fell as rates rose again"),
+        (4, "rates rose and stocks fell hard"),
+        (5, ""),
+        (6, "single"),
+        (7, "The CAT sat"),  # case-folds into doc 1's bigrams
+    ]
+    target_ids = {1, 2, 7}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id").isin(list(target_ids)))
+
+    def bigrams(text):
+        toks = [t for t in text.strip().lower().split() if t]
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    tdist: dict = {}
+    rdist: dict = {}
+    for i, txt in rows:
+        for g in bigrams(txt):
+            rdist[g] = rdist.get(g, 0) + 1
+            if i in target_ids:
+                tdist[g] = tdist.get(g, 0) + 1
+    nt, nr = sum(tdist.values()), sum(rdist.values())
+    nb = len(set(rdist) | set(tdist))
+    want = {}
+    for i, txt in rows:
+        gs = bigrams(txt)
+        lw = sum(
+            math.log((tdist.get(g, 0) + 1) / (nt + nb))
+            - math.log((rdist[g] + 1) / (nr + nb))
+            for g in gs
+        )
+        lean = sum(
+            1
+            for g in gs
+            if (tdist.get(g, 0) + 1) * (nr + nb) > (rdist[g] + 1) * (nt + nb)
+        )
+        want[i] = (len(gs), lean, lw)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_target_leaning"], r["log_weight"])
+        for r in dsir_log_weights(df, target, n_buckets=None).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][:2] == want[i][:2], i
+        assert got[i][2] == pytest.approx(want[i][2], abs=1e-9), i
+    # target docs lean target; the finance docs lean away
+    assert got[1][2] > 0 and got[2][2] > 0 and got[7][2] > 0
+    assert got[3][2] < 0 and got[4][2] < 0
+    assert got[5] == (0, 0, 0.0) and got[6] == (0, 0, 0.0)
+
+    # hashed scale path: with a bucket space vastly larger than the
+    # distinct bigram count (~20), xxhash64 buckets are collision-free
+    # for this fixture, so per-bucket counts equal per-gram counts and
+    # the only difference from the unhashed form is the smoothing
+    # domain B = n_buckets — model exactly that
+    NB = 1 << 20
+    want_h = {}
+    for i, txt in rows:
+        gs = bigrams(txt)
+        lw = sum(
+            math.log((tdist.get(g, 0) + 1) / (nt + NB))
+            - math.log((rdist[g] + 1) / (nr + NB))
+            for g in gs
+        )
+        lean = sum(
+            1
+            for g in gs
+            if (tdist.get(g, 0) + 1) * (nr + NB) > (rdist[g] + 1) * (nt + NB)
+        )
+        want_h[i] = (len(gs), lean, lw)
+    hashed = {
+        r["doc_id"]: (r["n_grams"], r["n_target_leaning"], r["log_weight"])
+        for r in dsir_log_weights(df, target, n_buckets=NB).collect()
+    }
+    assert set(hashed) == set(want_h)
+    for i in want_h:
+        assert hashed[i][:2] == want_h[i][:2], i
+        assert hashed[i][2] == pytest.approx(want_h[i][2], abs=1e-9), i
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     """Window math: consecutive chunks share exactly `overlap` tokens,
     concatenating chunks minus overlaps reconstructs the token stream,

@@ -96,3 +96,133 @@ def mix_corpora(
     if out is None:
         raise ValueError("sources must not be empty")
     return out
+
+
+def ngram_bag(text: Column, n: int = 2) -> Column:
+    """Duplicate-PRESERVING lowercased n-gram array — the bag form of
+    dedup.word_shingles (which distincts): DSIR-style importance
+    weights need occurrence counts, not membership. Same single-pass
+    lookahead regex; documents shorter than ``n`` tokens yield an
+    empty array."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    pat = r"(?=((?:\S+ ){" + str(n - 1) + r"}\S+))\S+ ?"
+    return F.when(
+        text.isNotNull(), F.regexp_extract_all(norm, F.lit(pat), 1)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int | None = 10_000,
+) -> DataFrame:
+    """Data Selection with Importance Resampling weights (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every ``raw`` document by how target-like its
+    hashed n-gram distribution is. Returns one row per raw doc:
+    ``(id_col, n_grams, n_target_leaning, log_weight)`` where
+    log_weight = Σ_grams [log p_target(b) − log p_raw(b)] under add-1
+    smoothed bucket distributions (b = the gram's hash bucket), the
+    DSIR importance log-ratio; n_target_leaning counts the doc's grams
+    whose bucket ratio favors the target — an INTEGER-EXACT summary of
+    the same comparison ((ct+1)(Nr+B) > (cr+1)(Nt+B) in exact int64
+    arithmetic), which is what the cross-engine differential oracle
+    value-checks (float log sums are engine-order-sensitive; the BM25
+    oracle makes the same split between exact membership and float
+    score). Select with hash_sample/top-fraction over log_weight, or
+    Gumbel-resample downstream.
+
+    ``n_buckets`` is the scale path: bucket = pmod(xxhash64(gram),
+    n_buckets) makes BOTH distribution dictionaries n_buckets-bounded
+    (the paper's hashed n-gram trick) — at 100 TB the target dict
+    broadcasts and the raw dict is one map-combinable aggregation onto
+    ≤ n_buckets rows. ``n_buckets=None`` buckets by the gram string
+    itself (exact n-gram DSIR) for oracle parity; its raw dictionary
+    is vocabulary-sized, so the raw-side join is left to AQE instead
+    of a forced broadcast.
+
+    Shuffles: two dictionary-bounded aggregations + one doc-key
+    aggregation for the per-doc sums. The empty/short doc keeps its
+    row (explode_outer) with n_grams = 0 and log_weight = 0.0.
+    """
+    bag = ngram_bag(F.col(text_col), n)
+    if n_buckets is not None:
+        # guard the hash: xxhash64(NULL) is the SEED (non-null), so an
+        # unguarded bucket would turn the explode_outer placeholder row
+        # of every gram-less doc into a phantom gram that inflates the
+        # raw distribution (same failure class as dedup_lines'
+        # line_key guard)
+        bucket = lambda g: F.when(  # noqa: E731
+            g.isNotNull(), F.pmod(F.xxhash64(g), F.lit(n_buckets))
+        )
+    else:
+        bucket = lambda g: g  # noqa: E731
+
+    t_dict = (
+        target.select(F.explode(bag).alias("g"))
+        .select(bucket(F.col("g")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    doc_grams = raw.select(
+        F.col(id_col).alias("id"), F.explode_outer(bag).alias("g")
+    ).select("id", bucket(F.col("g")).alias("b"))
+    r_dict = (
+        doc_grams.filter(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    nt = t_dict.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("_nt"))
+    nr = r_dict.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("_nr"))
+    if n_buckets is not None:
+        b_row = nt.crossJoin(F.broadcast(nr)).withColumn(
+            "_nb", F.lit(n_buckets).cast("bigint")
+        )
+    else:
+        nb = (
+            t_dict.select("b")
+            .unionByName(r_dict.select("b"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("_nb"))
+        )
+        b_row = nt.crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nb))
+
+    scored = (
+        doc_grams.join(F.broadcast(t_dict), "b", "left")
+        .join(r_dict, "b", "left")
+        .crossJoin(F.broadcast(b_row))
+        .withColumn("_ct", F.coalesce(F.col("ct"), F.lit(0)).cast("bigint"))
+        .withColumn("_cr", F.coalesce(F.col("cr"), F.lit(0)).cast("bigint"))
+        .withColumn(
+            "_lr",
+            F.when(
+                F.col("b").isNotNull(),
+                F.log((F.col("_ct") + 1) / (F.col("_nt") + F.col("_nb")))
+                - F.log((F.col("_cr") + 1) / (F.col("_nr") + F.col("_nb"))),
+            ),
+        )
+        .withColumn(
+            "_lean",
+            F.when(
+                F.col("b").isNotNull()
+                & (
+                    (F.col("_ct") + 1) * (F.col("_nr") + F.col("_nb"))
+                    > (F.col("_cr") + 1) * (F.col("_nt") + F.col("_nb"))
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.col("b")).cast("bigint").alias("n_grams"),
+        F.sum("_lean").cast("bigint").alias("n_target_leaning"),
+        F.coalesce(F.sum("_lr"), F.lit(0.0)).alias("log_weight"),
+    ).select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_target_leaning",
+        "log_weight",
+    )

@@ -3761,6 +3761,77 @@ def q_corpus_mix(spark, sf_dir):
 
 
 @query(
+    "q_doc_dsir",
+    """
+    WITH bags AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, GREATEST(len(tk) - 1, 0)),
+                   i -> tk[i + 1] || ' ' || tk[i + 2]) AS gs
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        )
+    ), inst AS (
+        SELECT doc_id, unnest(gs) AS g FROM bags
+    ), rdict AS (
+        SELECT g, COUNT(*) AS cr FROM inst GROUP BY g
+    ), tdict AS (
+        SELECT g, COUNT(*) AS ct FROM inst WHERE doc_id % 7 = 0 GROUP BY g
+    ), tot AS (
+        SELECT (SELECT COALESCE(SUM(ct), 0) FROM tdict) AS Nt,
+               (SELECT COALESCE(SUM(cr), 0) FROM rdict) AS Nr,
+               (SELECT COUNT(*) FROM (SELECT g FROM rdict
+                                      UNION SELECT g FROM tdict)) AS B
+    ), counts AS (
+        SELECT doc_id, g, COUNT(*) AS k FROM inst GROUP BY doc_id, g
+    ), agg AS (
+        SELECT c.doc_id,
+               SUM(k) AS n_grams,
+               SUM(CASE WHEN (COALESCE(ct, 0) + 1) * (Nr + B)
+                             > (cr + 1) * (Nt + B)
+                        THEN k ELSE 0 END) AS n_target_leaning
+        FROM counts c
+        JOIN rdict USING (g)
+        LEFT JOIN tdict USING (g)
+        CROSS JOIN tot
+        GROUP BY c.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_target_leaning, 0) AS BIGINT)
+             AS n_target_leaning
+    FROM bags b LEFT JOIN agg USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def q_doc_dsir(spark, sf_dir):
+    """DSIR importance weighting (operators/sampling.py
+    dsir_log_weights; Xie et al. 2023): score every document by how
+    target-like its bigram distribution is, target = the doc_id % 7
+    slice. The driver-gated columns are the INTEGER-EXACT pair
+    (n_grams, n_target_leaning) — per-gram leaning compares exact
+    int64 cross-products of the add-1 smoothed distributions, so both
+    engines agree bit-for-bit; the float log_weight itself is checked
+    against a plain-Python model in tests (the BM25 split between
+    exact membership and float scores). Oracle runs the unhashed
+    (n_buckets=None) gram-string form; the hashed scale path is
+    pinned equal to it on a collision-free fixture in tests."""
+    from .operators.sampling import dsir_log_weights
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return (
+        dsir_log_weights(docs, target, n=2, n_buckets=None)
+        .select("doc_id", "n_grams", "n_target_leaning")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_doc_repetition",
     f"""
     WITH base AS (
