@@ -172,7 +172,13 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
 
     from visual_asset_management_system_spark.queries import ORACLES
 
-    stale: list[tuple[int, str]] = []
+    # two staleness classes, hash drift first: a fingerprint mismatch
+    # PROVES the query/oracle changed since its green gate, while a
+    # module-timestamp hit only says an imported module changed (the
+    # query may be unaffected) — when the window can't hold both, the
+    # proven class must not be crowded out. Oldest green first within
+    # each class.
+    stale: list[tuple[int, int, str]] = []
     for name, rnd in green.items():
         gate_ts = round_ts.get(rnd)
         if gate_ts is None or name not in QUERIES:
@@ -184,7 +190,7 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
         if name in snapshot:
             blob = src + "\n--oracle--\n" + ORACLES.get(name, "")
             if hashlib.md5(blob.encode()).hexdigest() != snapshot[name]:
-                stale.append((rnd, name))
+                stale.append((0, rnd, name))
                 continue
         mods = set(re.findall(r"from \.((?:\w+\.)*\w+) import", src))
         words = set(re.findall(r"\b\w+\b", src))
@@ -192,9 +198,9 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
         for mod in mods:
             path = f"{pkg}/{mod.replace('.', '/')}.py"
             if file_ts.get(path, 0) > gate_ts:
-                stale.append((rnd, name))
+                stale.append((1, rnd, name))
                 break
-    return [n for _, n in sorted(stale)]
+    return [n for _, _, n in sorted(stale)]
 
 
 def _driver_order(names: list[str]) -> list[str]:

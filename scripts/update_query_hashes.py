@@ -34,9 +34,6 @@ Run once per round (idempotent):
 
 from __future__ import annotations
 
-import glob
-import hashlib
-import inspect
 import json
 import os
 import re
@@ -45,6 +42,7 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # __spark_entry__ + the queries package
 
 # run inside each historical worktree; prints {name: fingerprint} JSON.
 # QUERIES/ORACLES is the stable module contract across all rounds.
@@ -64,44 +62,15 @@ print(json.dumps(out))
 """
 
 
-def fingerprints(queries, oracles) -> dict[str, str]:
-    """Fingerprint the CURRENT working tree (shared with tests and
-    __spark_entry__._auto_recheck's comparison side)."""
-    out = {}
-    for name, fn in queries.items():
-        try:
-            src = inspect.getsource(fn)
-        except (OSError, TypeError):
-            src = ""
-        blob = src + "\n--oracle--\n" + oracles.get(name, "")
-        out[name] = hashlib.md5(blob.encode()).hexdigest()
-    return dict(sorted(out.items()))
+def latest_green_rounds() -> dict[str, int]:
+    """name -> latest round with a GREEN row. Delegates to
+    __spark_entry__._latest_rows so the green predicate (rows/schema/
+    hash/err) has exactly ONE definition — a drift between the snapshot
+    builder and the recheck machinery would silently re-open the
+    staleness hole this script closes."""
+    import __spark_entry__ as entry
 
-
-def latest_green_rounds(repo: str = REPO) -> dict[str, int]:
-    """name -> latest round with a GREEN row (most-recent-wins; a red
-    latest row removes the name — it re-enters the never-checked class
-    and its snapshot entry is irrelevant until it greens again)."""
-    latest: dict[str, tuple[int, bool]] = {}
-    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        try:
-            rnd = int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
-            with open(p) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
-        for name, row in data.items():
-            if not isinstance(row, dict):
-                continue
-            ok = bool(
-                row.get("rows_match")
-                and row.get("schema_match", True)
-                and row.get("hash_match") is not False
-                and row.get("err") is None
-            )
-            if name not in latest or rnd > latest[name][0]:
-                latest[name] = (rnd, ok)
-    return {n: r for n, (r, ok) in latest.items() if ok}
+    return {n: r for n, (r, ok) in entry._latest_rows().items() if ok}
 
 
 def gate_commits(repo: str = REPO) -> dict[int, str]:
@@ -147,7 +116,6 @@ def historical_fingerprints(sha: str, repo: str = REPO) -> dict[str, str]:
 
 def reconstruct(
     green_rounds: dict[str, int],
-    commits: dict[int, str],
     fp_at: dict[int, dict[str, str]],
     old: dict[str, str],
 ) -> dict[str, str]:
@@ -185,7 +153,7 @@ if __name__ == "__main__":
             print(f"round {rnd}: fingerprinted {len(fp_at[rnd])} queries @ {sha[:10]}")
         except Exception as exc:  # noqa: BLE001 — keep old entries on any failure
             print(f"round {rnd}: reconstruction failed ({exc}) — keeping old entries")
-    merged = reconstruct(green, commits, fp_at, old)
+    merged = reconstruct(green, fp_at, old)
     changed = sorted(n for n in merged if old.get(n) != merged[n])
     dropped = sorted(n for n in old if n not in merged)
     with open(path, "w") as f:

@@ -138,5 +138,5 @@ def test_reconstruct_keeps_old_entry_when_history_unavailable():
     green = {"qa": 5, "qb": 5, "qc": 6}
     fp_at = {5: {"qa": "h5a", "qb": "h5b"}}  # round 6 unavailable
     old = {"qc": "old_c", "qd": "old_d", "qa": "stale_a"}
-    out = reconstruct(green, {5: "sha5"}, fp_at, old)
+    out = reconstruct(green, fp_at, old)
     assert out == {"qa": "h5a", "qb": "h5b", "qc": "old_c"}

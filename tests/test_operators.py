@@ -1863,7 +1863,9 @@ def test_dedup_substrings_long_doc_linear(spark):
     array_contains scan was O(tokens x covered) in ONE row (3.6e9
     comparisons here); hash-based array_except is linear and finishes
     in seconds. Asserts the full-cut semantics and a generous wall
-    bound that the quadratic form blows through."""
+    bound that the quadratic form blows through (measured: the
+    array_contains form exceeds 600 s on this fixture; the bound keeps
+    >2.5x headroom against loaded-host noise)."""
     import time
 
     from visual_asset_management_system_spark.operators.corpus import (
@@ -1884,4 +1886,4 @@ def test_dedup_substrings_long_doc_linear(spark):
     elapsed = time.monotonic() - t0
     assert out[1] == ("", 2 * n)
     assert out[2][1] == 0
-    assert elapsed < 90, f"long-doc dedup took {elapsed:.1f}s"
+    assert elapsed < 240, f"long-doc dedup took {elapsed:.1f}s"

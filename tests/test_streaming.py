@@ -1330,6 +1330,56 @@ def test_compact_gram_store_preserves_decisions(spark, tmp_path):
     assert per_gram == 0 and n2 > 0
 
 
+def test_compact_gram_store_crash_window_recovers(spark, tmp_path):
+    """The compaction swap is two renames; a crash between them leaves
+    the counts complete in grams.old with grams/ absent. The next store
+    read/rewrite must RESTORE the aside — not silently treat history as
+    empty (which would emit un-deduplicated rows and then recreate the
+    dir, hiding the loss forever)."""
+    import shutil
+
+    from visual_asset_management_system_spark.operators.corpus import (
+        compact_gram_store,
+        substring_index_update,
+    )
+
+    L, C = 4, 2
+    span = "h1 h2 h3 h4"
+    state = str(tmp_path / "crashstate")
+
+    def run(rows, key):
+        return {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in substring_index_update(
+                spark,
+                state,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                min_len=L,
+                min_count=C,
+                batch_key=key,
+            ).collect()
+        }
+
+    run([(1, f"a {span} b")], "b0")
+    gram_dir = os.path.join(state, "grams")
+    # simulate the crash: first rename done, second never happened
+    os.replace(gram_dir, gram_dir + ".old")
+    assert not os.path.isdir(gram_dir)
+
+    # next batch recovers the store and still sees b0's occurrence —
+    # the span is cut (store 1 + batch 1 >= 2), not spuriously kept
+    got = run([(2, f"c {span} d")], "b1")
+    assert got == {2: ("c d", L)}
+    assert os.path.isdir(gram_dir) and not os.path.isdir(gram_dir + ".old")
+
+    # compact_gram_store itself also recovers before compacting
+    os.replace(gram_dir, gram_dir + ".old")
+    n = compact_gram_store(spark, state)
+    assert n > 0 and os.path.isdir(gram_dir)
+    # ...and a stale .compact_tmp from the same crash is swept
+    shutil.rmtree(gram_dir + ".compact_tmp", ignore_errors=True)
+
+
 def test_substring_dedup_stream_matches_prefix_and_replays(spark, tmp_path):
     """Streaming wrapper end-to-end: file-source batches rewrite against
     the maintained gram store with prefix-batch semantics; restarting

@@ -737,6 +737,7 @@ def substring_index_update(
     import uuid as _uuid
 
     gram_dir = _os.path.join(state_dir, "grams")
+    _recover_gram_store(gram_dir)
     tag = batch_key if batch_key is not None else _uuid.uuid4().hex
 
     base = new_docs.select(
@@ -845,6 +846,20 @@ def start_substring_dedup_stream(
     return writer.start()
 
 
+def _recover_gram_store(gram_dir: str) -> None:
+    """Heal the compaction swap's crash window: if a crash landed
+    between the two renames (store moved aside, replacement not yet in
+    place), the counts sit complete in ``grams.old`` while ``grams/``
+    is absent — restore the aside so no reader ever sees an empty
+    store (the cdc.py trash-sweep discipline, _swap_partition_dir).
+    Called at the start of every store read/rewrite."""
+    import os as _os
+
+    aside = gram_dir + ".old"
+    if not _os.path.isdir(gram_dir) and _os.path.isdir(aside):
+        _os.replace(aside, gram_dir)
+
+
 def compact_gram_store(
     spark,
     state_dir: str,
@@ -862,14 +877,21 @@ def compact_gram_store(
     streaming wrapper that is only the most recent micro-batch: the
     checkpoint commits earlier ones). Excluded tags are carried through
     verbatim. Maintenance job, single writer (same assumption as every
-    store rewrite here); the swap is a directory rename, atomic on a
-    filesystem — on an object store run it as the manifest-commit
-    pattern instead. Returns the store's row count after compaction."""
+    store rewrite here).
+
+    Crash safety: the swap is TWO renames (store → .old aside,
+    replacement → store), so a crash between them leaves the counts
+    complete but in the aside — _recover_gram_store (run at the start
+    of every read/rewrite, this function included) restores it before
+    anything observes an empty store. On an object store run the swap
+    as the manifest-commit pattern instead. Returns the store's row
+    count after compaction."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
     gram_dir = _os.path.join(state_dir, "grams")
+    _recover_gram_store(gram_dir)
     if not _os.path.isdir(gram_dir):
         return 0
     store = spark.read.parquet(gram_dir)

@@ -167,9 +167,19 @@ def dsir_log_weights(
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
-    doc_grams = raw.select(
-        F.col(id_col).alias("id"), F.explode_outer(bag).alias("g")
-    ).select("id", bucket(F.col("g")).alias("b"))
+    # checkpoint: the exploded gram relation (full raw scan + regex
+    # extraction, the expensive stage) feeds two DIFFERENT exchange
+    # shapes — the r_dict pre-aggregation and the scored join probe —
+    # which ReuseExchange cannot unify; without the cut the corpus
+    # regex pass runs twice (the dedup_substrings two-consumer
+    # discipline)
+    from .checkpointing import maybe_checkpoint
+
+    doc_grams = maybe_checkpoint(
+        raw.select(
+            F.col(id_col).alias("id"), F.explode_outer(bag).alias("g")
+        ).select("id", bucket(F.col("g")).alias("b"))
+    )
     r_dict = (
         doc_grams.filter(F.col("b").isNotNull())
         .groupBy("b")
@@ -190,8 +200,20 @@ def dsir_log_weights(
         )
         b_row = nt.crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nb))
 
+    # the target dictionary is asserted-small ONLY in hashed mode
+    # (≤ n_buckets rows); unhashed it is vocabulary-sized like the raw
+    # dictionary, so leave both join strategies to AQE there
+    t_side = F.broadcast(t_dict) if n_buckets is not None else t_dict
+    # decimal keeps the leaning cross-products EXACT at corpus scale:
+    # with Nr ~ 2.5e13 grams (100 TB) a hot bucket's (ct+1)*(Nr+B)
+    # exceeds int64 and Spark's non-ANSI multiply would wrap silently.
+    # Operands cast to decimal(18,0) — the product's inferred type is
+    # decimal(18+18+1=37, 0), inside Spark's 38-digit cap, so the
+    # multiply is exact (decimal(38) operands would overflow the cap
+    # and NULL out). 10^18 grams ≈ an exabyte-scale corpus bound.
+    dec = "decimal(18,0)"
     scored = (
-        doc_grams.join(F.broadcast(t_dict), "b", "left")
+        doc_grams.join(t_side, "b", "left")
         .join(r_dict, "b", "left")
         .crossJoin(F.broadcast(b_row))
         .withColumn("_ct", F.coalesce(F.col("ct"), F.lit(0)).cast("bigint"))
@@ -209,8 +231,10 @@ def dsir_log_weights(
             F.when(
                 F.col("b").isNotNull()
                 & (
-                    (F.col("_ct") + 1) * (F.col("_nr") + F.col("_nb"))
-                    > (F.col("_cr") + 1) * (F.col("_nt") + F.col("_nb"))
+                    (F.col("_ct") + 1).cast(dec)
+                    * (F.col("_nr") + F.col("_nb")).cast(dec)
+                    > (F.col("_cr") + 1).cast(dec)
+                    * (F.col("_nt") + F.col("_nb")).cast(dec)
                 ),
                 F.lit(1),
             ).otherwise(F.lit(0)),
