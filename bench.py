@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "q_vams_related_components",
     "q_vams_descendants",
     "q_vams_pagerank",
+    # round-8: DSIR data selection
+    "q_doc_dsir",
 ]
 
 
