@@ -96,6 +96,69 @@ def test_hash_sample_and_split_are_deterministic(spark):
         hash_sample(df, 1.5, "doc_id")
 
 
+def test_token_budget_sample_matches_model(spark):
+    """Token-budget subsample vs a plain-Python model of the keep rule
+    (hash-ordered prefix, keep iff tokens-before < budget): crossing
+    row included, zero budget keeps nothing, oversized budget keeps
+    all, zero-token docs at the exact boundary dropped, deterministic
+    across partitionings."""
+    import hashlib
+
+    from visual_asset_management_system_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7))) for i in range(60)]
+    rows += [(100, ""), (101, "   ")]  # zero-token docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def h(i, salt=""):
+        return int(hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:8], 16)
+
+    ordered = sorted(rows, key=lambda r: (h(r[0]), r[0]))
+    toks = {i: len(t.split()) for i, t in rows}
+
+    def model(budget):
+        out, cum = {}, 0
+        for i, _ in ordered:
+            if cum < budget:
+                out[i] = toks[i]
+            cum += toks[i]
+        return out
+
+    for budget in (0, 7, 50, 10_000):
+        got = {
+            r["doc_id"]: r["n_tokens"]
+            for r in token_budget_sample(
+                df, budget, n_cells=16
+            ).collect()
+        }
+        assert got == model(budget), budget
+    assert token_budget_sample(df, 0).count() == 0
+    # layout independence
+    a = {r["doc_id"] for r in token_budget_sample(df, 50).collect()}
+    b = {
+        r["doc_id"]
+        for r in token_budget_sample(df.repartition(7), 50).collect()
+    }
+    assert a == b
+
+    # exact-boundary: a budget equal to a running-total point must not
+    # wholesale-keep a cell that ENDS at the budget (trailing
+    # zero-token rows there are past the prefix)
+    cums = []
+    cum = 0
+    for i, _ in ordered:
+        cums.append(cum)
+        cum += toks[i]
+    for boundary in sorted({c for c in cums if c > 0})[:3]:
+        got = {
+            r["doc_id"]
+            for r in token_budget_sample(df, boundary, n_cells=4).collect()
+        }
+        assert got == set(model(boundary)), boundary
+
+
 def test_dsir_log_weights_match_python_model(spark):
     """DSIR importance weights (sampling.dsir_log_weights) against a
     plain-Python model of the add-1 smoothed bigram log-ratio: exact

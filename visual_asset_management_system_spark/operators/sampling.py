@@ -250,3 +250,86 @@ def dsir_log_weights(
         "n_target_leaning",
         "log_weight",
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    n_cells: int = 4096,
+) -> DataFrame:
+    """Deterministic token-budget subsample: keep a content-hash-ordered
+    prefix of the corpus whose token total reaches ``budget`` — the
+    "cut this corpus to N tokens" step of training-mix assembly, stable
+    across runs/partitionings/engines like every sampling.py rule.
+
+    Keep rule: order docs by (sample_hash, id); a doc is kept iff the
+    token sum of all docs strictly before it is < ``budget`` (so the
+    first doc that crosses the budget is included and the subset's
+    total is the smallest prefix total >= budget; a 0 budget keeps
+    nothing).
+
+    Scale shape — NO global sort/window: the 32-bit hash space is cut
+    into ``n_cells`` order-preserving cells; one dictionary-bounded
+    aggregation gives per-cell token totals, a running total over that
+    (n_cells-row) dictionary classifies every cell as keep-all /
+    straddle / drop, and only the ONE straddling cell (≈ corpus/n_cells
+    docs — raise n_cells with corpus size) pays a per-row window. The
+    cell dictionary broadcasts back onto the corpus scan.
+
+    Returns (id_col, n_tokens) of the kept docs. NULL text counts 0
+    tokens (the pack_sequences convention).
+    """
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    cell_w = (_HASH_SPACE + n_cells - 1) // n_cells
+    h = sample_hash(F.col(id_col), salt)
+    toks = F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        h.alias("h"),
+        toks.alias("n_tokens"),
+    ).withColumn("cell", F.floor(F.col("h") / cell_w).cast("bigint"))
+
+    cells = base.groupBy("cell").agg(F.sum("n_tokens").alias("_ct"))
+    wc = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the cell dictionary is n_cells-bounded — a single-partition
+    # window over it is a dictionary operation, not a corpus one
+    cells = cells.withColumn(
+        "_before", F.coalesce(F.sum("_ct").over(wc), F.lit(0))
+    )
+    marked = base.join(F.broadcast(cells), "cell")
+    # STRICT < for the keep-all class: a cell ending exactly AT the
+    # budget may close with zero-token rows whose running total equals
+    # the budget (rule: drop) — route the == case through the per-row
+    # branch instead of keeping the cell wholesale
+    keep_all = marked.filter(
+        F.col("_before") + F.col("_ct") < budget
+    ).select("id", "n_tokens", "h")
+    straddle = marked.filter(
+        (F.col("_before") < budget)
+        & (F.col("_before") + F.col("_ct") >= budget)
+    )
+    wr = Window.partitionBy("cell").orderBy("h", "id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    straddle_kept = (
+        straddle.withColumn(
+            "_row_before",
+            F.col("_before") + F.coalesce(F.sum("n_tokens").over(wr), F.lit(0)),
+        )
+        .filter(F.col("_row_before") < budget)
+        .select("id", "n_tokens", "h")
+    )
+    return (
+        keep_all.unionByName(straddle_kept)
+        .select(F.col("id").alias(id_col), "n_tokens")
+    )

@@ -3761,6 +3761,46 @@ def q_corpus_mix(spark, sf_dir):
 
 
 @query(
+    "q_corpus_token_budget",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|tb'), 1, 8)
+               )::UBIGINT AS h,
+               CAST(len({_O_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS bef
+        FROM base
+    )
+    SELECT doc_id, n_tokens FROM cum WHERE bef < 20000
+    ORDER BY doc_id
+    """,
+)
+def q_corpus_token_budget(spark, sf_dir):
+    """Deterministic token-budget subsample (operators/sampling.py
+    token_budget_sample): the hash-ordered corpus prefix whose token
+    total first reaches 20k tokens — the "cut the corpus to N tokens"
+    step of training-mix assembly. The oracle is the global-window
+    form of the keep rule (before < budget over (hash, id) order); the
+    engine computes the same set with NO global sort — an
+    order-preserving hash-cell dictionary classifies whole cells and
+    only the one straddling cell pays a per-row window."""
+    from .operators.sampling import token_budget_sample
+
+    t = tables(spark, sf_dir)
+    return token_budget_sample(
+        t["documents"].select("doc_id", "text"),
+        budget=20_000,
+        salt="tb",
+    ).orderBy("doc_id")
+
+
+@query(
     "q_doc_dsir",
     """
     WITH bags AS (
