@@ -181,8 +181,30 @@ _SCAN_BUDGET = 6
 #: 12 identical scans for k=4; k=5 would be 20).
 _SCAN_BUDGET_OVERRIDES: dict[str, int] = {}
 
+#: Max Exchange operators in the EXECUTED plan — the shuffle sibling of
+#: the scan budget: a rewrite that re-shuffles per branch (k² pair
+#: surfaces, per-column unionAll aggregates) multiplies exchanges long
+#: before it multiplies scans of any ONE table. Calibrated on the
+#: round-8 fleet: p95 = 6, and the only legitimate outliers are the
+#: iterative/multi-dictionary plans listed in the overrides. AQE can
+#: swap a shuffle for a broadcast run-to-run, so the check reuses the
+#: scan lint's warm retry before judging.
+_EXCHANGE_BUDGET = 8
+_EXCHANGE_BUDGET_OVERRIDES: dict[str, int] = {
+    # unrolled iterative BPE: one dictionary-sized agg per merge step
+    "q_doc_bpe_encode": 14,
+    "q_doc_bpe_merges": 10,
+    # DSIR oracle-parity (unhashed) mode: gram/target/raw dictionaries
+    # + three single-row stat aggs; all but three are dictionary-sized
+    "q_doc_dsir": 13,
+}
+
 _SCAN_RE = re.compile(r"Location: [^\[]*\[([^\]]*)")
 _TABLE_RE = re.compile(r"([A-Za-z0-9_]+)\.parquet")
+_EXCHANGE_RE = re.compile(
+    r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition|"
+    r"RoundRobinPartitioning)"
+)
 
 
 def _table_scan_counts(executed_plan: str) -> dict[str, int]:
@@ -211,29 +233,38 @@ def test_executed_plan_scan_budget(spark, name):
     count sees it."""
     spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
 
-    def scan_counts_of_run():
+    def counts_of_run():
         df = QUERIES[name](spark, SF)
         df.collect()
-        return _table_scan_counts(
-            df._jdf.queryExecution().executedPlan().toString()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        return (
+            _table_scan_counts(plan),
+            len(_EXCHANGE_RE.findall(final)),
         )
 
     budget = _SCAN_BUDGET_OVERRIDES.get(name, _SCAN_BUDGET)
-    counts = scan_counts_of_run()
+    ex_budget = _EXCHANGE_BUDGET_OVERRIDES.get(name, _EXCHANGE_BUDGET)
+    counts, n_ex = counts_of_run()
     over = {t: n for t, n in counts.items() if n > budget}
-    if over:
+    if over or n_ex > ex_budget:
         # the first execution may have materialized persisted maintained
         # state inline (search tables / postings caches), inflating the
         # scan count with the one-time build — the budget is a
         # STEADY-STATE contract, so re-plan and re-run warm before
         # judging (cold builds are the deployment's rebuild job, not the
         # query's plan)
-        counts = scan_counts_of_run()
+        counts, n_ex = counts_of_run()
         over = {t: n for t, n in counts.items() if n > budget}
     assert not over, (
         f"{name} executed plan scans {over} times (budget {budget} "
         f"per table) — a shared subtree is being re-executed; materialize "
         f"it once (single aggregate + explode, persist, or checkpoint)"
+    )
+    assert n_ex <= ex_budget, (
+        f"{name} executed plan holds {n_ex} Exchanges (budget "
+        f"{ex_budget}) — a branch is re-shuffling; co-partition, "
+        f"broadcast the small side, or collapse per-branch aggregates"
     )
 
 
