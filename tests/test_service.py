@@ -161,6 +161,21 @@ def test_round5_tier_facade(spark, tmp_path):
     ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
     assert ids == {1}  # exact duplicate rejected within the batch
 
+    # incremental substring dedup against fresh state: within-batch
+    # duplicated 4-token span cut from both docs
+    span = "s1 s2 s3 s4"
+    sdocs = svc.t["assets"].sparkSession.createDataFrame(
+        [(1, f"a {span} b"), (2, f"c {span} d")],
+        "doc_id long, text string",
+    )
+    rewritten = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in svc.substring_dedup_update(
+            str(tmp_path / "subdedup"), sdocs, min_len=4, min_count=2
+        ).collect()
+    }
+    assert rewritten == {1: ("a b", 4), 2: ("c d", 4)}
+
 
 def test_geo_search_facade(spark):
     svc = _svc(spark)

@@ -439,6 +439,19 @@ class CatalogService:
         spark = new_docs.sparkSession
         return corpus_index_update(spark, state_dir, new_docs, **kwargs)
 
+    def substring_dedup_update(
+        self, state_dir: str, new_docs: DataFrame, **kwargs
+    ) -> DataFrame:
+        """One incremental substring-dedup step: rewrite a batch of NEW
+        documents against the maintained gram-frequency store under
+        ``state_dir`` (operators/corpus.py substring_index_update —
+        PREFIX semantics: each batch equals the batch operator over the
+        corpus prefix; the kappa counterpart of q_doc_substring_dedup)."""
+        from .operators.corpus import substring_index_update
+
+        spark = new_docs.sparkSession
+        return substring_index_update(spark, state_dir, new_docs, **kwargs)
+
     # -- reconciliation (sqsBucketSync semantics) ---------------------------
     def reconcile(self, storage_listing: DataFrame) -> dict[str, DataFrame]:
         keys = ["database_id", "asset_id"]
