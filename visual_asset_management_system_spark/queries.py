@@ -283,7 +283,7 @@ def q_top_parts(spark, sf_dir):
         .limit(20)
     )
     return (
-        top.join(F.broadcast(t["part"]), top["l_partkey"] == F.col("p_partkey"))
+        F.broadcast(top).join(t["part"], top["l_partkey"] == F.col("p_partkey"))
         .select("l_partkey", "p_name", "revenue")
         .orderBy(F.desc("revenue"), "l_partkey")
     )
@@ -4883,7 +4883,7 @@ def q14_promo_revenue(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -4938,12 +4938,15 @@ def q15_top_supplier(spark, sf_dir):
     # one compute, two consumers (the max probe and the equality join)
     revenue = maybe_checkpoint(revenue, eager=False)
     best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    # the max-revenue winner set is ~1 row — broadcast IT into supplier
+    # (supplier scales with SF; broadcasting it was the 100 TB hazard)
+    winners = revenue.join(
+        F.broadcast(best),
+        F.col("total_revenue") == F.col("max_revenue"),
+    )
     return (
-        revenue.join(
-            F.broadcast(best),
-            F.col("total_revenue") == F.col("max_revenue"),
-        )
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("supplier_no"))
+        t["supplier"]
+        .join(F.broadcast(winners), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -5098,7 +5101,7 @@ def q21_waiting_supplier(spark, sf_dir):
             t["orders"].filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("r_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("r_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_r_lines").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -5301,7 +5304,7 @@ def q09_product_profit(spark, sf_dir):
     red_parts = t["part"].filter(F.col("p_name").contains("red")).select("p_partkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(red_parts, F.col("p_partkey") == F.col("l_partkey"))
         .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -5406,7 +5409,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
@@ -6869,7 +6872,7 @@ def q_referential_audit(spark, sf_dir):
         return (
             t[fact]
             .join(
-                F.broadcast(t[dim].select(pk)),
+                t[dim].select(pk),
                 F.col(fk) == F.col(pk),
                 "left_anti",
             )
@@ -7036,7 +7039,7 @@ def q02_min_cost_supplier(spark, sf_dir):
     cand = (
         t["partsupp"]
         .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(eu, F.col("ps_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "s_acctbal", "s_name", "n_name", "ps_supplycost")
     )
     cand = maybe_checkpoint(cand, eager=False)
@@ -7167,7 +7170,7 @@ def q16_parts_supplier_relationship(spark, sf_dir):
         t["partsupp"]
         .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(complaints),
+            complaints,
             F.col("ps_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -7225,7 +7228,7 @@ def q20_excess_stock_suppliers(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(red_parts),
+            red_parts,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -7960,10 +7963,10 @@ def q_doc_token_pmi(spark, sf_dir):
     return (
         pairs.filter(F.col("c_ab") >= 50)
         .join(
-            F.broadcast(uni.alias("ua")), F.col("tok_a") == F.col("ua.tok")
+            uni.alias("ua"), F.col("tok_a") == F.col("ua.tok")
         )
         .join(
-            F.broadcast(uni.alias("ub")), F.col("tok_b") == F.col("ub.tok")
+            uni.alias("ub"), F.col("tok_b") == F.col("ub.tok")
         )
         .crossJoin(F.broadcast(np_))
         .crossJoin(F.broadcast(nu))
@@ -8289,7 +8292,7 @@ def q_doc_bpe_encode(spark, sf_dir):
         .alias("n_sub"),
     )
     return (
-        docwords.join(F.broadcast(encoded), "word")
+        docwords.join(encoded, "word")
         .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_words"),
