@@ -180,18 +180,26 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
     # each class.
     stale: list[tuple[int, int, str]] = []
     for name, rnd in green.items():
-        gate_ts = round_ts.get(rnd)
-        if gate_ts is None or name not in QUERIES:
+        if name not in QUERIES:
             continue
         try:
             src = inspect.getsource(QUERIES[name])
         except (OSError, TypeError):
             continue
+        # hash drift FIRST, before the gate-timestamp guard: a
+        # fingerprint mismatch proves the source changed since the
+        # snapshot regardless of which round greened it, and the round
+        # in progress never has a `round N: verdict` commit yet — so a
+        # green name edited post-gate in the current round would
+        # otherwise escape both staleness classes (VERDICT r8 #1).
         if name in snapshot:
             blob = src + "\n--oracle--\n" + ORACLES.get(name, "")
             if hashlib.md5(blob.encode()).hexdigest() != snapshot[name]:
                 stale.append((0, rnd, name))
                 continue
+        gate_ts = round_ts.get(rnd)
+        if gate_ts is None:
+            continue
         mods = set(re.findall(r"from \.((?:\w+\.)*\w+) import", src))
         words = set(re.findall(r"\b\w+\b", src))
         mods.update(m for ident, m in top_ident_mod.items() if ident in words)
