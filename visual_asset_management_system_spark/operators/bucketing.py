@@ -17,7 +17,25 @@ current data size; AQE cannot change it after write.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def drop_table(spark: SparkSession, table_name: str, managed: bool = True) -> None:
+    """DROP TABLE IF EXISTS, plus — for managed tables — clear any
+    orphaned warehouse location: the location can survive from a
+    PREVIOUS process (the in-memory catalog forgets it, the warehouse
+    dir doesn't) and ``saveAsTable`` refuses to reuse it."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if managed:
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(
+            os.path.join(warehouse, table_name.lower()), ignore_errors=True
+        )
 
 
 def write_bucketed_table(
@@ -31,7 +49,7 @@ def write_bucketed_table(
     previous version). ``path`` makes it external; otherwise it lands in
     the session warehouse."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    drop_table(spark, table_name, managed=path is None)
     writer = (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, *bucket_keys)
