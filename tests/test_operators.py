@@ -255,6 +255,63 @@ def test_dsir_log_weights_match_python_model(spark):
         assert hashed[i][2] == pytest.approx(want_h[i][2], abs=1e-9), i
 
 
+def test_dsir_gumbel_topk_matches_python_model(spark):
+    """Gumbel-top-k selection (sampling.dsir_gumbel_topk) against a
+    plain-Python model of the hash-derived noise: exact member set AND
+    quantized keys; k >= n returns everything; higher temperature
+    flattens weights (noise dominates) while the same salt keeps the
+    draw fixed; invalid k/temperature raise."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from visual_asset_management_system_spark.operators.sampling import (
+        dsir_gumbel_topk,
+    )
+
+    rows = [(1, 5.0), (2, -3.0), (3, 0.25), (4, 8.5), (5, -0.75), (6, 2.0)]
+    w = spark.createDataFrame(rows, "doc_id long, log_weight double")
+
+    def model_key(doc_id, lw, salt="dsir", temp=1.0):
+        h = int(hashlib.md5(f"{doc_id}|{salt}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        g = -math.log(-math.log(u))
+        return math.floor((lw / temp + g) * 1_000_000 + 0.5)
+
+    want = sorted(
+        ((model_key(i, lw), i) for i, lw in rows), key=lambda t: (-t[0], t[1])
+    )
+    got = {
+        r["doc_id"]: r["gumbel_key"]
+        for r in dsir_gumbel_topk(w, k=3).collect()
+    }
+    assert got == {i: k for k, i in want[:3]}
+    # k >= n: everything selected, keys still exact
+    assert {
+        r["doc_id"]: r["gumbel_key"]
+        for r in dsir_gumbel_topk(w, k=100).collect()
+    } == {i: k for k, i in want}
+    # temperature rescales the weight term only — noise unchanged
+    got_t = {
+        r["doc_id"]: r["gumbel_key"]
+        for r in dsir_gumbel_topk(w, k=6, temperature=100.0).collect()
+    }
+    assert got_t == {
+        i: model_key(i, lw, temp=100.0) for i, lw in rows
+    }
+    # a different salt is an independent draw
+    alt = {
+        r["doc_id"]: r["gumbel_key"]
+        for r in dsir_gumbel_topk(w, k=6, salt="other").collect()
+    }
+    assert alt != {i: k for k, i in want}
+    with _pytest.raises(ValueError):
+        dsir_gumbel_topk(w, k=0)
+    with _pytest.raises(ValueError):
+        dsir_gumbel_topk(w, k=3, temperature=0.0)
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     """Window math: consecutive chunks share exactly `overlap` tokens,
     concatenating chunks minus overlaps reconstructs the token stream,

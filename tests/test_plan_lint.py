@@ -21,6 +21,7 @@ Rules:
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -199,73 +200,109 @@ _EXCHANGE_BUDGET_OVERRIDES: dict[str, int] = {
     "q_doc_dsir": 13,
 }
 
-_SCAN_RE = re.compile(r"Location: [^\[]*\[([^\]]*)")
-_TABLE_RE = re.compile(r"([A-Za-z0-9_]+)\.parquet")
-_EXCHANGE_RE = re.compile(
-    r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition|"
-    r"RoundRobinPartitioning)"
+from visual_asset_management_system_spark.plans.audit import (  # noqa: E402
+    plan_structure,
+    structure_regressions,
 )
 
+#: committed executed-plan-structure baseline at the test SF
+#: (regenerate on INTENTIONAL plan changes:
+#:  ``python scripts/plan_stats.py --test``)
+_BASELINE_PATH = os.path.join(os.path.dirname(__file__), "plan_stats_baseline.json")
 
-def _table_scan_counts(executed_plan: str) -> dict[str, int]:
-    """Per-source-table FileScan counts from an executed-plan string,
-    final AQE plan only (the AdaptiveSparkPlan string repeats the
-    pre-reuse initial plan below a marker — that section is advisory)."""
-    plan = executed_plan.split("== Initial Plan ==")[0]
-    counts: dict[str, int] = {}
-    for loc in _SCAN_RE.finditer(plan):
-        for path in loc.group(1).split(","):
-            m = _TABLE_RE.search(path)
-            if m:
-                counts[m.group(1)] = counts.get(m.group(1), 0) + 1
-    return counts
+
+def _baseline() -> dict[str, dict]:
+    import json
+
+    try:
+        with open(_BASELINE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_executed_plan_scan_budget(spark, name):
-    """Repeated-subtree lint: after execution (so ReuseExchange and
-    lineage-cut checkpoints have done their work), no registered query
-    may scan any single source table more than _SCAN_BUDGET times. A
-    plan that re-runs a shared aggregate per output row (the
-    q_numeric_corr round-6 defect: per-pair select + unionAll over the
-    same moments subtree) multiplies full-corpus scans at 100 TB while
-    every structural lint above still passes — only the executed scan
-    count sees it."""
+    """Repeated-subtree lint + structure-regression gate. After
+    execution (so ReuseExchange and lineage-cut checkpoints have done
+    their work):
+
+    1. no registered query may scan any single source table more than
+       _SCAN_BUDGET times — a plan that re-runs a shared aggregate per
+       output row (the q_numeric_corr round-6 defect) multiplies
+       full-corpus scans at 100 TB while every structural lint above
+       still passes;
+    2. the structure must not GROW past the committed baseline
+       (tests/plan_stats_baseline.json) — the budget catches the
+       catastrophic class, the baseline catches one extra shuffle or
+       duplicate scan the budget's headroom would hide. Bench
+       wall-clock is host-noisy (1.5-3x swings with zero code change);
+       this gate is the noise-proof regression signal. Intentional
+       plan changes: regenerate with ``scripts/plan_stats.py --test``.
+    """
     spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
 
-    def counts_of_run():
+    def structure_of_run():
         df = QUERIES[name](spark, SF)
         df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        final = plan.split("== Initial Plan ==")[0]
-        return (
-            _table_scan_counts(plan),
-            len(_EXCHANGE_RE.findall(final)),
-        )
+        return plan_structure(df)
 
     budget = _SCAN_BUDGET_OVERRIDES.get(name, _SCAN_BUDGET)
     ex_budget = _EXCHANGE_BUDGET_OVERRIDES.get(name, _EXCHANGE_BUDGET)
-    counts, n_ex = counts_of_run()
-    over = {t: n for t, n in counts.items() if n > budget}
-    if over or n_ex > ex_budget:
-        # the first execution may have materialized persisted maintained
-        # state inline (search tables / postings caches), inflating the
-        # scan count with the one-time build — the budget is a
-        # STEADY-STATE contract, so re-plan and re-run warm before
-        # judging (cold builds are the deployment's rebuild job, not the
-        # query's plan)
-        counts, n_ex = counts_of_run()
-        over = {t: n for t, n in counts.items() if n > budget}
-    assert not over, (
-        f"{name} executed plan scans {over} times (budget {budget} "
-        f"per table) — a shared subtree is being re-executed; materialize "
-        f"it once (single aggregate + explode, persist, or checkpoint)"
+    base = _baseline().get(name, {})
+
+    def problems(cur):
+        over = {t: n for t, n in cur["scans"].items() if n > budget}
+        probs = []
+        if over:
+            probs.append(
+                f"{name} executed plan scans {over} times (budget {budget} "
+                f"per table) — a shared subtree is being re-executed; "
+                f"materialize it once"
+            )
+        if cur["exchanges"] > ex_budget:
+            probs.append(
+                f"{name} executed plan holds {cur['exchanges']} Exchanges "
+                f"(budget {ex_budget}) — a branch is re-shuffling"
+            )
+        if "scans" in base:  # names without a baseline entry gate on budget only
+            probs.extend(structure_regressions(cur, base, name))
+        return probs
+
+    cur = structure_of_run()
+    probs = problems(cur)
+    if probs:
+        # AQE can swap a shuffle for a broadcast run-to-run and the
+        # first execution may build maintained state inline — re-run
+        # warm before judging (steady-state contract)
+        cur = structure_of_run()
+        probs = problems(cur)
+    assert not probs, "; ".join(probs) + (
+        "\n(intentional change? regenerate the baseline: "
+        "python scripts/plan_stats.py --test)"
     )
-    assert n_ex <= ex_budget, (
-        f"{name} executed plan holds {n_ex} Exchanges (budget "
-        f"{ex_budget}) — a branch is re-shuffling; co-partition, "
-        f"broadcast the small side, or collapse per-branch aggregates"
-    )
+
+
+def test_structure_regression_comparator():
+    """Contract of the baseline gate's comparator: growth in any
+    per-table scan count or in the exchange count is a regression (the
+    injected-duplicate-subtree class); shrinkage and new baseline-less
+    queries are not."""
+    base = {"scans": {"lineitem": 2, "part": 1}, "exchanges": 4}
+    same = {"scans": {"lineitem": 2, "part": 1}, "exchanges": 4}
+    assert structure_regressions(same, base, "q") == []
+    # one extra scan of an already-read table = duplicate subtree
+    dup = {"scans": {"lineitem": 3, "part": 1}, "exchanges": 4}
+    assert any("lineitem 3x" in p for p in structure_regressions(dup, base, "q"))
+    # a table the baseline never scanned
+    new_tbl = {"scans": {"lineitem": 2, "orders": 1}, "exchanges": 4}
+    assert any("orders 1x" in p for p in structure_regressions(new_tbl, base, "q"))
+    # an extra shuffle
+    reshuffle = {"scans": {"lineitem": 2}, "exchanges": 5}
+    assert any("5 exchanges" in p for p in structure_regressions(reshuffle, base, "q"))
+    # improvements pass silently (folded into the next regenerate)
+    better = {"scans": {"lineitem": 1}, "exchanges": 3}
+    assert structure_regressions(better, base, "q") == []
 
 
 def test_topk_windows_get_group_limit_pushdown(spark):

@@ -260,6 +260,26 @@ def test_more_like_this_facade(spark):
     assert all(r["matched_terms"] >= 2 for r in rows)
 
 
+def test_data_selection_facade(spark):
+    """The training-mix assembly tier is reachable from the facade:
+    dsir_weights / dsir_sample / token_budget wrap the sampling
+    operators with the same defaults the registered queries use."""
+    docs = tables(spark, SF)["documents"].select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    svc = _svc(spark)
+    w = svc.dsir_weights(docs, target, n_buckets=1 << 20)
+    assert {"doc_id", "n_grams", "n_target_leaning", "log_weight"} <= set(
+        w.columns
+    )
+    picked = svc.dsir_sample(docs, target, k=5, n_buckets=1 << 20).collect()
+    assert len(picked) == 5
+    assert {r["doc_id"] for r in picked} <= {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    tb = svc.token_budget(docs, budget=500, salt="tb").collect()
+    assert tb and sum(r["n_tokens"] for r in tb) >= 500
+
+
 def test_percolate_facade(spark):
     svc = _svc(spark)
     pq = spark.createDataFrame(

@@ -240,15 +240,73 @@ def dsir_log_weights(
             ).otherwise(F.lit(0)),
         )
     )
+    # order-independent log_weight: each per-gram addend rounds to
+    # decimal(38,10) (error ≤ 5e-11/gram) and the decimal sum is exact,
+    # so the float total is bit-reproducible across partitionings AND
+    # engines — required once the weight feeds a top-k selection
+    # (dsir_gumbel_topk), where a last-ulp sum difference could flip
+    # membership at the margin
     return scored.groupBy("id").agg(
         F.count(F.col("b")).cast("bigint").alias("n_grams"),
         F.sum("_lean").cast("bigint").alias("n_target_leaning"),
-        F.coalesce(F.sum("_lr"), F.lit(0.0)).alias("log_weight"),
+        F.coalesce(
+            F.sum(F.col("_lr").cast("decimal(38,10)")).cast("double"),
+            F.lit(0.0),
+        ).alias("log_weight"),
     ).select(
         F.col("id").alias(id_col),
         "n_grams",
         "n_target_leaning",
         "log_weight",
+    )
+
+
+def dsir_gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    salt: str = "dsir",
+    temperature: float = 1.0,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """DSIR's selection step (Xie et al. 2023 §2: importance
+    RESAMPLING, not top-weight truncation): sample k documents without
+    replacement with probability ∝ exp(log_weight / temperature) via
+    the Gumbel-top-k trick — add an independent Gumbel(0,1) noise term
+    to each doc's (tempered) log weight and take the k largest keys.
+    Plain top-k over log_weight would concentrate on near-duplicates of
+    the target; the noise realizes the paper's diversity-preserving
+    resample.
+
+    Determinism discipline: the Gumbel is HASH-DERIVED, not RNG —
+    u = (sample_hash(id, salt) + 0.5) / 2³², g = −ln(−ln(u)) — so the
+    selected set is stable across runs/partitionings/engines (the
+    sampling.py content-hash rule; disjoint salts give independent
+    draws). Keys are quantized to a fixed 1/grid grid (the repo's
+    floor-form rounding) with id as the total-order tie-break, making
+    membership integer-exact for the differential oracle.
+
+    Returns ``(id_col, gumbel_key bigint)``, the k selected docs.
+    Scale: orderBy+limit plans TakeOrderedAndProject — per-partition
+    top-k, then a k-row merge on the driver; no global sort.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    u = (sample_hash(F.col(id_col), salt) + F.lit(0.5)) / F.lit(
+        float(_HASH_SPACE)
+    )
+    g = -F.log(-F.log(u))
+    key = F.col(weight_col) / F.lit(float(temperature)) + g
+    return (
+        weights.select(
+            F.col(id_col),
+            F.floor(key * grid + F.lit(0.5)).cast("bigint").alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), id_col)
+        .limit(k)
     )
 
 

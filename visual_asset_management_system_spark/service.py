@@ -452,6 +452,45 @@ class CatalogService:
         spark = new_docs.sparkSession
         return substring_index_update(spark, state_dir, new_docs, **kwargs)
 
+    # -- data selection (training-mix assembly) -----------------------------
+    def dsir_weights(
+        self, raw: DataFrame, target: DataFrame, **kwargs
+    ) -> DataFrame:
+        """DSIR importance log-weights for every ``raw`` doc against a
+        ``target`` corpus (operators/sampling.py dsir_log_weights; Xie
+        et al. 2023). Pass ``n_buckets`` for the hashed 100 TB path."""
+        from .operators.sampling import dsir_log_weights
+
+        return dsir_log_weights(raw, target, **kwargs)
+
+    def dsir_sample(
+        self, raw: DataFrame, target: DataFrame, k: int, **kwargs
+    ) -> DataFrame:
+        """End-to-end DSIR selection: weights + deterministic
+        Gumbel-top-k resample of ``k`` docs (the paper's sampler;
+        operators/sampling.py dsir_gumbel_topk). Weight kwargs go to
+        dsir_log_weights; ``salt``/``temperature`` to the sampler."""
+        from .operators.sampling import dsir_gumbel_topk, dsir_log_weights
+
+        sample_kw = {
+            key: kwargs.pop(key)
+            for key in ("salt", "temperature", "grid")
+            if key in kwargs
+        }
+        id_col = kwargs.get("id_col", "doc_id")
+        w = dsir_log_weights(raw, target, **kwargs)
+        return dsir_gumbel_topk(w, k, id_col=id_col, **sample_kw)
+
+    def token_budget(
+        self, docs: DataFrame, budget: int, **kwargs
+    ) -> DataFrame:
+        """Deterministic token-budget subsample — the hash-ordered
+        corpus prefix whose token total first reaches ``budget``
+        (operators/sampling.py token_budget_sample)."""
+        from .operators.sampling import token_budget_sample
+
+        return token_budget_sample(docs, budget, **kwargs)
+
     # -- reconciliation (sqsBucketSync semantics) ---------------------------
     def reconcile(self, storage_listing: DataFrame) -> dict[str, DataFrame]:
         keys = ["database_id", "asset_id"]
