@@ -85,7 +85,23 @@ BENCH_QUERIES = [
     "q_vams_pagerank",
     # round-8: DSIR data selection
     "q_doc_dsir",
+    # round-9: DSIR Gumbel resample + the skew-guarded link prediction
+    "q_doc_dsir_sample",
+    "q_vams_link_jaccard_guarded",
 ]
+
+
+def normalized(timings: dict[str, float], calib_mc: float) -> dict[str, float]:
+    """Per-query seconds divided by the parallel-throughput calibration
+    (calib_mc_sec) — the number to compare ROUND-OVER-ROUND: raw
+    wall-clock on these shared-CPU hosts swings 1.5-3x with zero code
+    change, while sec/calib_mc is stable to first order because the
+    heavy queries' parallel stages degrade with the same neighbor
+    pressure the calibration loop measures. Empty when calibration
+    itself failed (never fabricate a normal)."""
+    if calib_mc <= 0:
+        return {}
+    return {name: round(sec / calib_mc, 3) for name, sec in timings.items()}
 
 
 def _calibrate() -> float:
@@ -202,7 +218,7 @@ def main() -> None:
     )
 
     def _warm_bm25():
-        postings, stats = asset_inverted_index(t)
+        postings, stats = asset_inverted_index(t, SF_DIR)
         postings.count()
         stats.count()
 
@@ -257,6 +273,7 @@ def main() -> None:
         except ValueError:
             pass
 
+    norm = normalized(timings, calib_mc)
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -265,6 +282,10 @@ def main() -> None:
         "sf": sf,
         "calib_sec": calib,
         "calib_mc_sec": calib_mc,
+        # round-over-round comparable (sec / calib_mc_sec); raw seconds
+        # above remain the ground truth for the ≤29s baseline envelope
+        "queries_normalized": norm,
+        "value_normalized": round(sum(norm.values()), 3),
     }
     if errors:
         out["errors"] = errors

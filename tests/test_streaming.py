@@ -1602,6 +1602,142 @@ def test_suggest_sink_compaction(spark, tmp_path):
     assert after == before and before
 
 
+def test_suggest_compaction_under_replay(spark, tmp_path):
+    """Compaction interleaved with an at-least-once redelivery: after
+    compact_sink rewrites BOTH suggest-store sinks (tokens + serving
+    table), replaying the last batch — same batch_key, same changes —
+    must be a no-op, and the state must still equal a from-scratch
+    rebuild. Pins that compaction preserves everything replay depends
+    on: the partition-rewrite layout and the persisted affected-prefix
+    manifest (the exclude-the-replayed-batch discipline the gram-store
+    compaction tests pin for substring dedup)."""
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        build_suggest_index,
+        suggest_index_update,
+    )
+    from visual_asset_management_system_spark.streaming.cdc import compact_sink
+
+    state = str(tmp_path / "s")
+    schema = (
+        "database_id string, asset_id string, event_name string, "
+        "asset_name string"
+    )
+
+    def batch(rows, key):
+        return suggest_index_update(
+            spark, state, spark.createDataFrame(rows, schema), key
+        )
+
+    for i in range(4):  # enough rewrites to crowd partitions
+        batch([("db", f"a{i}", "INSERT", f"red gadget{i} widget")], f"b{i}")
+    last = [("db", "a1", "MODIFY", "red rocket"), ("db", "a3", "REMOVE", None)]
+    batch(last, "b_last")
+
+    def served():
+        return {
+            tuple(r)
+            for r in spark.read.parquet(state + "/suggest")
+            .select("prefix", "suggestion", "freq", "rank")
+            .collect()
+        }
+
+    def tokens():
+        return {
+            tuple(r)
+            for r in spark.read.parquet(state + "/tokens")
+            .select("database_id", "asset_id", "token", "cnt")
+            .collect()
+        }
+
+    before_suggest, before_tokens = served(), tokens()
+    # threshold 0 forces a rewrite of every populated partition — the
+    # point is compaction RAN, not that the fixture produced small files
+    assert compact_sink(spark, state + "/suggest", max_files_per_partition=0)
+    compact_sink(spark, state + "/tokens", max_files_per_partition=0)
+    assert served() == before_suggest and tokens() == before_tokens
+
+    # the redelivery lands AFTER the maintenance job ran
+    batch(last, "b_last")
+    assert served() == before_suggest and tokens() == before_tokens
+
+    live = spark.createDataFrame(
+        [("db", "a0", "red gadget0 widget"), ("db", "a1", "red rocket"),
+         ("db", "a2", "red gadget2 widget")],
+        "database_id string, asset_id string, asset_name string",
+    )
+    expected = {
+        tuple(r) for r in build_suggest_index(live, "asset_name").collect()
+    }
+    assert served() == expected
+
+
+def test_percolate_sink_compaction_under_replay(spark, tmp_path):
+    """compact_batch_sink coalesces each crowded ``batch=<id>``
+    notification dir WITHOUT crossing batch boundaries, so a replayed
+    micro-batch (overwrite of exactly its own partition) after
+    compaction leaves the served notifications identical — folding rows
+    across batch dirs would let them survive the replay rewrite and
+    duplicate."""
+    import os
+
+    from visual_asset_management_system_spark.operators.inverted_index import (
+        percolate,
+    )
+    from visual_asset_management_system_spark.streaming.cdc import (
+        compact_batch_sink,
+    )
+
+    sink = str(tmp_path / "notify")
+    pq = spark.createDataFrame(
+        [("pq_a", "red", "widget", "and"), ("pq_b", "blue", "rocket", "or")],
+        ["query_id", "term_a", "term_b", "mode"],
+    )
+    schema = (
+        "database_id string, asset_id string, asset_name string, "
+        "description string, seq bigint"
+    )
+    b0 = [("db", "a1", "red widget", "large", 1),
+          ("db", "a2", "blue rocket", "plain", 2)]
+    b1 = [("db", "a3", "red thing", "widget", 3)]
+
+    def run(rows, batch_id):
+        percolate(
+            spark.createDataFrame(rows, schema),
+            pq,
+            ["database_id", "asset_id"],
+            F.concat_ws(" ", F.col("asset_name"), F.col("description")),
+        ).write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+
+    run(b0, 0)
+    run(b1, 1)
+
+    def notifications():
+        return {
+            (r["asset_id"], r["n_queries"], r["matched_queries"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    before = notifications()
+    assert before
+    compacted = compact_batch_sink(spark, sink, max_files_per_partition=0)
+    assert compacted  # something was actually rewritten
+    for d in compacted:  # one file per compacted batch dir
+        files = [
+            f
+            for f in os.listdir(os.path.join(sink, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    assert notifications() == before
+
+    # at-least-once redelivery of batch 0 after the maintenance job
+    run(b0, 0)
+    assert notifications() == before
+    # and compacting again after the replay is still lossless
+    compact_batch_sink(spark, sink, max_files_per_partition=0)
+    assert notifications() == before
+
+
 def test_suggest_stream_two_microbatches(spark, tmp_path):
     """The streaming wrapper maintains the suggest index across
     micro-batches exactly like direct batch calls: insert then rename

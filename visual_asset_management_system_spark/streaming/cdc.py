@@ -430,6 +430,69 @@ def compact_sink(
     return sorted(crowded)
 
 
+def compact_batch_sink(
+    spark: SparkSession,
+    sink_dir: str,
+    partition_col: str = "batch",
+    max_files_per_partition: int = 4,
+) -> list[str]:
+    """Small-file compaction for overwrite-by-batch notification sinks
+    (the percolate stream layout — each micro-batch owns a
+    ``batch=<id>`` directory it idempotently overwrites on replay).
+    Every crowded batch directory coalesces to one file via the same
+    staged aside-then-promote swap as the CDC merge.
+
+    Batch directory BOUNDARIES are preserved: merging across batches
+    would break the sink's replay contract — an at-least-once
+    redelivery overwrites exactly its own batch partition, so rows
+    folded into a neighbouring directory would survive the rewrite and
+    duplicate. Same never-merge-the-replay-key discipline as the gram
+    store's tag-excluded compaction (operators/corpus.
+    compact_gram_store). Returns the compacted partition dir names."""
+    if not os.path.isdir(sink_dir):
+        return []
+    # recovery first: a crash between the swap's renames leaves a batch
+    # dir's only copy in the trash sibling
+    trash = sink_dir.rstrip("/") + ".trash"
+    if os.path.isdir(trash):
+        for d in sorted(os.listdir(trash)):
+            dst = os.path.join(sink_dir, d)
+            if d.startswith(f"{partition_col}=") and not os.path.isdir(dst):
+                os.replace(os.path.join(trash, d), dst)
+        shutil.rmtree(trash, ignore_errors=True)
+    crowded = []
+    for d in os.listdir(sink_dir):
+        if not d.startswith(f"{partition_col}="):
+            continue
+        files = [
+            f
+            for f in os.listdir(os.path.join(sink_dir, d))
+            if f.endswith(".parquet")
+        ]
+        if len(files) > max_files_per_partition:
+            crowded.append(d)
+    staging = sink_dir.rstrip("/") + ".compact"
+    try:
+        for d in sorted(crowded):
+            out = os.path.join(staging, d)
+            spark.read.parquet(os.path.join(sink_dir, d)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(out)
+            os.makedirs(trash, exist_ok=True)
+            aside = os.path.join(trash, d)
+            shutil.rmtree(aside, ignore_errors=True)
+            os.replace(os.path.join(sink_dir, d), aside)
+            os.replace(out, os.path.join(sink_dir, d))
+            shutil.rmtree(aside, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        try:  # leave no empty trash sibling behind
+            os.rmdir(trash)
+        except OSError:
+            pass
+    return sorted(crowded)
+
+
 # ---------------------------------------------------------------------------
 # change routing, derived triggers, event filtering
 # ---------------------------------------------------------------------------
