@@ -54,6 +54,16 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         # deterministic timestamp semantics for the DuckDB differential
         .config("spark.sql.session.timeZone", "UTC")
+        # materialized maintained state (search tables, postings) lands
+        # in managed tables — pin the warehouse next to the package so
+        # the artifact location does not depend on the caller's cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "spark-warehouse",
+            ),
+        )
         # nanosecond parquet timestamps (events.ts) surface as bigint
         # nanos — exact integer math instead of lossy double conversion
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
