@@ -46,17 +46,11 @@ _RECHECK_OVERRIDES: list[str] = [
     # the dependency (e.g. a shared helper imported at queries.py
     # module top rather than inside the query function).
     #
-    # (r6 overrides q_doc_char_lm_score / q_vams_schema_validation
-    # pruned: both driver-green in CORRECTNESS_r06.)
-    #
-    # r8: q21 was rewritten to one scan in round 7 AFTER its only green
-    # row (r5) and the end-of-round hash regenerate erased its
-    # staleness (VERDICT r7 finding #1) — pin it until it re-greens.
-    # The two r3-era names are fingerprint-stable but pinned once to
-    # end the freshness debate (VERDICT r7, next-round item 2).
-    "q21_waiting_supplier",
-    "q_workflow_executions",
-    "q_doc_sample_split",
+    # (r8 pins q21_waiting_supplier / q_workflow_executions /
+    # q_doc_sample_split pruned: all three driver-green in
+    # CORRECTNESS_r08; staleness from the in-round edits they pinned
+    # against is now caught by the hash-drift class, which runs even
+    # for the round in progress.)
 ]
 
 #: the driver's oracle gate checks this many leading queries() entries

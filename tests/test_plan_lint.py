@@ -198,6 +198,8 @@ _EXCHANGE_BUDGET_OVERRIDES: dict[str, int] = {
     # DSIR oracle-parity (unhashed) mode: gram/target/raw dictionaries
     # + three single-row stat aggs; all but three are dictionary-sized
     "q_doc_dsir": 13,
+    # same weight pipeline + the TakeOrderedAndProject selection
+    "q_doc_dsir_sample": 13,
 }
 
 from visual_asset_management_system_spark.plans.audit import (  # noqa: E402

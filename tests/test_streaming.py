@@ -1738,6 +1738,43 @@ def test_percolate_sink_compaction_under_replay(spark, tmp_path):
     assert notifications() == before
 
 
+def test_compact_batch_sink_crash_window_recovers(spark, tmp_path):
+    """compact_batch_sink's swap is aside-then-promote; a crash between
+    the renames leaves a batch dir's only copy in the .trash sibling.
+    The next compaction run must RESTORE it before judging crowding —
+    not read the sink without it (readers would silently drop that
+    batch's notifications)."""
+    import os
+
+    from visual_asset_management_system_spark.streaming.cdc import (
+        compact_batch_sink,
+    )
+
+    sink = str(tmp_path / "notify")
+    for b, rows in [(0, [("a1", 2)]), (1, [("a2", 1)])]:
+        spark.createDataFrame(
+            rows, "asset_id string, n_queries int"
+        ).write.mode("overwrite").parquet(f"{sink}/batch={b}")
+
+    def contents():
+        return {
+            (r["asset_id"], r["n_queries"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    before = contents()
+    # simulate the in-window crash: batch=0 moved aside, never promoted
+    trash = sink + ".trash"
+    os.makedirs(trash, exist_ok=True)
+    os.replace(os.path.join(sink, "batch=0"), os.path.join(trash, "batch=0"))
+    assert not os.path.isdir(os.path.join(sink, "batch=0"))
+
+    compact_batch_sink(spark, sink, max_files_per_partition=0)
+    assert os.path.isdir(os.path.join(sink, "batch=0"))
+    assert not os.path.isdir(trash)
+    assert contents() == before
+
+
 def test_suggest_stream_two_microbatches(spark, tmp_path):
     """The streaming wrapper maintains the suggest index across
     micro-batches exactly like direct batch calls: insert then rename
