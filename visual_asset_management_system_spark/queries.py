@@ -116,7 +116,12 @@ def _materialize(
     spark = df.sparkSession
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     table = f"{name}_{tag}"
-    write_bucketed_table(df, table, bucket_keys)
+    try:
+        write_bucketed_table(df, table, bucket_keys)
+    except Exception:  # noqa: BLE001 — unwritable warehouse (e.g. a
+        # read-only harness cwd under a vanilla session): degrade to the
+        # cache model rather than failing every consumer query
+        return df.persist()
     return spark.table(table)
 
 
@@ -3096,9 +3101,17 @@ def asset_inverted_index(
         from .operators.bucketing import drop_table
 
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        drop_table(spark, f"asset_postings_stats_{tag}")
-        stats.write.mode("overwrite").saveAsTable(f"asset_postings_stats_{tag}")
-        t["asset_postings_stats"] = spark.table(f"asset_postings_stats_{tag}")
+        try:
+            drop_table(spark, f"asset_postings_stats_{tag}")
+            stats.write.mode("overwrite").saveAsTable(
+                f"asset_postings_stats_{tag}"
+            )
+            t["asset_postings_stats"] = spark.table(
+                f"asset_postings_stats_{tag}"
+            )
+        except Exception:  # noqa: BLE001 — same unwritable-warehouse
+            # fallback as _materialize (single-row frame; cache is fine)
+            t["asset_postings_stats"] = stats.persist()
     return t["asset_postings"], t["asset_postings_stats"]
 
 
