@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     # round-9: DSIR Gumbel resample + the skew-guarded link prediction
     "q_doc_dsir_sample",
     "q_vams_link_jaccard_guarded",
+    # round-9: deterministic mergeable sketches (KMV set ops, count-min)
+    "q_kmv_set_ops",
+    "q_cms_heavy_hitters",
 ]
 
 

@@ -2007,3 +2007,150 @@ def test_dedup_substrings_long_doc_linear(spark):
     assert out[1] == ("", 2 * n)
     assert out[2][1] == 0
     assert elapsed < 240, f"long-doc dedup took {elapsed:.1f}s"
+
+
+# ---------------------------------------------------------------------------
+# round 9: mergeable sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def _kmv_model(keys, k, salt="kmv"):
+    """Python model of the KMV sketch: k smallest md5-derived hashes."""
+    import hashlib
+
+    hs = sorted(
+        {
+            int(hashlib.md5(f"{key}|{salt}".encode()).hexdigest()[:8], 16)
+            for key in keys
+        }
+    )
+    return hs[:k]
+
+
+def test_kmv_sketch_matches_model_and_is_layout_invariant(spark):
+    """The sketch equals the Python model exactly, and is identical
+    under repartitioning (content-hash determinism — the property RNG
+    sampling lacks)."""
+    from visual_asset_management_system_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    rows = [(f"g{i % 3}", f"key_{i % 97}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    for variant in (df, df.repartition(7, "key")):
+        out = {
+            r["grp"]: list(r["kmv"])
+            for r in kmv_sketch(variant, "key", ["grp"], k=16).collect()
+        }
+        for g in ("g0", "g1", "g2"):
+            keys = {key for grp, key in rows if grp == g}
+            assert out[g] == _kmv_model(keys, 16), g
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Merge correctness — the lossless-union property the rollup
+    story rests on: merge(sketch(A), sketch(B)) == sketch(A ∪ B),
+    ARRAY-EXACT, for both overlapping and disjoint key sets."""
+    from visual_asset_management_system_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = [(1, f"k{i}") for i in range(150)]
+    b = [(2, f"k{i}") for i in range(100, 300)]  # overlaps a on 100..149
+    df = spark.createDataFrame(a + b, ["seg", "key"])
+    per_seg = kmv_sketch(df, "key", ["seg"], k=32)
+    merged = kmv_merge(per_seg, "kmv", k=32).collect()
+    assert len(merged) == 1
+    union_keys = {k for _, k in a + b}
+    assert list(merged[0]["kmv"]) == _kmv_model(union_keys, 32)
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_above_k(spark):
+    """Below k distinct the estimate IS the exact count; above k it
+    lands within 4σ (σ = 1/√(k−2)) of the truth for a k=64 sketch."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    small = spark.createDataFrame(
+        [(f"k{i % 20}",) for i in range(200)], ["key"]
+    )
+    est = (
+        kmv_sketch(small, "key", k=64)
+        .select(kmv_estimate(F.col("kmv"), 64).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert est == 20.0
+
+    big = spark.createDataFrame([(f"k{i}",) for i in range(5000)], ["key"])
+    est = (
+        kmv_sketch(big, "key", k=64)
+        .select(kmv_estimate(F.col("kmv"), 64).alias("e"))
+        .collect()[0]["e"]
+    )
+    sigma = 1.0 / (62.0**0.5)
+    assert abs(est - 5000) <= 4 * sigma * 5000, est
+
+
+def test_cms_never_underestimates_and_merges_additively(spark):
+    """Count-min guarantees: every point estimate ≥ the true count;
+    estimates from a merged (cell-wise summed) sketch over two segments
+    equal estimates from a sketch of the concatenated data."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.sketches import (
+        cms_build,
+        cms_probe,
+    )
+
+    seg1 = [(f"k{i % 11}",) for i in range(300)]
+    seg2 = [(f"k{i % 7}",) for i in range(200)]
+    d1 = spark.createDataFrame(seg1, ["key"])
+    d2 = spark.createDataFrame(seg2, ["key"])
+    both = spark.createDataFrame(seg1 + seg2, ["key"])
+
+    merged = (
+        cms_build(d1, "key", depth=4, width=16)
+        .unionByName(cms_build(d2, "key", depth=4, width=16))
+        .groupBy("d", "c")
+        .agg(F.sum("cell_cnt").alias("cell_cnt"))
+    )
+    direct = cms_build(both, "key", depth=4, width=16)
+    assert {
+        (r["d"], r["c"]): r["cell_cnt"] for r in merged.collect()
+    } == {(r["d"], r["c"]): r["cell_cnt"] for r in direct.collect()}
+
+    from collections import Counter
+
+    truth = Counter(k for (k,) in seg1 + seg2)
+    keys = spark.createDataFrame([(k,) for k in truth], ["key"])
+    est = {
+        r["key"]: r["cms_est"]
+        for r in cms_probe(keys, direct, "key", depth=4, width=16).collect()
+    }
+    assert set(est) == set(truth)
+    for k, true_cnt in truth.items():
+        assert est[k] >= true_cnt, (k, est[k], true_cnt)
+    # w=16 on 11 keys: total overshoot is bounded by the grid's mass
+    assert sum(est.values()) <= 4 * sum(truth.values())
+
+
+def test_cms_probe_absent_key_estimates_from_collisions_only(spark):
+    """A never-seen key reads whatever collided into its cells — 0 when
+    the grid is wide enough for its cells to be empty."""
+    from visual_asset_management_system_spark.operators.sketches import (
+        cms_build,
+        cms_probe,
+    )
+
+    d = spark.createDataFrame([("present",)] * 5, ["key"])
+    cms = cms_build(d, "key", depth=4, width=2048)
+    probe = spark.createDataFrame([("absent_xyz",)], ["key"])
+    est = cms_probe(probe, cms, "key", depth=4, width=2048).collect()[0][
+        "cms_est"
+    ]
+    assert est == 0

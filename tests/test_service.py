@@ -298,3 +298,25 @@ def test_percolate_facade(spark):
     for v in by_asset.values():
         parts = v.split(",")
         assert parts == sorted(parts)
+
+
+def test_sketch_facade(spark):
+    """The mergeable-sketch tier is reachable from the facade:
+    distinct_sketch / merge_distinct_sketches / frequency_sketch /
+    frequency_probe wrap operators/sketches.py with query defaults."""
+    ev = tables(spark, SF)["events"]
+    svc = _svc(spark)
+    sk = svc.distinct_sketch(ev, "user_id", ["event_type"], k=8)
+    rows = sk.collect()
+    assert rows and all(len(r["kmv"]) <= 8 for r in rows)
+    merged = svc.merge_distinct_sketches(sk, k=8).collect()
+    assert len(merged) == 1 and len(merged[0]["kmv"]) == 8
+    cms = svc.frequency_sketch(ev, "user_id", depth=2, width=32)
+    probed = svc.frequency_probe(
+        ev.select("user_id").distinct(), cms, "user_id", depth=2, width=32
+    ).collect()
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(r["cms_est"] >= exact[r["user_id"]] for r in probed)

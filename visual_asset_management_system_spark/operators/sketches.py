@@ -1,0 +1,223 @@
+"""Mergeable cardinality and frequency sketches: KMV and count-min.
+
+At 100 TB the exact forms of "how many distinct keys" and "how often
+does key x occur" are re-scans: COUNT(DISTINCT) shuffles every distinct
+key and a frequency probe re-aggregates the fact table per question.
+The warehouse answer is a MERGEABLE sketch built once per segment
+(partition / day / source) and combined at query time — union, rollup,
+and set-operation estimates then cost O(segments · sketch_size), never
+another pass over the raw data. This module implements two such
+sketches with fully DETERMINISTIC definitions, so unlike the HLL++ /
+approx_percentile tier (q_approx_sketch_bounds, whose oracle can only
+pin error contracts) their exact values are reproducible cross-engine
+and hash-gate under the differential oracle:
+
+- **KMV (k minimum values)** distinct-count sketch [Bar-Yossef et al.
+  2002; Beyer et al. 2007 "On Synopses for Distinct-Value Estimation
+  Under Multiset Operations"]: the sketch of a key set is the k
+  smallest values of a uniform 32-bit content hash (sampling.py's
+  ``sample_hash`` — md5-derived, identical in Spark and DuckDB). With
+  ``theta`` the k-th minimum, the estimator is ``(k-1)·2³²/theta``
+  (unbiased; relative σ ≈ 1/√(k−2)). Sketches merge by "union then
+  re-take the k smallest", which also yields set-operation estimates:
+  Jaccard ≈ |A∩B∩U_k|/|U_k| over the union's k minima, and
+  ``|A∩B| ≈ Jaccard · est(A∪B)``.
+- **Count-min sketch** [Cormode & Muthukrishnan 2005]: a d×w grid of
+  counters; each key increments one column per row (d independent
+  salted hashes), a point query reads the MINIMUM of its d cells.
+  Estimates never underestimate and overshoot by at most ε·N
+  (ε = e/w) with probability 1−δ (δ = e^−d). The grid is a plain
+  ``(row, col) → count`` relation: map-side combinable on build,
+  cell-wise ADDABLE across segments, and broadcastable on probe.
+
+Scale shape: the KMV build is one distinct-pairs shuffle followed by a
+rank-k window — Spark's WindowGroupLimit pushdown turns ``row_number ≤
+k`` into a per-partition top-k, so no group is ever fully sorted (the
+same physical strategy test_plan_lint pins for the rank-limit tier).
+The CMS build is a single map-side-combinable groupBy on (row, col):
+at most d·w cells regardless of input size. Everything downstream of
+the base aggregations operates on sketch-sized data.
+
+Reference parity: VAMS exposes approximate result totals on its search
+indexes (SURVEY §2.4 "aggregation total / hit counts"); this tier is
+the scale extension of that surface, per the LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sampling import _HASH_SPACE, sample_hash
+
+#: default sketch size — relative σ ≈ 1/√62 ≈ 12.7%
+DEFAULT_K = 64
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = DEFAULT_K,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV distinct sketch of ``key_col``.
+
+    Returns one row per group with ``kmv`` — the ascending array of the
+    k smallest distinct 32-bit content hashes of the key (fewer than k
+    ⇒ the group is in exact mode and ``kmv`` holds every distinct
+    hash). The build is scale-correct by construction: distinct
+    (group, hash) pairs shuffle once, then the rank-k filter runs as a
+    WindowGroupLimit (per-partition top-k, no full per-group sort) and
+    ``collect_list`` is bounded by k.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    group_cols = list(group_cols or [])
+    pairs = df.select(
+        *group_cols, sample_hash(F.col(key_col), salt).alias("__h")
+    ).distinct()
+    w = (
+        Window.partitionBy(*group_cols).orderBy("__h")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("__h")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+
+
+def kmv_theta(sketch: Column) -> Column:
+    """The k-th minimum hash (the sketch's threshold θ) — its last
+    element. In exact mode (size < k) this is just the max hash; the
+    estimator below never consults it on that branch."""
+    return F.element_at(sketch, F.size(sketch))
+
+
+def kmv_estimate(sketch: Column, k: int = DEFAULT_K) -> Column:
+    """Distinct-count estimate from a KMV sketch: exact size when the
+    group had fewer than k distinct hashes, else (k-1)·2³²/θ. Both
+    operands of the division are exact integers, so the double result
+    is bit-identical cross-engine (safe to ROUND and hash-gate)."""
+    return F.when(
+        F.size(sketch) < k, F.size(sketch).cast("double")
+    ).otherwise(F.lit(float((k - 1) * _HASH_SPACE)) / kmv_theta(sketch))
+
+
+def kmv_merge(
+    df: DataFrame,
+    sketch_col: str = "kmv",
+    group_cols: list[str] | None = None,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Merge per-segment KMV sketches (union semantics): concatenate,
+    dedup, re-take the k smallest — per ``group_cols`` rollup level, or
+    one global sketch when no groups are given. Operates on
+    sketch-sized data only (#segments · k hashes); never re-touches the
+    raw relation — the whole point of carrying the sketch."""
+    group_cols = list(group_cols or [])
+    exploded = df.select(
+        *group_cols, F.explode(sketch_col).alias("__h")
+    ).distinct()
+    w = (
+        Window.partitionBy(*group_cols).orderBy("__h")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("__h")
+    )
+    return (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__h")).alias(sketch_col))
+    )
+
+
+def kmv_union_expr(a: Column, b: Column, k: int = DEFAULT_K) -> Column:
+    """Expression-level two-sketch union (for already-collected sketch
+    pairs on one row): sorted distinct concat, first k."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_intersect_count(a: Column, b: Column, union_sketch: Column) -> Column:
+    """|A ∩ B ∩ U_k|: hashes below the union sketch's θ present in both
+    input sketches — the numerator of the KMV Jaccard estimator."""
+    theta = kmv_theta(union_sketch)
+    return F.size(F.filter(F.array_intersect(a, b), lambda x: x <= theta))
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build a deterministic count-min sketch over ``key_col``: one
+    output row per non-empty (row, col) cell with its count. Each input
+    row lands in ``depth`` cells (salted md5 hashes mod ``width``); the
+    explode happens BEFORE the aggregation so the groupBy is map-side
+    combinable down to ≤ depth·width cells per partition. Cells from
+    different segments merge by plain addition (sum on (row, col))."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(
+                        sample_hash(F.col(key_col), f"{salt}{d}"), F.lit(width)
+                    ).alias("c"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(cells.alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+
+
+def cms_probe(
+    keys: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query a count-min sketch for every row of ``keys``: expand
+    each key to its depth cells, join the (broadcast — the grid is ≤
+    depth·width rows by construction) cell relation, take the minimum.
+    Keys hitting an absent cell estimate 0 via the coalesce."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(
+                        sample_hash(F.col(key_col), f"{salt}{d}"), F.lit(width)
+                    ).alias("c"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+    expanded = keys.select("*", cells.alias("cell")).select(
+        *keys.columns, F.col("cell.d").alias("d"), F.col("cell.c").alias("c")
+    )
+    return (
+        expanded.join(F.broadcast(cms), ["d", "c"], "left")
+        .groupBy(*keys.columns)
+        .agg(F.min(F.coalesce("cell_cnt", F.lit(0))).alias(est_col))
+    )

@@ -9422,3 +9422,263 @@ def q_vams_recency_decay(spark, sf_dir):
         .orderBy(F.desc("score"), "database_id", "asset_id", "file_key")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: mergeable sketch tier — deterministic KMV + count-min
+# (operators/sketches.py; the SQL-reproducible complement of the
+#  error-contract HLL tier in q_approx_sketch_bounds)
+# ---------------------------------------------------------------------------
+
+_O_KMV_H = (
+    "('0x' || substr(md5(CAST({key} AS VARCHAR) || '|kmv'), 1, 8))::BIGINT"
+)
+#: (k-1)·2³² for k=64 — exact in double on both engines
+_O_KMV_EST = "63 * 4294967296.0"
+
+
+@query(
+    "q_kmv_distinct",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT o_orderpriority,
+               {_O_KMV_H.format(key='o_custkey')} AS h
+        FROM orders
+    ),
+    tk AS (
+        SELECT o_orderpriority, h FROM h
+        QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+                <= 64
+    ),
+    sk AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS sketch_size,
+               MAX(h) AS theta,
+               ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                          ELSE {_O_KMV_EST} / MAX(h) END, 4) AS est_keys
+        FROM tk GROUP BY o_orderpriority
+    ),
+    ex AS (
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_keys
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT sk.o_orderpriority, ex.exact_keys, sk.sketch_size, sk.theta,
+           sk.est_keys,
+           CAST(ABS(sk.est_keys - ex.exact_keys) <= 0.4 * ex.exact_keys
+                AS BOOLEAN) AS in_bounds
+    FROM sk JOIN ex USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per order priority (k=64 minimum
+    md5-derived hashes of o_custkey; operators/sketches.py). Unlike the
+    HLL++ tier (q_approx_sketch_bounds) the sketch is DETERMINISTIC, so
+    the estimate itself hash-gates under the differential oracle — the
+    exact distinct count rides along only to exhibit the ≈1/√62 error
+    contract (in_bounds pins |est−exact| ≤ 0.4·exact ≈ 3σ). Build shape
+    at scale: one distinct-pairs shuffle, then WindowGroupLimit top-k —
+    no group is ever fully sorted, and the k-array is the ONLY state
+    that leaves the executor."""
+    from .operators.sketches import kmv_estimate, kmv_sketch, kmv_theta
+
+    t = tables(spark, sf_dir)
+    sk = kmv_sketch(t["orders"], "o_custkey", ["o_orderpriority"], k=64)
+    ex = t["orders"].groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_keys")
+    )
+    est = F.round(kmv_estimate(F.col("kmv"), 64), 4)
+    return (
+        sk.join(ex, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_keys",
+            F.size("kmv").cast("bigint").alias("sketch_size"),
+            kmv_theta(F.col("kmv")).alias("theta"),
+            est.alias("est_keys"),
+            (
+                F.abs(est - F.col("exact_keys")) <= 0.4 * F.col("exact_keys")
+            ).alias("in_bounds"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_kmv_set_ops",
+    f"""
+    WITH y AS (
+        SELECT DISTINCT EXTRACT(YEAR FROM o_orderdate) AS yr, o_custkey
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+    ),
+    h AS (
+        SELECT DISTINCT yr, {_O_KMV_H.format(key='o_custkey')} AS h FROM y
+    ),
+    tk AS (
+        SELECT yr, h FROM h
+        QUALIFY row_number() OVER (PARTITION BY yr ORDER BY h) <= 64
+    ),
+    uk AS (SELECT DISTINCT h FROM tk ORDER BY h LIMIT 64),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ksz, MAX(h) AS theta,
+               CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE {_O_KMV_EST} / MAX(h) END AS est
+        FROM uk
+    ),
+    cm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS common_minima
+        FROM (SELECT h FROM tk WHERE yr = 1995
+              INTERSECT
+              SELECT h FROM tk WHERE yr = 1996) i, st
+        WHERE i.h <= st.theta
+    ),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS union_exact,
+               CAST(COUNT(*) FILTER (WHERE ny = 2) AS BIGINT) AS inter_exact
+        FROM (SELECT o_custkey, COUNT(DISTINCT yr) AS ny FROM y GROUP BY 1)
+    )
+    SELECT ex.union_exact,
+           ROUND(st.est, 4) AS union_est,
+           ex.inter_exact,
+           ROUND((CAST(cm.common_minima AS DOUBLE) / st.ksz) * st.est, 4)
+               AS inter_est,
+           ROUND(CAST(cm.common_minima AS DOUBLE) / st.ksz, 6) AS jaccard_est,
+           st.ksz AS union_sketch_size,
+           st.theta,
+           cm.common_minima
+    FROM st, cm, ex
+    """,
+)
+def q_kmv_set_ops(spark, sf_dir):
+    """KMV set-operation estimates WITHOUT rescanning the raw relation:
+    per-year (1995/1996) customer sketches of k=64 minimum hashes merge
+    by union-then-retake-k; the union's θ then prices the union
+    cardinality and the count of shared minima below θ gives the
+    Jaccard / intersection estimators (Beyer et al. 2007). Everything
+    after the two base aggregations is expression-level array math on
+    two 64-element sketches — the exact columns (union_exact,
+    inter_exact) ride along as the accuracy exhibit and are the ONLY
+    reason orders is scanned twice; a deployment keeps just the
+    sketches. All estimator arithmetic is integer-derived IEEE division
+    — deterministic cross-engine, hash-gated."""
+    from .operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_count,
+        kmv_sketch,
+        kmv_theta,
+        kmv_union_expr,
+    )
+
+    t = tables(spark, sf_dir)
+    o = (
+        t["orders"]
+        .select(F.year("o_orderdate").alias("yr"), "o_custkey")
+        .filter(F.col("yr").isin(1995, 1996))
+    )
+    sk = kmv_sketch(o, "o_custkey", ["yr"], k=64)
+    one = sk.groupBy().agg(
+        F.coalesce(
+            F.first(
+                F.when(F.col("yr") == 1995, F.col("kmv")), ignorenulls=True
+            ),
+            F.array().cast("array<bigint>"),
+        ).alias("a"),
+        F.coalesce(
+            F.first(
+                F.when(F.col("yr") == 1996, F.col("kmv")), ignorenulls=True
+            ),
+            F.array().cast("array<bigint>"),
+        ).alias("b"),
+    )
+    u = one.select(
+        "a", "b", kmv_union_expr(F.col("a"), F.col("b"), 64).alias("u")
+    ).select(
+        F.size("u").cast("bigint").alias("union_sketch_size"),
+        kmv_theta(F.col("u")).alias("theta"),
+        kmv_estimate(F.col("u"), 64).alias("est"),
+        kmv_intersect_count(F.col("a"), F.col("b"), F.col("u"))
+        .cast("bigint")
+        .alias("common_minima"),
+    )
+    ex = (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("yr").alias("ny"))
+        .agg(
+            F.count(F.lit(1)).alias("union_exact"),
+            F.count(F.when(F.col("ny") == 2, F.lit(1))).alias("inter_exact"),
+        )
+    )
+    jac = F.col("common_minima").cast("double") / F.col("union_sketch_size")
+    return u.crossJoin(F.broadcast(ex)).select(
+        "union_exact",
+        F.round("est", 4).alias("union_est"),
+        "inter_exact",
+        F.round(jac * F.col("est"), 4).alias("inter_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        "union_sketch_size",
+        "theta",
+        "common_minima",
+    )
+
+
+@query(
+    "q_cms_heavy_hitters",
+    """
+    WITH cells AS (
+        SELECT s.d AS d,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                                    || '|cms' || CAST(s.d AS VARCHAR)),
+                                1, 8))::BIGINT % 64) AS c,
+               COUNT(*) AS cell_cnt
+        FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(d)
+        GROUP BY 1, 2
+    ),
+    users AS (
+        SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+    ),
+    probe AS (
+        SELECT u.user_id, u.exact_cnt, MIN(c.cell_cnt) AS cms_est
+        FROM users u
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(d)
+        JOIN cells c
+          ON c.d = s.d
+         AND c.c = (('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                                        || '|cms' || CAST(s.d AS VARCHAR)),
+                                    1, 8))::BIGINT % 64)
+        GROUP BY 1, 2
+    )
+    SELECT user_id, exact_cnt, cms_est,
+           CAST(cms_est >= exact_cnt AS BOOLEAN) AS never_under
+    FROM probe
+    ORDER BY exact_cnt DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min frequency sketch over per-user event counts (d=4
+    salted hashes × w=64 columns; operators/sketches.py cms_build /
+    cms_probe), probed for the 20 heaviest users. The 4×64 grid is
+    deterministic, so the ESTIMATES hash-gate — never_under pins the
+    sketch's one-sided error guarantee (min of d cells ≥ true count,
+    over by ≤ e·N/w w.h.p.). Scale shape: the build is one map-side-
+    combinable groupBy bounded at d·w cells regardless of input rows;
+    the grid broadcasts on probe; cells from different segments merge
+    by addition — frequency rollups without re-scanning the events."""
+    from .operators.sketches import cms_build, cms_probe
+
+    t = tables(spark, sf_dir)
+    ev = t["events"]
+    cms = cms_build(ev, "user_id", depth=4, width=64)
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        cms_probe(users, cms, "user_id", depth=4, width=64)
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_under"),
+        )
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(20)
+    )

@@ -491,6 +491,44 @@ class CatalogService:
 
         return token_budget_sample(docs, budget, **kwargs)
 
+    # -- mergeable sketches (segment-level synopses) -------------------------
+    def distinct_sketch(
+        self, df: DataFrame, key_col: str, group_cols=None, **kwargs
+    ) -> DataFrame:
+        """Per-group KMV distinct-count sketch (operators/sketches.py
+        kmv_sketch): k minimum content hashes per group — mergeable via
+        ``merge_distinct_sketches``, priced via kmv_estimate. Built once
+        per segment, it answers any later distinct-count rollup without
+        re-reading the raw relation."""
+        from .operators.sketches import kmv_sketch
+
+        return kmv_sketch(df, key_col, group_cols, **kwargs)
+
+    def merge_distinct_sketches(self, sketches: DataFrame, **kwargs) -> DataFrame:
+        """Union-merge KMV sketches to a coarser rollup level
+        (operators/sketches.py kmv_merge) — sketch-sized work only."""
+        from .operators.sketches import kmv_merge
+
+        return kmv_merge(sketches, **kwargs)
+
+    def frequency_sketch(
+        self, df: DataFrame, key_col: str, **kwargs
+    ) -> DataFrame:
+        """Deterministic count-min grid over ``key_col`` (operators/
+        sketches.py cms_build); cells add across segments."""
+        from .operators.sketches import cms_build
+
+        return cms_build(df, key_col, **kwargs)
+
+    def frequency_probe(
+        self, keys: DataFrame, cms: DataFrame, key_col: str, **kwargs
+    ) -> DataFrame:
+        """Point-query a count-min grid for every row of ``keys``
+        (operators/sketches.py cms_probe; never underestimates)."""
+        from .operators.sketches import cms_probe
+
+        return cms_probe(keys, cms, key_col, **kwargs)
+
     # -- reconciliation (sqsBucketSync semantics) ---------------------------
     def reconcile(self, storage_listing: DataFrame) -> dict[str, DataFrame]:
         keys = ["database_id", "asset_id"]
