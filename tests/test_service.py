@@ -320,3 +320,23 @@ def test_sketch_facade(spark):
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert all(r["cms_est"] >= exact[r["user_id"]] for r in probed)
+
+
+def test_kmv_store_facade(spark, tmp_path):
+    """Maintained KMV store round-trip through the facade."""
+    ev = tables(spark, SF)["events"]
+    svc = _svc(spark)
+    store = str(tmp_path / "kmv_store")
+    svc.distinct_sketch_update(
+        store, ev, "user_id", group_cols=["event_type"], k=8, batch_key="b0"
+    )
+    sk = svc.distinct_sketch_read(
+        spark, store, group_cols=["event_type"], k=8
+    ).collect()
+    direct = {
+        r["event_type"]: list(r["kmv"])
+        for r in svc.distinct_sketch(
+            ev, "user_id", ["event_type"], k=8
+        ).collect()
+    }
+    assert {r["event_type"]: list(r["kmv"]) for r in sk} == direct

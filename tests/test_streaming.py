@@ -2709,3 +2709,120 @@ def test_cdc_merge_randomized_against_dict_model(spark, tmp_path, mode):
                 model[a] = f"NAME {a.split('_')[1]}"
         apply_cdc_batch(batch, recompute, sink, commit_mode=mode)
         assert _sink_rows(spark, sink, mode) == model
+
+
+def test_kmv_store_split_replay_and_compaction_equivalence(spark, tmp_path):
+    """Maintained KMV store (operators/sketches.py): any batch split,
+    an at-least-once replay, AND a compaction all yield the exact batch
+    sketch — the join-semilattice property the store's no-exclude-tags
+    design rests on. Compaction re-bounds the store to ≤ groups·k rows
+    and a simulated crash between its two renames heals on next read."""
+    import random as _random
+
+    from visual_asset_management_system_spark.operators.sketches import (
+        compact_kmv_store,
+        kmv_sketch,
+        kmv_store_sketch,
+        kmv_store_update,
+    )
+
+    rng = _random.Random(9)
+    rows = [(f"g{i % 2}", f"key_{rng.randrange(400)}") for i in range(900)]
+    store = str(tmp_path / "kmv_store")
+    splits = sorted(rng.sample(range(1, 900), 3)) + [900]
+    lo = 0
+    for i, hi in enumerate(splits):
+        batch = spark.createDataFrame(rows[lo:hi], ["grp", "key"])
+        kmv_store_update(
+            spark, store, batch, "key", ["grp"], k=16, batch_key=f"b{i}"
+        )
+        lo = hi
+    # replay batch 1 (at-least-once redelivery)
+    kmv_store_update(
+        spark,
+        store,
+        spark.createDataFrame(rows[splits[0] : splits[1]], ["grp", "key"]),
+        "key",
+        ["grp"],
+        k=16,
+        batch_key="b1-replay",
+    )
+
+    want = {
+        r["grp"]: list(r["kmv"])
+        for r in kmv_sketch(
+            spark.createDataFrame(rows, ["grp", "key"]), "key", ["grp"], k=16
+        ).collect()
+    }
+    got = {
+        r["grp"]: list(r["kmv"])
+        for r in kmv_store_sketch(spark, store, ["grp"], k=16).collect()
+    }
+    assert got == want
+
+    n = compact_kmv_store(spark, store, ["grp"], k=16)
+    assert n <= 2 * 16
+    after = {
+        r["grp"]: list(r["kmv"])
+        for r in kmv_store_sketch(spark, store, ["grp"], k=16).collect()
+    }
+    assert after == want
+
+    # crash window: store moved aside, replacement not yet in place
+    minima = os.path.join(store, "minima")
+    os.replace(minima, minima + ".old")
+    healed = {
+        r["grp"]: list(r["kmv"])
+        for r in kmv_store_sketch(spark, store, ["grp"], k=16).collect()
+    }
+    assert healed == want
+
+
+def test_kmv_sketch_stream_matches_batch(spark, tmp_path):
+    """Streaming form: two micro-batches through start_kmv_sketch_stream
+    leave a store whose sketch equals the one-shot batch sketch."""
+    from visual_asset_management_system_spark.operators.sketches import (
+        kmv_sketch,
+        kmv_store_sketch,
+        start_kmv_sketch_stream,
+    )
+
+    docs_dir = str(tmp_path / "kmv_in")
+    os.makedirs(docs_dir)
+    store = str(tmp_path / "kmv_stream_store")
+    ckpt = str(tmp_path / "kmv_ckpt")
+
+    def write_batch(name, rows):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for seg, key in rows:
+                f.write(json.dumps({"seg": seg, "key": key}) + "\n")
+
+    b1 = [("s1", f"k{i}") for i in range(120)]
+    b2 = [("s1", f"k{i}") for i in range(80, 260)] + [
+        ("s2", f"k{i}") for i in range(40)
+    ]
+    write_batch("b1.json", b1)
+    q = start_kmv_sketch_stream(
+        spark, docs_dir, store, ckpt, "seg string, key string", "key",
+        ["seg"], k=16,
+    )
+    q.awaitTermination(120)
+    write_batch("b2.json", b2)
+    q2 = start_kmv_sketch_stream(
+        spark, docs_dir, store, ckpt, "seg string, key string", "key",
+        ["seg"], k=16,
+    )
+    q2.awaitTermination(120)
+
+    want = {
+        r["seg"]: list(r["kmv"])
+        for r in kmv_sketch(
+            spark.createDataFrame(b1 + b2, ["seg", "key"]), "key", ["seg"],
+            k=16,
+        ).collect()
+    }
+    got = {
+        r["seg"]: list(r["kmv"])
+        for r in kmv_store_sketch(spark, store, ["seg"], k=16).collect()
+    }
+    assert got == want

@@ -55,6 +55,41 @@ from .sampling import _HASH_SPACE, sample_hash
 DEFAULT_K = 64
 
 
+def _topk_hashes(
+    hashed: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Per-group k smallest distinct ``__h`` values, as rows. The
+    rank-k filter runs as a WindowGroupLimit (per-partition top-k, no
+    full per-group sort)."""
+    w = (
+        Window.partitionBy(*group_cols).orderBy("__h")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("__h")
+    )
+    return (
+        hashed.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _minima_rows(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int,
+    salt: str,
+) -> DataFrame:
+    """Per-group k minimum content hashes of ``key_col``, as rows."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    pairs = df.select(
+        *group_cols, sample_hash(F.col(key_col), salt).alias("__h")
+    )
+    return _topk_hashes(pairs, group_cols, k)
+
+
 def kmv_sketch(
     df: DataFrame,
     key_col: str,
@@ -72,20 +107,9 @@ def kmv_sketch(
     WindowGroupLimit (per-partition top-k, no full per-group sort) and
     ``collect_list`` is bounded by k.
     """
-    if k < 2:
-        raise ValueError("k must be >= 2 (the estimator divides by k-1)")
     group_cols = list(group_cols or [])
-    pairs = df.select(
-        *group_cols, sample_hash(F.col(key_col), salt).alias("__h")
-    ).distinct()
-    w = (
-        Window.partitionBy(*group_cols).orderBy("__h")
-        if group_cols
-        else Window.partitionBy(F.lit(1)).orderBy("__h")
-    )
     return (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
+        _minima_rows(df, key_col, group_cols, k, salt)
         .groupBy(*group_cols)
         .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
     )
@@ -221,3 +245,166 @@ def cms_probe(
         .groupBy(*keys.columns)
         .agg(F.min(F.coalesce("cell_cnt", F.lit(0))).alias(est_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# maintained KMV store (kappa form)
+# ---------------------------------------------------------------------------
+#
+# KMV state is a JOIN-SEMILATTICE: the merge ("union the hash sets,
+# keep the k smallest") is idempotent, commutative, and associative.
+# That makes this the simplest maintained store in the engine — unlike
+# the substring-dedup gram store (corpus.py, whose per-batch COUNTS
+# must dedupe replays by tag) an at-least-once redelivery here is
+# exactly-once FOR FREE: re-appended minima are duplicates the reader's
+# distinct removes. No exclude-tags machinery, no commit ordering
+# between sink and state; the only discipline the store needs is the
+# two-rename compaction swap shared with every other store rewrite.
+
+
+def _recover_kmv_store(minima_dir: str) -> None:
+    """Heal the compaction swap's crash window (the corpus.py
+    _recover_gram_store discipline): if a crash landed between the two
+    renames, the minima sit complete in ``minima.old`` — restore the
+    aside before any reader sees an empty store."""
+    import os as _os
+
+    aside = minima_dir + ".old"
+    if not _os.path.isdir(minima_dir) and _os.path.isdir(aside):
+        _os.replace(aside, minima_dir)
+
+
+def _minima_dir(store_dir: str) -> str:
+    import os as _os
+
+    return _os.path.join(store_dir, "minima")
+
+
+def kmv_store_update(
+    spark,
+    store_dir: str,
+    new_df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = DEFAULT_K,
+    salt: str = "kmv",
+    batch_key: str | None = None,
+) -> None:
+    """One incremental step of a maintained KMV store: append the NEW
+    batch's per-group k minima (≤ groups·k rows — the batch is reduced
+    before anything touches the store) tagged with the batch key for
+    audit. The store itself is never read on the write path, so updates
+    from a backfill are one bounded blind append each; on a lakehouse
+    runtime this is an INSERT into a clustered table."""
+    group_cols = list(group_cols or [])
+    minima = _minima_rows(new_df, key_col, group_cols, k, salt)
+    _recover_kmv_store(_minima_dir(store_dir))
+    minima.withColumn(
+        "batch_key", F.lit(batch_key).cast("string")
+    ).write.mode("append").parquet(_minima_dir(store_dir))
+
+
+def kmv_store_sketch(
+    spark,
+    store_dir: str,
+    group_cols: list[str] | None = None,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Current sketches from a maintained store: distinct the appended
+    minima, re-take the k smallest per group. By the semilattice
+    property this equals ``kmv_sketch`` over the union of every batch
+    ever appended — regardless of batch boundaries, ordering, or
+    replays (tested). Pass ``group_cols=[]`` (default) for a store
+    built without groups. Reader work grows with appended batches until
+    ``compact_kmv_store`` re-bounds it."""
+    group_cols = list(group_cols or [])
+    _recover_kmv_store(_minima_dir(store_dir))
+    rows = spark.read.parquet(_minima_dir(store_dir)).select(
+        *group_cols, "__h"
+    )
+    return (
+        _topk_hashes(rows, group_cols, k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+
+
+def compact_kmv_store(
+    spark,
+    store_dir: str,
+    group_cols: list[str] | None = None,
+    k: int = DEFAULT_K,
+) -> int:
+    """Re-bound the store to ≤ groups·k rows: keep only each group's k
+    smallest minima under a synthetic tag. Unlike the gram store's
+    compaction no replay tags need excluding — a replayed append after
+    compaction re-adds rows the semilattice merge absorbs. Crash
+    safety: two renames with _recover_kmv_store healing the window.
+    Single-writer maintenance job (the store-rewrite assumption shared
+    by every maintained store here). Returns the post-compaction row
+    count."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    group_cols = list(group_cols or [])
+    minima_dir = _minima_dir(store_dir)
+    _recover_kmv_store(minima_dir)
+    if not _os.path.isdir(minima_dir):
+        return 0
+    rows = spark.read.parquet(minima_dir).select(*group_cols, "__h")
+    compacted = _topk_hashes(rows, group_cols, k).withColumn(
+        "batch_key", F.lit("compacted-" + _uuid.uuid4().hex[:8])
+    )
+    tmp = minima_dir + ".compact-tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    compacted.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    aside = minima_dir + ".old"
+    _shutil.rmtree(aside, ignore_errors=True)
+    _os.replace(minima_dir, aside)
+    _os.replace(tmp, minima_dir)
+    _shutil.rmtree(aside, ignore_errors=True)
+    return n
+
+
+def start_kmv_sketch_stream(
+    spark,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = DEFAULT_K,
+    salt: str = "kmv",
+    trigger_once: bool = True,
+):
+    """Structured Streaming wrapper: a file-source stream feeds the
+    maintained KMV store one bounded append per micro-batch (the kappa
+    loop of dedup.start_minhash_dedup_stream, with the simpler
+    crash story the semilattice buys — a replayed micro-batch's
+    re-append is absorbed by the reader's distinct, so there is no
+    sink/state commit ordering to get right)."""
+    stream = spark.readStream.schema(schema).format("json").load(docs_dir)
+
+    def handle(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        kmv_store_update(
+            spark,
+            store_dir,
+            batch,
+            key_col,
+            group_cols,
+            k,
+            salt,
+            batch_key=f"b{batch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

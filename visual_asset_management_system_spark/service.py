@@ -529,6 +529,25 @@ class CatalogService:
 
         return cms_probe(keys, cms, key_col, **kwargs)
 
+    def distinct_sketch_update(
+        self, store_dir: str, new_df: DataFrame, key_col: str, **kwargs
+    ) -> None:
+        """Append a batch's per-group minima to a maintained KMV store
+        (operators/sketches.py kmv_store_update — idempotent under
+        replay; read back via ``distinct_sketch_read``)."""
+        from .operators.sketches import kmv_store_update
+
+        kmv_store_update(
+            new_df.sparkSession, store_dir, new_df, key_col, **kwargs
+        )
+
+    def distinct_sketch_read(self, spark, store_dir: str, **kwargs) -> DataFrame:
+        """Current sketches of a maintained KMV store
+        (operators/sketches.py kmv_store_sketch)."""
+        from .operators.sketches import kmv_store_sketch
+
+        return kmv_store_sketch(spark, store_dir, **kwargs)
+
     # -- reconciliation (sqsBucketSync semantics) ---------------------------
     def reconcile(self, storage_listing: DataFrame) -> dict[str, DataFrame]:
         keys = ["database_id", "asset_id"]
