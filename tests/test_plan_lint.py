@@ -200,6 +200,12 @@ _EXCHANGE_BUDGET_OVERRIDES: dict[str, int] = {
     "q_doc_dsir": 13,
     # same weight pipeline + the TakeOrderedAndProject selection
     "q_doc_dsir_sample": 13,
+    # two-level sketch rollup DEMO: segment build (2) + merge (2) +
+    # n_segments (1) + the exact-comparator countDistinct exhibit (2)
+    # + final sort/join staging; every post-base exchange is
+    # sketch-sized (≤ groups·k rows). The deployment path — merging
+    # PRE-BUILT segment sketches — is 2 exchanges (see kmv_merge).
+    "q_kmv_rollup": 10,
 }
 
 from visual_asset_management_system_spark.plans.audit import (  # noqa: E402

@@ -9682,3 +9682,86 @@ def q_cms_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("exact_cnt"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "q_kmv_rollup",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT o_orderpriority,
+               EXTRACT(YEAR FROM o_orderdate) AS yr,
+               {_O_KMV_H.format(key='o_custkey')} AS h
+        FROM orders
+    ),
+    seg AS (
+        SELECT o_orderpriority, yr, h FROM h
+        QUALIFY row_number() OVER (PARTITION BY o_orderpriority, yr
+                                   ORDER BY h) <= 64
+    ),
+    segs AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT yr) AS BIGINT) AS n_segments
+        FROM seg GROUP BY o_orderpriority
+    ),
+    merged AS (
+        SELECT o_orderpriority, h
+        FROM (SELECT DISTINCT o_orderpriority, h FROM seg)
+        QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+                <= 64
+    ),
+    sk AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS sketch_size,
+               ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                          ELSE {_O_KMV_EST} / MAX(h) END, 4) AS est_keys
+        FROM merged GROUP BY o_orderpriority
+    ),
+    ex AS (
+        SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_keys
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT sk.o_orderpriority, segs.n_segments, sk.sketch_size, sk.est_keys,
+           ex.exact_keys
+    FROM sk JOIN segs USING (o_orderpriority) JOIN ex USING (o_orderpriority)
+    ORDER BY sk.o_orderpriority
+    """,
+)
+def q_kmv_rollup(spark, sf_dir):
+    """Sketch ROLLUP without rescan: per-(priority, year) segment
+    sketches — the granularity a deployment materializes (think daily
+    partitions) — merge up to priority level via kmv_merge, touching
+    only segments·k hashes. Because min-merge is lossless (every union
+    minimum is a minimum of the segment that contains it), the merged
+    estimates provably equal the direct per-priority sketch's
+    (q_kmv_distinct) — THE property that lets segment sketches answer
+    any coarser ad-hoc rollup. Exact counts ride along as the accuracy
+    exhibit; n_segments shows what was merged."""
+    from .operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
+
+    t = tables(spark, sf_dir)
+    seg = kmv_sketch(
+        t["orders"].withColumn("yr", F.year("o_orderdate")),
+        "o_custkey",
+        ["o_orderpriority", "yr"],
+        k=64,
+    )
+    # seg is one row per (priority, yr) — plain count, no distinct agg
+    segs = seg.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_segments")
+    )
+    rolled = kmv_merge(seg, "kmv", ["o_orderpriority"], k=64)
+    ex = t["orders"].groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_keys")
+    )
+    return (
+        rolled.join(segs, "o_orderpriority")
+        .join(ex, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_segments",
+            F.size("kmv").cast("bigint").alias("sketch_size"),
+            F.round(kmv_estimate(F.col("kmv"), 64), 4).alias("est_keys"),
+            "exact_keys",
+        )
+        .orderBy("o_orderpriority")
+    )
