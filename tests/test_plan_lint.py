@@ -324,6 +324,11 @@ def test_topk_windows_get_group_limit_pushdown(spark):
         "q_vams_suggest",
         "q_knn_join",
         "q_events_trending",
+        # the KMV sketch build's rank-k filter (operators/sketches.py
+        # _topk_hashes) — without pushdown a hot group sorts ALL its
+        # distinct hashes instead of keeping k per partition
+        "q_kmv_distinct",
+        "q_kmv_rollup",
     ]:
         plan = (
             QUERIES[name](spark, SF)
