@@ -2154,3 +2154,24 @@ def test_cms_probe_absent_key_estimates_from_collisions_only(spark):
         "cms_est"
     ]
     assert est == 0
+
+
+def test_group_cap_deterministic_and_bounded(spark):
+    """group_cap keeps at most k rows per group, the SAME rows under
+    any partitioning, and all rows of groups already under the cap."""
+    from visual_asset_management_system_spark.operators.sampling import (
+        group_cap,
+    )
+
+    rows = [(f"s{i % 4}", i) for i in range(200)] + [("tiny", 999)]
+    df = spark.createDataFrame(rows, ["src", "doc"])
+    picks = []
+    for variant in (df, df.repartition(9, "doc"), df.coalesce(1)):
+        out = group_cap(variant, ["src"], "doc", k=7).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["src"], set()).add(r["doc"])
+        assert all(len(v) <= 7 for v in by_src.values())
+        assert by_src["tiny"] == {999}
+        picks.append(by_src)
+    assert picks[0] == picks[1] == picks[2]

@@ -329,6 +329,7 @@ def test_topk_windows_get_group_limit_pushdown(spark):
         # distinct hashes instead of keeping k per partition
         "q_kmv_distinct",
         "q_kmv_rollup",
+        "q_doc_source_cap",
     ]:
         plan = (
             QUERIES[name](spark, SF)

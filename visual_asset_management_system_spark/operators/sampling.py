@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _HASH_SPACE = 1 << 32
 
@@ -72,6 +73,33 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def group_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``k`` rows per group,
+    chosen by content-hash order of ``key_col`` (tie-broken by the key
+    itself) — the standard "at most N documents per domain/source"
+    training-mix guard. Because selection is a pure function of
+    content, the kept set is stable across runs, cluster sizes, and
+    repartitionings (and reproducible by the DuckDB oracle), unlike an
+    RNG or arrival-order cap. The rank filter compiles to
+    WindowGroupLimit: each partition retains ≤ k rows per group before
+    the final per-group merge, so a hot group (one domain holding half
+    the corpus) never materializes or sorts its full extent."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        sample_hash(F.col(key_col), salt), key_col
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def mix_corpora(

@@ -9765,3 +9765,102 @@ def q_kmv_rollup(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_doc_source_cap",
+    """
+    SELECT source, doc_id
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|cap'),
+                                 1, 8))::BIGINT,
+                 doc_id
+    ) <= 10
+    ORDER BY source, doc_id
+    """,
+)
+def q_doc_source_cap(spark, sf_dir):
+    """Per-source document cap (operators/sampling.py group_cap): at
+    most 10 docs per source, selected by content-hash order — the
+    standard training-mix guard against one domain dominating the
+    corpus. Content-derived selection makes the kept set stable across
+    runs/layouts/engines (vs RNG or arrival order); the rank filter
+    compiles to WindowGroupLimit, so a hot source never materializes
+    its full extent (each partition keeps ≤ k before the merge)."""
+    from .operators.sampling import group_cap
+
+    t = tables(spark, sf_dir)
+    return (
+        group_cap(
+            t["documents"].select("source", "doc_id"),
+            ["source"],
+            "doc_id",
+            k=10,
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "q_events_anomaly_mad",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(d.med), 6) AS med,
+           ROUND(MAX(m.mad), 6) AS mad,
+           CAST(COUNT(*) FILTER (WHERE d.adev > 3 * m.mad) AS BIGINT)
+               AS n_anomalies
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def q_events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: flag events whose |value − median|
+    exceeds 3× the median absolute deviation, per event type — the
+    outlier rule that, unlike z-scores, is not itself corrupted by the
+    outliers it hunts. Exact interpolated percentiles are identical
+    IEEE arithmetic in both engines, so counts and the med/mad values
+    hash-gate. Plan shape: two per-type aggregations + two broadcast
+    joins of the 5-row stats dims — the fact table shuffles only for
+    its own aggregations; at 100 TB the exact median would swap for the
+    approx_percentile sketch (q_approx_sketch_bounds contract) with the
+    same plan shape."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), F.lit(1)))
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )

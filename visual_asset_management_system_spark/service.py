@@ -491,6 +491,16 @@ class CatalogService:
 
         return token_budget_sample(docs, budget, **kwargs)
 
+    def cap_per_group(
+        self, df: DataFrame, group_cols, key_col: str, k: int, **kwargs
+    ) -> DataFrame:
+        """Deterministic at-most-k-rows-per-group cap by content-hash
+        order (operators/sampling.py group_cap) — the per-domain
+        document guard of a training mix."""
+        from .operators.sampling import group_cap
+
+        return group_cap(df, group_cols, key_col, k, **kwargs)
+
     # -- mergeable sketches (segment-level synopses) -------------------------
     def distinct_sketch(
         self, df: DataFrame, key_col: str, group_cols=None, **kwargs
