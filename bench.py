@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     # round-9: deterministic mergeable sketches (KMV set ops, count-min)
     "q_kmv_set_ops",
     "q_cms_heavy_hitters",
+    # round-9: exact prefix-filtered set-similarity join
+    "q_doc_setsim_join",
 ]
 
 

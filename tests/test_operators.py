@@ -2175,3 +2175,41 @@ def test_group_cap_deterministic_and_bounded(spark):
         assert by_src["tiny"] == {999}
         picks.append(by_src)
     assert picks[0] == picks[1] == picks[2]
+
+
+def test_setsim_join_matches_quadratic_model_exactly(spark):
+    """Prefix filtering is EXACT: for random corpora and thresholds
+    (including a threshold chosen to hit ⌈τ·n⌉ boundaries), the pair
+    set equals the brute-force all-pairs Jaccard join — no false
+    negatives (the LSH tier's trade) and no extras."""
+    import itertools
+    import random as _random
+
+    from visual_asset_management_system_spark.operators.dedup import (
+        setsim_join,
+    )
+
+    rng = _random.Random(17)
+    vocab = [f"w{i}" for i in range(60)]
+    for threshold in (0.5, 0.8):
+        rows = []
+        for did in range(40):
+            n = rng.randrange(3, 25)
+            rows.append((did, " ".join(rng.sample(vocab, n))))
+        # planted near-identical pair: same set minus one token
+        rows.append((100, " ".join(vocab[:20])))
+        rows.append((101, " ".join(vocab[:19])))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"], r["overlap"], r["n_a"], r["n_b"])
+            for r in setsim_join(docs, threshold).collect()
+        }
+        sets = {did: set(text.split()) for did, text in rows}
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            o = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and o / u >= threshold:
+                want.add((a, b, o, len(sets[a]), len(sets[b])))
+        assert got == want, (threshold, got ^ want)
+        assert (100, 101, 19, 20, 19) in got  # planted pair found

@@ -726,3 +726,131 @@ def start_minhash_dedup_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering)
+# --------------------------------------------------------------------------
+def setsim_join(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    items_col: str | None = None,
+) -> DataFrame:
+    """EXACT Jaccard self-join over distinct-token sets via prefix
+    filtering (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    Search"; Xiao et al. PPJoin) — the zero-false-negative complement
+    of the MinHash/LSH tier: LSH trades recall for candidate volume
+    (q_ngram_jaccard_topk documents its 1-(1-j^r)^b recall curve),
+    while prefix filtering guarantees EVERY pair at jaccard ≥ τ is
+    found, at the cost of exact candidate generation.
+
+    Theorem used: order all tokens by ascending global document
+    frequency (rarest first, token tiebreak); if J(x,y) ≥ τ then
+    overlap ≥ ⌈τ·|x|⌉ for each side (pairs with |y| < τ·|x| cannot
+    qualify since J ≤ |y|/|x|), so x and y must share a token inside
+    each one's first |x| − ⌈τ·|x|⌉ + 1 tokens. Candidates therefore
+    come from an equi-join of PREFIX tokens only — the rare end of the
+    vocabulary, which is what keeps candidate buckets small: a stopword
+    lands in a prefix only for documents so short the stopword is
+    τ-significant. The ⌈·⌉ is computed in INTEGER arithmetic from a
+    rational approximation of τ (floats would round ⌈0.8·35⌉ to 29 and
+    silently drop boundary pairs).
+
+    Scale shape: one distinct-pairs shuffle, two vocabulary-keyed
+    joins (token df + the prefix equi-join), one per-doc window for
+    prefix positions, and an array-expression verification on
+    candidate pairs (no re-join of token relations). The length filter
+    τ·|x| ≤ |y| ≤ |x|/τ prunes candidates before verification. At a
+    100 TB corpus the prefix join is the dominant shuffle and is
+    exactly as skewed as the τ-significant tail of the vocabulary —
+    bounded, unlike a raw token join.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql.window import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    num, den = (
+        Fraction(str(threshold)).numerator,
+        Fraction(str(threshold)).denominator,
+    )
+
+    # items: whitespace tokens of text_col by default, or the caller's
+    # pre-built array column (items_col) — e.g. n-gram shingles, which
+    # is the right item space when the raw token vocabulary is tiny
+    # (this corpus: 31 tokens, every one in ~78% of docs — unigram
+    # prefixes prune NOTHING; 3-gram shingles have median df 9).
+    # Three consumers (df counts, prefix ranking, verification arrays)
+    # read this corpus-sized relation — evaluate it once.
+    items = (
+        F.col(items_col)
+        if items_col is not None
+        else tokens(F.lower(F.col(text_col)))
+    )
+    toks = maybe_checkpoint(
+        docs.select(F.col(id_col), F.explode(items).alias("tok")).distinct()
+    )
+    tokdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy(id_col).orderBy("df", "tok")
+    ranked = (
+        toks.join(tokdf, "tok")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    # ⌈τ·n⌉ = (num·n + den − 1) div den, exactly
+    need = F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+    prefix = ranked.filter(F.col("pos") <= F.col("n") - need + 1).select(
+        F.col(id_col).alias("pid"), "tok", F.col("n").alias("pn")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.pid") < F.col("b.pid"))
+        # length filter: τ·|x| ≤ |y| ≤ |x|/τ (num·max ≤ den·min fails ⇒ prune)
+        .filter(
+            (F.lit(num) * F.greatest("a.pn", "b.pn"))
+            <= (F.lit(den) * F.least("a.pn", "b.pn"))
+        )
+        .select(
+            F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b")
+        )
+        .distinct()
+    )
+    arrays = toks.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("tok")).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    overlap = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = overlap.cast("double") / (
+        F.col("n_a") + F.col("n_b") - overlap
+    ).cast("double")
+    return (
+        cand.join(
+            arrays.select(
+                F.col(id_col).alias("id_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrays.select(
+                F.col(id_col).alias("id_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .filter(jac >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            overlap.cast("bigint").alias("overlap"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

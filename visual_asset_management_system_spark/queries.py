@@ -9864,3 +9864,110 @@ def q_events_anomaly_mad(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_doc_setsim_join",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), corpus AS (
+        SELECT doc_id, toks FROM base
+        UNION ALL
+        SELECT doc_id + 1000000,
+               list_slice(toks, 1, GREATEST(len(toks) - 5, 1))
+        FROM base
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN list_sort(list_distinct(
+                   list_transform(
+                       range(0, len(toks) - 3 + 1),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 3),
+                                            ' ')
+                   ))) ELSE [] END AS g
+        FROM corpus
+    ), reps AS (
+        SELECT MIN(doc_id) AS doc_id, g,
+               CAST(COUNT(*) AS BIGINT) AS members
+        FROM sh WHERE len(g) > 0 GROUP BY g
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.g, b.g)) AS o,
+               len(a.g) AS n_a, len(b.g) AS n_b,
+               a.members AS members_a, b.members AS members_b
+        FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(o AS BIGINT) AS overlap,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(o / (n_a + n_b - o), 6) AS jaccard,
+           members_a, members_b
+    FROM pairs
+    WHERE o >= 1 AND o / (n_a + n_b - o) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def q_doc_setsim_join(spark, sf_dir):
+    """EXACT shingle-set similarity self-join at jaccard >= 0.9 via
+    prefix filtering (operators/dedup.py setsim_join; Bayardo et al.
+    2007 AllPairs / PPJoin family) over documents + a mutated copy
+    (last 5 tokens dropped). Same contract surface as the LSH tier's
+    q_ngram_jaccard_topk, with the guarantee LSH cannot give: EVERY
+    qualifying pair is returned, not 1-(1-j^r)^b of them. Two
+    skew/flood defenses, both also oracle-mirrored: (1) identical
+    shingle SETS collapse to one representative first (min doc_id,
+    members carried) — this corpus holds 51-member identical floods
+    whose quadratic jaccard-1.0 pair lists are exactly the flood class
+    exact-dedup-then-near-dup ordering removes; (2) items are 3-gram
+    SHINGLES, not unigrams — the raw vocabulary here is 31 tokens
+    (every one in ~78% of docs, so unigram prefixes prune nothing)
+    while the shingle space has median df 9, which is what makes the
+    rarest-first prefix equi-join (provably lossless; integer
+    ceil(tau*n) math) selective. tau-length prune + array
+    verification; quadratic oracle at the correctness SF."""
+    from .operators.dedup import setsim_join, word_shingles
+
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda tok: tok != ""
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1)))
+        ).alias("text"),
+    )
+    shingled = (
+        docs.unionByName(mutated)
+        .select(
+            "doc_id",
+            F.array_sort(word_shingles(F.lower(F.col("text")), 3)).alias("g"),
+        )
+        .filter(F.size("g") > 0)
+    )
+    reps = shingled.groupBy("g").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("members"),
+    )
+    pairs = setsim_join(reps, threshold=0.9, items_col="g")
+    m = reps.select("doc_id", "members")
+    return (
+        pairs.join(m.withColumnRenamed("members", "members_a"),
+                   pairs.id_a == m.doc_id)
+        .drop("doc_id")
+        .join(
+            reps.select(
+                F.col("doc_id").alias("_b"),
+                F.col("members").alias("members_b"),
+            ),
+            F.col("id_b") == F.col("_b"),
+        )
+        .select(
+            "id_a", "id_b", "overlap", "n_a", "n_b", "jaccard",
+            "members_a", "members_b",
+        )
+        .orderBy("id_a", "id_b")
+    )
