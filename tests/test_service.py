@@ -340,3 +340,18 @@ def test_kmv_store_facade(spark, tmp_path):
         ).collect()
     }
     assert {r["event_type"]: list(r["kmv"]) for r in sk} == direct
+    cms_store = str(tmp_path / "cms_store")
+    svc.frequency_sketch_update(
+        cms_store, ev, "user_id", depth=2, width=32, batch_key="b0"
+    )
+    got = {
+        (r["d"], r["c"]): r["cell_cnt"]
+        for r in svc.frequency_sketch_read(spark, cms_store).collect()
+    }
+    direct_cms = {
+        (r["d"], r["c"]): r["cell_cnt"]
+        for r in svc.frequency_sketch(
+            ev, "user_id", depth=2, width=32
+        ).collect()
+    }
+    assert got == direct_cms

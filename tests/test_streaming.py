@@ -2826,3 +2826,78 @@ def test_kmv_sketch_stream_matches_batch(spark, tmp_path):
         for r in kmv_store_sketch(spark, store, ["seg"], k=16).collect()
     }
     assert got == want
+
+
+def test_cms_store_split_replay_compaction_equivalence(spark, tmp_path):
+    """Maintained count-min store: additive state with the gram-store
+    replay discipline — any batch split plus an at-least-once replay
+    plus a compaction (replayable tag excluded) reads back the exact
+    grid of the one-shot build; a crash between the compaction's two
+    renames heals on next read."""
+    import random as _random
+
+    from visual_asset_management_system_spark.operators.sketches import (
+        cms_build,
+        cms_store_read,
+        cms_store_update,
+        compact_cms_store,
+    )
+
+    rng = _random.Random(11)
+    rows = [(f"k{rng.randrange(50)}",) for _ in range(700)]
+    store = str(tmp_path / "cms_store")
+    splits = sorted(rng.sample(range(1, 700), 2)) + [700]
+    lo = 0
+    for i, hi in enumerate(splits):
+        cms_store_update(
+            spark,
+            store,
+            spark.createDataFrame(rows[lo:hi], ["key"]),
+            "key",
+            depth=3,
+            width=16,
+            batch_key=f"b{i}",
+        )
+        lo = hi
+    # replay the LAST batch under its original tag (at-least-once)
+    cms_store_update(
+        spark,
+        store,
+        spark.createDataFrame(rows[splits[1] :], ["key"]),
+        "key",
+        depth=3,
+        width=16,
+        batch_key="b2",
+    )
+
+    def grid(df):
+        return {(r["d"], r["c"]): r["cell_cnt"] for r in df.collect()}
+
+    want = grid(
+        cms_build(
+            spark.createDataFrame(rows, ["key"]), "key", depth=3, width=16
+        )
+    )
+    assert grid(cms_store_read(spark, store)) == want
+
+    # compact excluding the still-replayable tag, then replay it AGAIN
+    n = compact_cms_store(spark, store, exclude_tags=("b2",))
+    # compacted rows + the excluded tag's rows carried verbatim — which
+    # at this point exist TWICE (original append + the replay above);
+    # the reader's max-per-(cell, tag) dedup absorbs the duplicates
+    assert n <= 3 * 16 * 3
+    cms_store_update(
+        spark,
+        store,
+        spark.createDataFrame(rows[splits[1] :], ["key"]),
+        "key",
+        depth=3,
+        width=16,
+        batch_key="b2",
+    )
+    assert grid(cms_store_read(spark, store)) == want
+
+    # crash window between the two renames
+    cells = os.path.join(store, "cells")
+    os.replace(cells, cells + ".old")
+    assert grid(cms_store_read(spark, store)) == want

@@ -408,3 +408,102 @@ def start_kmv_sketch_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# maintained count-min store (kappa form)
+# ---------------------------------------------------------------------------
+#
+# Unlike KMV, CMS state is ADDITIVE (counts, not minima), so an
+# at-least-once replay would double-count — this store therefore uses
+# the corpus.py gram-store discipline: every append is tagged with its
+# batch key and the reader dedups replays with max-per-(cell, tag)
+# before summing. Per-batch appends are bounded at depth·width rows
+# (the batch is reduced to its grid BEFORE touching the store).
+
+
+def _cells_dir(store_dir: str) -> str:
+    import os as _os
+
+    return _os.path.join(store_dir, "cells")
+
+
+def cms_store_update(
+    spark,
+    store_dir: str,
+    new_df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+    batch_key: str | None = None,
+) -> None:
+    """Append one batch's count-min grid (≤ depth·width rows) to the
+    maintained store, tagged for replay dedup. The store is never read
+    on the write path."""
+    _recover_kmv_store(_cells_dir(store_dir))
+    cms_build(new_df, key_col, depth, width, salt).withColumn(
+        "batch_key", F.lit(batch_key).cast("string")
+    ).write.mode("append").parquet(_cells_dir(store_dir))
+
+
+def cms_store_read(spark, store_dir: str) -> DataFrame:
+    """Current grid: dedup replayed appends (max per (cell, batch_key)
+    — a replay rewrites identical counts under the same tag), then sum
+    cells across batches. Output matches :func:`cms_build` over the
+    union of every batch appended exactly once (tested)."""
+    _recover_kmv_store(_cells_dir(store_dir))
+    rows = spark.read.parquet(_cells_dir(store_dir))
+    return (
+        rows.groupBy("d", "c", "batch_key")
+        .agg(F.max("cell_cnt").alias("_c1"))
+        .groupBy("d", "c")
+        .agg(F.sum("_c1").cast("bigint").alias("cell_cnt"))
+    )
+
+
+def compact_cms_store(
+    spark,
+    store_dir: str,
+    exclude_tags: tuple[str, ...] = (),
+) -> int:
+    """Freeze the reader's dedup-then-sum into one row per cell under a
+    synthetic tag (≤ depth·width rows total). Collapsing a batch's rows
+    discards its tag, so a LATER replay of that batch would re-add
+    counts nothing dedups — pass the tags of any batch that may still
+    replay in ``exclude_tags`` (under a stream wrapper: the most recent
+    micro-batch); excluded tags are carried through verbatim. Crash
+    safety: the shared two-rename swap + _recover healing. Returns the
+    post-compaction row count."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    cells_dir = _cells_dir(store_dir)
+    _recover_kmv_store(cells_dir)
+    if not _os.path.isdir(cells_dir):
+        return 0
+    store = spark.read.parquet(cells_dir)
+    keep = store.filter(F.col("batch_key").isin(list(exclude_tags)))
+    old = store.filter(~F.col("batch_key").isin(list(exclude_tags)))
+    compacted = (
+        old.groupBy("d", "c", "batch_key")
+        .agg(F.max("cell_cnt").alias("_c1"))
+        .groupBy("d", "c")
+        .agg(F.sum("_c1").cast("bigint").alias("cell_cnt"))
+        .withColumn(
+            "batch_key", F.lit("compacted-" + _uuid.uuid4().hex[:8])
+        )
+        .select("d", "c", "cell_cnt", "batch_key")
+    )
+    out = compacted.unionByName(keep.select("d", "c", "cell_cnt", "batch_key"))
+    tmp = cells_dir + ".compact-tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    aside = cells_dir + ".old"
+    _shutil.rmtree(aside, ignore_errors=True)
+    _os.replace(cells_dir, aside)
+    _os.replace(tmp, cells_dir)
+    _shutil.rmtree(aside, ignore_errors=True)
+    return n

@@ -558,6 +558,25 @@ class CatalogService:
 
         return kmv_store_sketch(spark, store_dir, **kwargs)
 
+    def frequency_sketch_update(
+        self, store_dir: str, new_df: DataFrame, key_col: str, **kwargs
+    ) -> None:
+        """Append one batch's count-min grid to a maintained store
+        (operators/sketches.py cms_store_update — tag-deduped replays;
+        read back via ``frequency_sketch_read``)."""
+        from .operators.sketches import cms_store_update
+
+        cms_store_update(
+            new_df.sparkSession, store_dir, new_df, key_col, **kwargs
+        )
+
+    def frequency_sketch_read(self, spark, store_dir: str) -> DataFrame:
+        """Current grid of a maintained count-min store
+        (operators/sketches.py cms_store_read)."""
+        from .operators.sketches import cms_store_read
+
+        return cms_store_read(spark, store_dir)
+
     # -- reconciliation (sqsBucketSync semantics) ---------------------------
     def reconcile(self, storage_listing: DataFrame) -> dict[str, DataFrame]:
         keys = ["database_id", "asset_id"]
