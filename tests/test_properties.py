@@ -136,3 +136,98 @@ def test_pii_planted_forms_always_detected(n):
     assert re.search(PII_PATTERNS["phone"], f"call 415-555-{n % 10000:04d} ")
     assert re.search(PII_PATTERNS["ssn"], "ssn 123-45-6789 x")
     assert re.search(PII_PATTERNS["ipv4"], f"from 10.0.{n % 256}.{n % 200} ")
+
+
+# ---------------------------------------------------------------------------
+# round 9: sketch/setsim math (pure models of operators/sketches.py and
+# operators/dedup.py setsim_join — the theorems the Spark plans rely on)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=30),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=16),
+)
+@settings(max_examples=200)
+def test_kmv_merge_is_a_semilattice_model(segments, k):
+    """Model form of the KMV store's core claim: merging per-segment
+    k-minima (idempotently, in any order, with replays) equals the
+    k-minima of the union — so at-least-once replay needs no dedup
+    tags."""
+    import hashlib
+
+    def h(x):
+        return int(hashlib.md5(f"{x}|kmv".encode()).hexdigest()[:8], 16)
+
+    def sketch(keys):
+        return sorted({h(x) for x in keys})[:k]
+
+    merged: list[int] = []
+    for seg in segments + segments[:1]:  # replay the first segment
+        merged = sorted(set(merged) | set(sketch(seg)))[:k]
+    union = set().union(*segments)
+    assert merged == sketch(union)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=80), min_size=1, max_size=40),
+    st.sets(st.integers(min_value=0, max_value=80), min_size=1, max_size=40),
+    st.fractions(min_value="1/100", max_value="1", max_denominator=100),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=300)
+def test_prefix_filter_is_lossless_model(x, y, tau, rnd):
+    """The theorem setsim_join's candidate generation rests on: under
+    ANY global total order, if J(x,y) ≥ τ then x and y share an element
+    within each one's first |s| − ⌈τ·|s|⌉ + 1 elements — with ⌈·⌉ in
+    integer arithmetic, exactly as the operator computes it."""
+    inter = len(x & y)
+    union = len(x | y)
+    from fractions import Fraction
+
+    if Fraction(inter, union) < tau:
+        return  # theorem only claims qualifying pairs
+    order = list(x | y)
+    rnd.shuffle(order)
+    rank = {v: i for i, v in enumerate(order)}
+
+    def prefix(s):
+        n = len(s)
+        need = -((-tau.numerator * n) // tau.denominator)  # ⌈τ·n⌉ exact
+        return set(sorted(s, key=rank.get)[: n - need + 1])
+
+    assert prefix(x) & prefix(y), (sorted(x), sorted(y), str(tau))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=4, max_value=64),
+)
+@settings(max_examples=150)
+def test_cms_never_underestimates_model(keys, depth, width):
+    """Count-min's one-sided guarantee at the model level, with the
+    operator's exact hash construction (md5(key|cms<d>) % width)."""
+    import hashlib
+    from collections import Counter
+
+    def cell(key, d):
+        return (
+            int(
+                hashlib.md5(f"{key}|cms{d}".encode()).hexdigest()[:8], 16
+            )
+            % width
+        )
+
+    grid = Counter()
+    for key in keys:
+        for d in range(depth):
+            grid[(d, cell(key, d))] += 1
+    truth = Counter(keys)
+    for key, true_cnt in truth.items():
+        est = min(grid[(d, cell(key, d))] for d in range(depth))
+        assert est >= true_cnt

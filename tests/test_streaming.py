@@ -2901,3 +2901,49 @@ def test_cms_store_split_replay_compaction_equivalence(spark, tmp_path):
     cells = os.path.join(store, "cells")
     os.replace(cells, cells + ".old")
     assert grid(cms_store_read(spark, store)) == want
+
+
+def test_cms_sketch_stream_matches_batch(spark, tmp_path):
+    """Streaming form of the count-min store: two micro-batches leave a
+    grid equal to the one-shot build over their union."""
+    from visual_asset_management_system_spark.operators.sketches import (
+        cms_build,
+        cms_store_read,
+        start_cms_sketch_stream,
+    )
+
+    docs_dir = str(tmp_path / "cms_in")
+    os.makedirs(docs_dir)
+    store = str(tmp_path / "cms_stream_store")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def write_batch(name, keys):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for k in keys:
+                f.write(json.dumps({"key": k}) + "\n")
+
+    b1 = [f"k{i % 9}" for i in range(150)]
+    b2 = [f"k{i % 13}" for i in range(100)]
+    write_batch("b1.json", b1)
+    q = start_cms_sketch_stream(
+        spark, docs_dir, store, ckpt, "key string", "key", depth=3, width=16
+    )
+    q.awaitTermination(120)
+    write_batch("b2.json", b2)
+    q2 = start_cms_sketch_stream(
+        spark, docs_dir, store, ckpt, "key string", "key", depth=3, width=16
+    )
+    q2.awaitTermination(120)
+
+    def grid(df):
+        return {(r["d"], r["c"]): r["cell_cnt"] for r in df.collect()}
+
+    want = grid(
+        cms_build(
+            spark.createDataFrame([(k,) for k in b1 + b2], ["key"]),
+            "key",
+            depth=3,
+            width=16,
+        )
+    )
+    assert grid(cms_store_read(spark, store)) == want

@@ -507,3 +507,47 @@ def compact_cms_store(
     _os.replace(tmp, cells_dir)
     _shutil.rmtree(aside, ignore_errors=True)
     return n
+
+
+def start_cms_sketch_stream(
+    spark,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+    trigger_once: bool = True,
+):
+    """Structured Streaming wrapper for the maintained count-min store:
+    one bounded (≤ depth·width rows) tagged append per micro-batch.
+    Each batch's tag is its micro-batch id, so a post-crash replay of
+    the SAME batch rewrites identical counts under the SAME tag and the
+    reader's max-per-(cell, tag) dedup absorbs it — the additive
+    state's equivalent of the KMV stream's free idempotence. When
+    compacting a store this stream feeds, exclude the most recent
+    batch's tag (see compact_cms_store)."""
+    stream = spark.readStream.schema(schema).format("json").load(docs_dir)
+
+    def handle(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cms_store_update(
+            spark,
+            store_dir,
+            batch,
+            key_col,
+            depth,
+            width,
+            salt,
+            batch_key=f"b{batch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
