@@ -2213,3 +2213,33 @@ def test_setsim_join_matches_quadratic_model_exactly(spark):
                 want.add((a, b, o, len(sets[a]), len(sets[b])))
         assert got == want, (threshold, got ^ want)
         assert (100, 101, 19, 20, 19) in got  # planted pair found
+
+
+def test_kmv_empty_sketch_edges(spark):
+    """Empty segments must not error the rollup: theta is NULL, the
+    estimate is 0.0, an empty array unions losslessly, and the
+    intersect count against an empty side is 0."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersect_count,
+        kmv_theta,
+        kmv_union_expr,
+    )
+
+    row = spark.createDataFrame(
+        [([], [11, 22, 33])], "e array<bigint>, s array<bigint>"
+    )
+    got = row.select(
+        kmv_theta(F.col("e")).alias("theta_e"),
+        kmv_estimate(F.col("e"), 8).alias("est_e"),
+        kmv_union_expr(F.col("e"), F.col("s"), 8).alias("u"),
+        kmv_intersect_count(
+            F.col("e"), F.col("s"), kmv_union_expr(F.col("e"), F.col("s"), 8)
+        ).alias("common"),
+    ).collect()[0]
+    assert got["theta_e"] is None
+    assert got["est_e"] == 0.0
+    assert list(got["u"]) == [11, 22, 33]
+    assert got["common"] == 0

@@ -117,9 +117,14 @@ def kmv_sketch(
 
 def kmv_theta(sketch: Column) -> Column:
     """The k-th minimum hash (the sketch's threshold θ) — its last
-    element. In exact mode (size < k) this is just the max hash; the
-    estimator below never consults it on that branch."""
-    return F.element_at(sketch, F.size(sketch))
+    element; NULL for an empty sketch (element_at(arr, 0) is an error,
+    not NULL, so the size guard is load-bearing: an empty segment's
+    sketch must not error the whole rollup). In exact mode (size < k)
+    this is just the max hash; the estimator below never consults it on
+    that branch."""
+    return F.when(
+        F.size(sketch) > 0, F.element_at(sketch, F.size(sketch))
+    )
 
 
 def kmv_estimate(sketch: Column, k: int = DEFAULT_K) -> Column:
