@@ -1,8 +1,17 @@
 #!/usr/bin/env python
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE COMPACT JSON line (≤ ~1.5 KB — the driver's artifact keeps
+only the last 2000 chars of stdout, and round 9's full per-query line
+outgrew that and recorded ``"parsed": null``):
+    {"metric": "...", "value": N, "unit": "sec", "queries": {top-5
+     slowest}, "sf": ..., "n_queries": N, "value_normalized": N,
+     "detail_file": "BENCH_DETAIL.json"}
+
+The FULL per-query raw + normalized dicts are written to
+``BENCH_DETAIL.json`` next to this script (committed per round); the
+compact line's ``value``/``value_normalized`` totals round-trip
+against it.
 
 ``value`` is the total wall-clock seconds across the headline queries
 (excluding Spark session startup and the warm-up run). Each query is
@@ -107,6 +116,30 @@ def normalized(timings: dict[str, float], calib_mc: float) -> dict[str, float]:
     if calib_mc <= 0:
         return {}
     return {name: round(sec / calib_mc, 3) for name, sec in timings.items()}
+
+
+def compact_line(detail: dict, errors: dict[str, str]) -> dict:
+    """The driver-facing stdout record: totals + the 5 slowest queries.
+    Bounded by construction (5 query entries + scalar fields + ≤10
+    error NAMES) so it always fits the driver's 2000-char stdout tail —
+    the full per-query dicts live in BENCH_DETAIL.json."""
+    timings: dict[str, float] = detail["queries"]
+    out = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
+        "sf": detail["sf"],
+        "n_queries": len(timings),
+        "calib_sec": detail["calib_sec"],
+        "calib_mc_sec": detail["calib_mc_sec"],
+        "value_normalized": detail["value_normalized"],
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if errors:
+        # names only — full messages are in the detail file
+        out["errors"] = sorted(errors)[:10]
+    return out
 
 
 def _calibrate() -> float:
@@ -279,7 +312,7 @@ def main() -> None:
             pass
 
     norm = normalized(timings, calib_mc)
-    out = {
+    detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -293,8 +326,20 @@ def main() -> None:
         "value_normalized": round(sum(norm.values()), 3),
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    detail_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_file, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        errors["_detail_write"] = f"{type(exc).__name__}: {exc}"[:200]
+    # the stdout line must survive the driver's 2000-char tail capture:
+    # full per-query dicts live in BENCH_DETAIL.json, the line carries
+    # the totals plus the 5 slowest queries (the triage signal)
+    print(json.dumps(compact_line(detail, errors)))
     try:
         spark.stop()
     except Exception:  # noqa: BLE001 — the JSON line is already out

@@ -30,3 +30,50 @@ def test_bench_queries_are_registered():
 
     missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
     assert not missing, f"bench names not registered: {missing}"
+
+
+def test_compact_line_bounded_under_driver_tail_capture():
+    """The stdout record must fit the driver's 2000-char tail even for
+    a far bigger registry than today's (BENCH_r09 recorded parsed=null
+    when the full per-query line outgrew the capture)."""
+    import json
+
+    timings = {f"q_some_quite_long_query_name_{i:03d}": i + 0.123 for i in range(120)}
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "queries": timings,
+        "sf": 0.1,
+        "calib_sec": 1.234,
+        "calib_mc_sec": 0.456,
+        "value_normalized": 123.456,
+    }
+    errors = {f"_err_with_a_long_name_{i}": "x" * 500 for i in range(25)}
+    line = json.dumps(bench.compact_line(detail, errors))
+    assert len(line) < 1600, len(line)
+    out = json.loads(line)
+    assert out["n_queries"] == 120
+    assert len(out["queries"]) == 5
+    assert max(timings.values()) in out["queries"].values()
+    assert out["detail_file"] == "BENCH_DETAIL.json"
+    assert len(out["errors"]) == 10
+    # error entries are names only, never 500-char messages
+    assert all(len(e) < 60 for e in out["errors"])
+
+
+def test_compact_line_totals_roundtrip_detail():
+    """value / value_normalized on the line equal the detail's —
+    the driver's record and the committed detail must agree."""
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": 10.5,
+        "queries": {"a": 4.0, "b": 6.5},
+        "sf": 0.01,
+        "calib_sec": 1.0,
+        "calib_mc_sec": 0.5,
+        "value_normalized": 21.0,
+    }
+    out = bench.compact_line(detail, {})
+    assert out["value"] == detail["value"]
+    assert out["value_normalized"] == detail["value_normalized"]
+    assert "errors" not in out

@@ -2243,3 +2243,83 @@ def test_kmv_empty_sketch_edges(spark):
     assert got["est_e"] == 0.0
     assert list(got["u"]) == [11, 22, 33]
     assert got["common"] == 0
+
+
+def test_sketches_and_cap_guard_null_keys(spark):
+    """NULL keys must not enter any sketch (sample_hash(NULL) is NULL,
+    and Spark's ascending sort puts NULLs FIRST while DuckDB puts them
+    LAST — the cross-engine divergence class from ADVICE r9): the KMV
+    sketch and CMS grid of a column with NULLs equal those of the
+    non-NULL subset; cms_probe estimates 0 for a NULL key; group_cap
+    still caps NULL-keyed rows but orders them last under both engines'
+    semantics."""
+    from visual_asset_management_system_spark.operators.sampling import (
+        group_cap,
+    )
+    from visual_asset_management_system_spark.operators.sketches import (
+        cms_build,
+        cms_probe,
+        kmv_sketch,
+    )
+
+    rows = [(f"k{i % 13}",) for i in range(100)] + [(None,)] * 40
+    with_nulls = spark.createDataFrame(rows, "key string")
+    clean = with_nulls.filter("key IS NOT NULL")
+
+    sk = lambda df: [  # noqa: E731
+        list(r["kmv"]) for r in kmv_sketch(df, "key", k=8).collect()
+    ]
+    assert sk(with_nulls) == sk(clean)
+
+    grid = lambda df: {  # noqa: E731
+        (r["d"], r["c"]): r["cell_cnt"]
+        for r in cms_build(df, "key", depth=3, width=16).collect()
+    }
+    assert grid(with_nulls) == grid(clean)
+
+    probe = spark.createDataFrame([("k1",), (None,)], "key string")
+    est = {
+        r["key"]: r["cms_est"]
+        for r in cms_probe(
+            probe, cms_build(clean, "key", depth=3, width=16), "key",
+            depth=3, width=16,
+        ).collect()
+    }
+    assert est[None] == 0 and est["k1"] > 0
+
+    capped = group_cap(
+        with_nulls.withColumn("grp", F.lit("g")), ["grp"], "key", k=101
+    )
+    # k larger than the non-null extent: the non-null keys all survive
+    # and NULL-keyed rows fill the remaining slots (ordered last)
+    got = [r["key"] for r in capped.collect()]
+    assert len(got) == 101 and sum(1 for k in got if k is None) == 1
+
+
+def test_cms_store_update_requires_batch_key(spark, tmp_path):
+    """The additive CMS store refuses untagged appends (ADVICE r9:
+    NULL tags fall through compaction's keep/old isin split and get
+    silently dropped)."""
+    import pytest as _pytest
+
+    from visual_asset_management_system_spark.operators.sketches import (
+        cms_store_update,
+    )
+
+    df = spark.createDataFrame([("a",)], "key string")
+    with _pytest.raises(ValueError, match="batch_key"):
+        cms_store_update(spark, str(tmp_path / "s"), df, "key")
+
+
+def test_drop_table_rejects_qualified_names(spark):
+    """drop_table's orphan cleanup assumes the default database's
+    warehouse/<name> layout; a db-qualified name must be rejected, not
+    silently leave the orphan dir behind (ADVICE r9)."""
+    import pytest as _pytest
+
+    from visual_asset_management_system_spark.operators.bucketing import (
+        drop_table,
+    )
+
+    with _pytest.raises(ValueError, match="unqualified"):
+        drop_table(spark, "db.tbl")

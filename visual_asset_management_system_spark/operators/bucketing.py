@@ -26,7 +26,18 @@ def drop_table(spark: SparkSession, table_name: str, managed: bool = True) -> No
     """DROP TABLE IF EXISTS, plus — for managed tables — clear any
     orphaned warehouse location: the location can survive from a
     PREVIOUS process (the in-memory catalog forgets it, the warehouse
-    dir doesn't) and ``saveAsTable`` refuses to reuse it."""
+    dir doesn't) and ``saveAsTable`` refuses to reuse it.
+
+    Unqualified names only: the orphan path below assumes the default
+    database's ``warehouse/<name>`` layout, which is wrong for
+    ``db.tbl`` (actual layout ``warehouse/db.db/tbl``) — a qualified
+    name would rmtree nothing and leave saveAsTable failing."""
+    if "." in table_name:
+        raise ValueError(
+            "drop_table handles unqualified (default-database) names "
+            f"only; got {table_name!r} — the managed-location cleanup "
+            "assumes the warehouse/<name> layout"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     if managed:
         import shutil

@@ -91,9 +91,15 @@ def group_cap(
     RNG or arrival-order cap. The rank filter compiles to
     WindowGroupLimit: each partition retains ≤ k rows per group before
     the final per-group merge, so a hot group (one domain holding half
-    the corpus) never materializes or sorts its full extent."""
+    the corpus) never materializes or sorts its full extent.
+
+    NULL keys hash to NULL; the explicit asc_nulls_last ordering keeps
+    them selectable but pins them LAST under both engines (Spark
+    defaults NULLS FIRST ascending, DuckDB NULLS LAST — the divergence
+    class that twice produced cross-engine hash mismatches here)."""
     w = Window.partitionBy(*group_cols).orderBy(
-        sample_hash(F.col(key_col), salt), key_col
+        F.asc_nulls_last(sample_hash(F.col(key_col), salt)),
+        F.asc_nulls_last(key_col),
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

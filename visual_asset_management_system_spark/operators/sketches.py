@@ -81,10 +81,17 @@ def _minima_rows(
     k: int,
     salt: str,
 ) -> DataFrame:
-    """Per-group k minimum content hashes of ``key_col``, as rows."""
+    """Per-group k minimum content hashes of ``key_col``, as rows.
+
+    NULL keys are excluded: ``sample_hash(NULL)`` is NULL, and Spark's
+    ascending window sorts NULLS FIRST (DuckDB: NULLS LAST), so an
+    unguarded NULL would enter the sketch, inflate its size, and skew
+    θ — the nullable-column hash divergence class dsir_log_weights
+    already guards against. A NULL key is "no key", not a distinct
+    value."""
     if k < 2:
         raise ValueError("k must be >= 2 (the estimator divides by k-1)")
-    pairs = df.select(
+    pairs = df.filter(F.col(key_col).isNotNull()).select(
         *group_cols, sample_hash(F.col(key_col), salt).alias("__h")
     )
     return _topk_hashes(pairs, group_cols, k)
@@ -195,7 +202,11 @@ def cms_build(
     row lands in ``depth`` cells (salted md5 hashes mod ``width``); the
     explode happens BEFORE the aggregation so the groupBy is map-side
     combinable down to ≤ depth·width cells per partition. Cells from
-    different segments merge by plain addition (sum on (row, col))."""
+    different segments merge by plain addition (sum on (row, col)).
+    NULL keys are excluded (a NULL hashes to a NULL cell, which would
+    otherwise land in a spurious (d, NULL) row); :func:`cms_probe`
+    mirrors this by estimating 0 for a NULL key."""
+    df = df.filter(F.col(key_col).isNotNull())
     cells = F.explode(
         F.array(
             *[
@@ -225,10 +236,17 @@ def cms_probe(
     salt: str = "cms",
     est_col: str = "cms_est",
 ) -> DataFrame:
-    """Point-query a count-min sketch for every row of ``keys``: expand
-    each key to its depth cells, join the (broadcast — the grid is ≤
-    depth·width rows by construction) cell relation, take the minimum.
-    Keys hitting an absent cell estimate 0 via the coalesce."""
+    """Point-query a count-min sketch for each DISTINCT row of ``keys``:
+    expand each key to its depth cells, join the (broadcast — the grid
+    is ≤ depth·width rows by construction) cell relation, take the
+    minimum. Keys hitting an absent cell estimate 0 via the coalesce;
+    a NULL key also estimates 0 (its NULL cells match nothing),
+    mirroring cms_build's exclusion of NULL keys from the counts.
+
+    Contract: the output has one row per DISTINCT row of ``keys`` (the
+    groupBy over keys.columns collapses duplicates) — callers that need
+    row-for-row output must join the estimates back on the key columns,
+    not rely on positional alignment."""
     cells = F.explode(
         F.array(
             *[
@@ -445,7 +463,23 @@ def cms_store_update(
 ) -> None:
     """Append one batch's count-min grid (≤ depth·width rows) to the
     maintained store, tagged for replay dedup. The store is never read
-    on the write path."""
+    on the write path.
+
+    ``batch_key`` is REQUIRED (ValueError on None): the additive
+    state's entire replay discipline hangs on the tag. An untagged
+    (NULL) append is unfixable downstream — NULL.isin(tags) and
+    ~NULL.isin(tags) are both NULL, so compact_cms_store's keep/old
+    split would silently drop the rows, and cms_store_read's
+    max-per-(cell, tag) dedup would collapse two distinct untagged
+    appends into one. (The KMV store's kmv_store_update keeps an
+    optional tag because its semilattice merge needs no replay
+    discipline at all.)"""
+    if batch_key is None:
+        raise ValueError(
+            "cms_store_update requires a non-None batch_key: the "
+            "additive CMS store dedups replays by tag, and untagged "
+            "appends are dropped by compaction's keep/old split"
+        )
     _recover_kmv_store(_cells_dir(store_dir))
     cms_build(new_df, key_col, depth, width, salt).withColumn(
         "batch_key", F.lit(batch_key).cast("string")

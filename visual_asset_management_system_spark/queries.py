@@ -118,9 +118,30 @@ def _materialize(
     table = f"{name}_{tag}"
     try:
         write_bucketed_table(df, table, bucket_keys)
-    except Exception:  # noqa: BLE001 — unwritable warehouse (e.g. a
-        # read-only harness cwd under a vanilla session): degrade to the
-        # cache model rather than failing every consumer query
+    except Exception as exc:  # noqa: BLE001 — unwritable warehouse
+        # (e.g. a read-only harness cwd under a vanilla session):
+        # degrade to the cache model rather than failing every consumer
+        # query. The degradation is LOUD (a genuine write bug —
+        # schema/serialization, not permissions — must not hide behind
+        # the cache model whose scan-count nondeterminism the plan
+        # baselines were built to remove), and permission-class errors
+        # keep the quiet fallback.
+        import warnings
+
+        msg = str(exc)
+        permission_class = any(
+            s in msg
+            for s in ("Permission denied", "Read-only file system",
+                      "AccessDenied", "EACCES", "EROFS")
+        )
+        if not permission_class:
+            warnings.warn(
+                f"_materialize({table}): saveAsTable failed with "
+                f"{type(exc).__name__}: {msg[:200]} — degrading to "
+                "persist(); plan-structure baselines may not hold",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return df.persist()
     return spark.table(table)
 
