@@ -355,3 +355,47 @@ def test_kmv_store_facade(spark, tmp_path):
         ).collect()
     }
     assert got == direct_cms
+
+
+def test_setsim_and_mad_facades(spark, tmp_path):
+    """setsim_join / setsim_update / mad_anomaly round-trip through the
+    facade: batch join equals the incremental store's cumulative
+    emissions; mad_anomaly matches the q_events_anomaly_mad registered
+    plan's semantics on the events table."""
+    svc = _svc(spark)
+
+    t = lambda lo, hi: " ".join(f"tok{i}" for i in range(lo, hi))  # noqa: E731
+    docs = [(1, t(0, 60)), (2, t(0, 55)), (3, t(200, 240))]
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in svc.setsim_join(full, threshold=0.8).collect()
+    }
+    assert {(p[0], p[1]) for p in want} == {(1, 2)}
+
+    store = str(tmp_path / "svc_setsim")
+    got = set()
+    for i, b in enumerate([docs[:2], docs[2:]]):
+        got |= {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in svc.setsim_update(
+                store,
+                spark.createDataFrame(b, "doc_id long, text string"),
+                threshold=0.8,
+                batch_key=f"b{i}",
+            ).collect()
+        }
+    assert got == want
+
+    ev = tables(spark, SF)["events"].select("event_type", "value")
+    from visual_asset_management_system_spark.queries import QUERIES
+
+    facade = {
+        r["event_type"]: (r["n"], r["med"], r["mad"], r["n_anomalies"])
+        for r in svc.mad_anomaly(ev, "value", ["event_type"]).collect()
+    }
+    registered = {
+        r["event_type"]: (r["n"], r["med"], r["mad"], r["n_anomalies"])
+        for r in QUERIES["q_events_anomaly_mad"](spark, SF).collect()
+    }
+    assert facade == registered

@@ -2947,3 +2947,182 @@ def test_cms_sketch_stream_matches_batch(spark, tmp_path):
         )
     )
     assert grid(cms_store_read(spark, store)) == want
+
+
+def _setsim_pairset(df):
+    return {
+        (r["id_a"], r["id_b"], r["overlap"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in df.collect()
+    }
+
+
+def _setsim_corpus():
+    """Docs with engineered jaccard structure at tau=0.8: (1,2) J=55/60,
+    (3,*) disjoint, (4,5) J=40/50 = exactly 0.8 (the boundary pair the
+    integer ceil math must keep), (6) near 4/5 but only at J=30/55<0.8."""
+    t = lambda lo, hi: " ".join(f"tok{i}" for i in range(lo, hi))  # noqa: E731
+    return [
+        (1, t(0, 60)),
+        (2, t(0, 55)),
+        (3, " ".join(f"word{i}" for i in range(40))),
+        (4, t(100, 145)),                      # 45 toks 100..144
+        (5, t(105, 150)),                      # 45 toks 105..149, overlap 40
+        (6, t(100, 130) + " " + " ".join(f"x{i}" for i in range(25))),
+    ]
+
+
+def test_setsim_index_update_matches_batch_over_any_split(spark, tmp_path):
+    """The maintained exact set-similarity index emits, across random
+    batch splits, exactly the pair set the batch setsim_join computes
+    over the full corpus — zero false negatives incrementally, each
+    pair exactly once (when its later doc arrives), including the
+    J=0.8 boundary pair."""
+    import random as _random
+
+    from visual_asset_management_system_spark.operators.dedup import (
+        setsim_join,
+    )
+    from visual_asset_management_system_spark.operators.setsim_store import (
+        setsim_index_update,
+    )
+
+    docs = _setsim_corpus()
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    want = _setsim_pairset(setsim_join(full, threshold=0.8))
+    assert {(p[0], p[1]) for p in want} == {(1, 2), (4, 5)}
+
+    rng = _random.Random(7)
+    for trial in range(3):
+        order = docs[:]
+        rng.shuffle(order)
+        cuts = sorted(rng.sample(range(1, len(order)), 2))
+        batches = [
+            order[: cuts[0]], order[cuts[0] : cuts[1]], order[cuts[1] :]
+        ]
+        store = str(tmp_path / f"setsim_store_{trial}")
+        got = set()
+        for i, b in enumerate(batches):
+            if not b:
+                continue
+            pairs = _setsim_pairset(
+                setsim_index_update(
+                    spark,
+                    store,
+                    spark.createDataFrame(b, "doc_id long, text string"),
+                    threshold=0.8,
+                    batch_key=f"b{i}",
+                )
+            )
+            assert not pairs & got, "pair emitted twice"
+            got |= pairs
+        assert got == want, (trial, batches)
+
+
+def test_setsim_index_update_replay_and_compaction(spark, tmp_path):
+    """At-least-once discipline: replaying a batch under its original
+    tag recomputes the identical pair set (its half-applied store rows
+    are excluded); compaction preserves subsequent emissions and a
+    post-compaction replay is still idempotent; the compaction crash
+    window (store swept aside, replacement missing) self-heals."""
+    import os as _os
+
+    from visual_asset_management_system_spark.operators.dedup import (
+        setsim_join,
+    )
+    from visual_asset_management_system_spark.operators.setsim_store import (
+        compact_setsim_store,
+        setsim_index_update,
+    )
+
+    docs = _setsim_corpus()
+    store = str(tmp_path / "setsim_store")
+
+    def run(rows, key):
+        return _setsim_pairset(
+            setsim_index_update(
+                spark,
+                store,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                threshold=0.8,
+                batch_key=key,
+            )
+        )
+
+    b1, b2, b3 = docs[:2], docs[2:4], docs[4:]
+    got = run(b1, "b1")
+    assert {(p[0], p[1]) for p in got} == {(1, 2)}
+    # crash-after-append replay of b1: identical emission, store sane
+    assert run(b1, "b1") == got
+
+    got |= run(b2, "b2")
+    n = compact_setsim_store(spark, store)
+    assert n > 0
+    # replay b2 AFTER compaction (its tag no longer exists in the
+    # store): per-doc rows are idempotent, readers dedup — identical
+    # emission, and the store must not double anything
+    assert run(b2, "b2") == set()  # b2 had no qualifying partner yet
+
+    got |= run(b3, "b3")
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    assert got == _setsim_pairset(setsim_join(full, threshold=0.8))
+
+    # crash window: aside present, store dir missing → reader recovers
+    prefix_dir = _os.path.join(store, "prefix")
+    _os.rename(prefix_dir, prefix_dir + ".old")
+    assert run([(99, " ".join(f"tok{i}" for i in range(0, 58)))], "b4") == {
+        p
+        for p in _setsim_pairset(
+            setsim_join(
+                spark.createDataFrame(
+                    docs + [(99, " ".join(f"tok{i}" for i in range(0, 58)))],
+                    "doc_id long, text string",
+                ),
+                threshold=0.8,
+            )
+        )
+        if 99 in (p[0], p[1])
+    }
+
+
+def test_setsim_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming wrapper: pairs land in per-batch partitions exactly
+    when the later doc arrives; final pair log equals the batch join."""
+    from visual_asset_management_system_spark.operators.dedup import (
+        setsim_join,
+    )
+    from visual_asset_management_system_spark.operators.setsim_store import (
+        start_setsim_dedup_stream,
+    )
+
+    docs = _setsim_corpus()
+    docs_dir = str(tmp_path / "ss_docs")
+    os.makedirs(docs_dir)
+    store = str(tmp_path / "ss_store")
+    pairs_dir = str(tmp_path / "ss_pairs")
+    ckpt = str(tmp_path / "ss_ckpt")
+
+    def write_docs(name, rows):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for did, text in rows:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    write_docs("b1.json", docs[:3])   # docs 1,2 pair within the batch
+    q = start_setsim_dedup_stream(
+        spark, docs_dir, store, pairs_dir, ckpt, threshold=0.8
+    )
+    q.awaitTermination(120)
+    got1 = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got1 == {(1, 2)}
+
+    write_docs("b2.json", docs[3:])   # 4-5 pair arrives later
+    q2 = start_setsim_dedup_stream(
+        spark, docs_dir, store, pairs_dir, ckpt, threshold=0.8
+    )
+    q2.awaitTermination(120)
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    assert _setsim_pairset(spark.read.parquet(pairs_dir).drop("batch")) == (
+        _setsim_pairset(setsim_join(full, threshold=0.8))
+    )

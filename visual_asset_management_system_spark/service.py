@@ -577,6 +577,70 @@ class CatalogService:
 
         return cms_store_read(spark, store_dir)
 
+    # -- exact set-similarity (zero-false-negative near-dup) ----------------
+    def setsim_join(
+        self, docs: DataFrame, threshold: float, **kwargs
+    ) -> DataFrame:
+        """EXACT Jaccard self-join at ``threshold`` via prefix
+        filtering (operators/dedup.py setsim_join; Bayardo et al. 2007
+        AllPairs / PPJoin) — every qualifying pair, unlike the LSH
+        tier's probabilistic recall. Pass ``items_col`` for a
+        pre-shingled item space."""
+        from .operators.dedup import setsim_join
+
+        return setsim_join(docs, threshold, **kwargs)
+
+    def setsim_update(
+        self, store_dir: str, new_docs: DataFrame, threshold: float, **kwargs
+    ) -> DataFrame:
+        """One incremental step of the MAINTAINED exact set-similarity
+        index (operators/setsim_store.py setsim_index_update): emits
+        every pair at jaccard ≥ τ between the new batch and everything
+        indexed so far — each pair exactly once, when its later doc
+        arrives — then grows the store. The kappa counterpart of
+        :meth:`setsim_join` (same exactness, frozen hash token order)."""
+        from .operators.setsim_store import setsim_index_update
+
+        spark = new_docs.sparkSession
+        return setsim_index_update(
+            spark, store_dir, new_docs, threshold, **kwargs
+        )
+
+    # -- robust anomaly counts ----------------------------------------------
+    def mad_anomaly(
+        self,
+        df: DataFrame,
+        value_col: str,
+        group_cols: list[str],
+        nsigma: float = 3.0,
+    ) -> DataFrame:
+        """Median/MAD robust outlier counts per group (the
+        q_events_anomaly_mad plan shape: two per-group exact-percentile
+        aggregations + two broadcast joins of the tiny stats dims; at
+        100 TB swap percentile for approx_percentile with the same
+        shape). Flags rows with |value − median| > nsigma · MAD."""
+        med = df.groupBy(*group_cols).agg(
+            F.expr(f"percentile({value_col}, 0.5)").alias("med")
+        )
+        dev = df.join(F.broadcast(med), group_cols).withColumn(
+            "adev", F.abs(F.col(value_col) - F.col("med"))
+        )
+        mad = dev.groupBy(*group_cols).agg(
+            F.expr("percentile(adev, 0.5)").alias("mad")
+        )
+        return (
+            dev.join(F.broadcast(mad), group_cols)
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.max("med"), 6).alias("med"),
+                F.round(F.max("mad"), 6).alias("mad"),
+                F.count(
+                    F.when(F.col("adev") > nsigma * F.col("mad"), F.lit(1))
+                ).alias("n_anomalies"),
+            )
+        )
+
     # -- reconciliation (sqsBucketSync semantics) ---------------------------
     def reconcile(self, storage_listing: DataFrame) -> dict[str, DataFrame]:
         keys = ["database_id", "asset_id"]
