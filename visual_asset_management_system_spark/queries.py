@@ -9788,6 +9788,87 @@ def q_kmv_rollup(spark, sf_dir):
     )
 
 
+_kmv_segment_cache: dict = {}
+
+
+def _kmv_segment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-built per-(priority, year) KMV segment sketches as an
+    on-disk artifact (once per session × sf_dir — the write path a
+    deployment runs when a partition lands, exactly like the BM25
+    postings and the ANN bucket layout). Readers answer any coarser
+    rollup from THIS relation: segments·k hash values, never the base
+    table."""
+    import tempfile
+
+    from .operators.sketches import kmv_sketch
+
+    key = (id(spark), sf_dir)
+    if key not in _kmv_segment_cache:
+        out = tempfile.mkdtemp(prefix="vams_spark_kmv_segments_")
+        kmv_sketch(
+            tables(spark, sf_dir)["orders"].withColumn(
+                "yr", F.year("o_orderdate")
+            ),
+            "o_custkey",
+            ["o_orderpriority", "yr"],
+            k=64,
+        ).write.mode("overwrite").parquet(out)
+        _kmv_segment_cache[key] = out
+    return spark.read.parquet(_kmv_segment_cache[key])
+
+
+@query(
+    "q_kmv_rollup_merged",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT o_orderpriority,
+               EXTRACT(YEAR FROM o_orderdate) AS yr,
+               {_O_KMV_H.format(key='o_custkey')} AS h
+        FROM orders
+    ),
+    seg AS (
+        SELECT o_orderpriority, yr, h FROM h
+        QUALIFY row_number() OVER (PARTITION BY o_orderpriority, yr
+                                   ORDER BY h) <= 64
+    ),
+    merged AS (
+        SELECT o_orderpriority, h
+        FROM (SELECT DISTINCT o_orderpriority, h FROM seg)
+        QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY h)
+                <= 64
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS sketch_size,
+           ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE {_O_KMV_EST} / MAX(h) END, 4) AS est_keys
+    FROM merged GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_kmv_rollup_merged(spark, sf_dir):
+    """The DEPLOYMENT shape of the sketch rollup: q_kmv_rollup builds
+    segments, merges, AND computes the exact comparator in one plan
+    (a 10-exchange demo); THIS query answers the same per-priority
+    distinct estimate from PRE-BUILT segment sketches
+    (_kmv_segment_store — the artifact a deployment maintains per
+    landed partition), so the executed plan is merge-only: scan the
+    segment relation, explode, distinct, one rank-k window, aggregate.
+    Everything after the artifact scan is sketch-sized (≤ segments·k
+    rows) — the rollup-without-rescan claim, driver-gated in the plan
+    shape a cluster would actually run. The oracle recomputes the same
+    segment sketches from orders (DuckDB has no store), which is
+    equivalent by kmv_sketch's determinism."""
+    from .operators.sketches import kmv_estimate, kmv_merge
+
+    seg = _kmv_segment_store(spark, sf_dir)
+    rolled = kmv_merge(seg, "kmv", ["o_orderpriority"], k=64)
+    return rolled.select(
+        "o_orderpriority",
+        F.size("kmv").cast("bigint").alias("sketch_size"),
+        F.round(kmv_estimate(F.col("kmv"), 64), 4).alias("est_keys"),
+    ).orderBy("o_orderpriority")
+
+
 @query(
     "q_doc_source_cap",
     """
