@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .checkpointing import maybe_checkpoint
 from .text import token_count
 
 
@@ -363,7 +364,6 @@ def dedup_substrings(
     note: xxhash64 collisions could spuriously mark a gram duplicated;
     at 64 bits this is negligible and the differential oracle (which
     joins on gram STRINGS) would surface it."""
-    from .checkpointing import maybe_checkpoint
     from .partitioning import ensure_min_parallelism
 
     # checkpoint TOKENS only (~1x corpus bytes): the gram array would
@@ -559,7 +559,7 @@ def corpus_index_update(
             F.broadcast(batch_unique.select("_fp")), "_fp", "left_semi"
         )
         batch_unique = batch_unique.join(hits, "_fp", "left_anti")
-    batch_unique = batch_unique.localCheckpoint(eager=True)
+    batch_unique = maybe_checkpoint(batch_unique)
 
     pairs, sig_new = _minhash_probe(
         spark,
@@ -604,7 +604,7 @@ def corpus_index_update(
     accepted = (
         batch_unique.join(rejects, id_col, "left_anti")
         .drop("_fp")
-        .localCheckpoint(eager=True)
+        .transform(maybe_checkpoint)
     )
 
     # sink first, state after: a crash in between replays into a clean
@@ -742,10 +742,10 @@ def substring_index_update(
 
     base = new_docs.select(
         F.col(id_col).alias("id"), _substring_tokens(text_col).alias("tk")
-    ).localCheckpoint(eager=True)
+    ).transform(maybe_checkpoint)
     inst = _substring_instances(base, min_len)
     batch_counts = inst.groupBy("k").agg(F.count(F.lit(1)).alias("_bc"))
-    batch_counts = batch_counts.localCheckpoint(eager=True)
+    batch_counts = maybe_checkpoint(batch_counts)
 
     total = batch_counts
     have_store = _os.path.isdir(gram_dir) and any(
@@ -779,7 +779,7 @@ def substring_index_update(
     dup_keys = total.filter(F.col("_bc") >= min_count).select("k")
     result = _substring_rewrite(
         base, inst, dup_keys, id_col, text_col, min_len
-    ).localCheckpoint(eager=True)
+    ).transform(maybe_checkpoint)
 
     # sink first, state after: a crash in between replays into a clean
     # (tag-excluded) store view and reproduces the same rewritten rows
