@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "q_cms_heavy_hitters",
     # round-9: exact prefix-filtered set-similarity join
     "q_doc_setsim_join",
+    # round-10: merge-only sketch rollup (deployment shape)
+    "q_kmv_rollup_merged",
 ]
 
 

@@ -2323,3 +2323,48 @@ def test_drop_table_rejects_qualified_names(spark):
 
     with _pytest.raises(ValueError, match="unqualified"):
         drop_table(spark, "db.tbl")
+
+
+def test_bloom_filter_no_false_negatives_and_merge(spark):
+    """Bloom contract: every inserted key probes true (zero false
+    negatives); OR-merge of segment filters equals the filter of the
+    union; NULL keys neither enter the filter nor probe true; a key
+    set far smaller than m yields few false positives."""
+    from visual_asset_management_system_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    m, d = 8192, 3
+    seg1 = spark.createDataFrame(
+        [(f"in{i}",) for i in range(100)] + [(None,)] * 5, "key string"
+    )
+    seg2 = spark.createDataFrame([(f"in{i}",) for i in range(80, 200)], "key string")
+    both = seg1.unionByName(seg2)
+
+    merged = bloom_merge(
+        bloom_build(seg1, "key", m=m, depth=d).unionByName(
+            bloom_build(seg2, "key", m=m, depth=d)
+        )
+    )
+    direct = bloom_build(both, "key", m=m, depth=d)
+    assert {r["bit"] for r in merged.collect()} == {
+        r["bit"] for r in direct.collect()
+    }
+
+    probe = spark.createDataFrame(
+        [(f"in{i}",) for i in range(200)]
+        + [(f"out{i}",) for i in range(500)]
+        + [(None,)],
+        "key string",
+    )
+    got = {
+        r["key"]: r["bloom_maybe"]
+        for r in bloom_probe(probe, direct, "key", m=m, depth=d).collect()
+    }
+    assert all(got[f"in{i}"] for i in range(200)), "false negative!"
+    assert got[None] is False
+    fp = sum(1 for i in range(500) if got[f"out{i}"])
+    # n=200, m=8192, d=3 → fp rate ≈ (1-e^{-600/8192})^3 ≈ 3.6e-4
+    assert fp <= 5, fp

@@ -399,3 +399,15 @@ def test_setsim_and_mad_facades(spark, tmp_path):
         for r in QUERIES["q_events_anomaly_mad"](spark, SF).collect()
     }
     assert facade == registered
+
+
+def test_membership_filter_facade(spark):
+    """Bloom facade round-trip: keys in -> all probe true."""
+    svc = _svc(spark)
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    bloom = svc.membership_filter(keys, "key", m=4096, depth=3)
+    got = {
+        r["key"]: r["bloom_maybe"]
+        for r in svc.membership_probe(keys, bloom, "key", m=4096, depth=3).collect()
+    }
+    assert all(got.values()) and len(got) == 50

@@ -590,3 +590,98 @@ def start_cms_sketch_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership filter
+# ---------------------------------------------------------------------------
+#
+# The third mergeable synopsis next to KMV (how many distinct) and CMS
+# (how often): IS this key present at all. The warehouse use is the
+# semi-join reduction — at 100 TB, an anti/semi-join against a big
+# build side shuffles both relations; a Bloom filter of the build
+# side's keys is ≤ m rows, broadcasts, and prefilters the probe side
+# BEFORE its shuffle with zero false negatives (Spark's own runtime
+# row-group Bloom pushdown is this idea inside the scan; this operator
+# is the cross-relation, persistable, MERGEABLE form). Determinism:
+# bit positions are salted md5 content hashes (sample_hash), so the
+# filter's exact bit set — and therefore every probe verdict — is
+# reproducible cross-engine and hash-gates under the DuckDB oracle,
+# unlike a java-hash Bloom. Set bits form a plain (bit) relation:
+# distinct-combinable on build, OR-merge across segments is a set
+# UNION (a join-semilattice, so the maintained form needs no replay
+# discipline — the KMV store class, not the CMS class).
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    depth: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Set-bit relation of a Bloom filter over ``key_col``: one row per
+    set bit (``bit`` int), ≤ m rows regardless of input size. Each key
+    sets ``depth`` salted-hash bits; the explode happens before the
+    distinct so the build is map-side combinable. NULL keys are
+    excluded (the KMV/CMS guard). False-positive rate ≈
+    (1 − e^{−d·n/m})^d for n distinct keys."""
+    bits = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    sample_hash(F.col(key_col), f"{salt}{i}"), F.lit(m)
+                ).cast("int")
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(bits.alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_merge(segments: DataFrame) -> DataFrame:
+    """OR-merge per-segment set-bit relations: plain distinct union —
+    already-unioned input in, one deduped bit relation out."""
+    return segments.select("bit").distinct()
+
+
+def bloom_probe(
+    keys: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    depth: int = 3,
+    salt: str = "bloom",
+    flag_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Membership verdict for each DISTINCT row of ``keys``:
+    ``flag_col`` is true iff ALL ``depth`` of the key's bits are set —
+    never a false negative, false positives at the filter's rate. The
+    bit relation broadcasts (≤ m rows by construction); a NULL key
+    probes false, mirroring bloom_build's exclusion. Same distinct-keys
+    contract as cms_probe."""
+    bits = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    sample_hash(F.col(key_col), f"{salt}{i}"), F.lit(m)
+                ).cast("int")
+                for i in range(depth)
+            ]
+        )
+    )
+    expanded = keys.select("*", bits.alias("bit"))
+    return (
+        expanded.join(
+            F.broadcast(bloom.withColumn("_set", F.lit(1))), ["bit"], "left"
+        )
+        .groupBy(*keys.columns)
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce("_set", F.lit(0))))
+            .alias(flag_col)
+        )
+    )

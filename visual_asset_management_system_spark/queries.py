@@ -10073,3 +10073,108 @@ def q_doc_setsim_join(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: Bloom membership tier (semi-join reduction)
+# ---------------------------------------------------------------------------
+
+_O_BLOOM_BIT = (
+    "(('0x' || substr(md5(CAST({key} AS VARCHAR) || '|bloom{i}'), 1, 8))"
+    "::BIGINT % {m})"
+)
+
+
+def _bloom_oracle(m: int = 16384, depth: int = 3) -> str:
+    bits_build = ", ".join(
+        _O_BLOOM_BIT.format(key="o_custkey", i=i, m=m) for i in range(depth)
+    )
+    probe_hits = " + ".join(
+        "CASE WHEN "
+        + _O_BLOOM_BIT.format(key="c.c_custkey", i=i, m=m)
+        + " IN (SELECT bit FROM bloom) THEN 1 ELSE 0 END"
+        for i in range(depth)
+    )
+    return f"""
+    WITH urgent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND EXTRACT(YEAR FROM o_orderdate) = 1998
+    ),
+    bloom AS (
+        SELECT DISTINCT bit FROM (
+            SELECT unnest([{bits_build}]) AS bit FROM urgent
+        )
+    ),
+    probed AS (
+        SELECT c.c_mktsegment,
+               ({probe_hits}) = {depth} AS bloom_maybe,
+               u.o_custkey IS NOT NULL AS has_urgent
+        FROM customer c LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) FILTER (WHERE bloom_maybe) AS BIGINT)
+               AS n_bloom_maybe,
+           CAST(COUNT(*) FILTER (WHERE has_urgent) AS BIGINT)
+               AS n_with_urgent,
+           CAST(COUNT(*) FILTER (WHERE bloom_maybe AND NOT has_urgent)
+                AS BIGINT) AS n_false_positive
+    FROM probed
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """
+
+
+@query("q_bloom_prefilter", _bloom_oracle())
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter semi-join reduction (operators/sketches.py
+    bloom_build/bloom_probe): the membership synopsis completing the
+    sketch tier (KMV = how many distinct, CMS = how often, Bloom = is
+    it present). The exhibit is the classic 100 TB shape — "customers
+    who placed an urgent 1998 order" as a ≤ m-row bit relation that
+    BROADCASTS and prefilters the probe side before any shuffle, with
+    zero false negatives — plus the accuracy ledger: per market
+    segment, total customers, Bloom-positive count, exact count (the
+    left join the Bloom would prefilter), and the false-positive
+    overshoot. Bit positions are salted md5 content hashes, so every
+    verdict is deterministic cross-engine and the counts hash-gate
+    (a java-hash Bloom could not be oracle-checked). The broadcast
+    hint rides on the bit relation only — bounded by the constant m,
+    never by an SF-scaling side (SCALE.md broadcast discipline)."""
+    from .operators.sketches import bloom_build, bloom_probe
+
+    m, depth = 16384, 3
+    t = tables(spark, sf_dir)
+    urgent = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1998)
+        )
+        .select("o_custkey")
+    )
+    bloom = bloom_build(urgent, "o_custkey", m=m, depth=depth)
+    probed = bloom_probe(
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        bloom,
+        "c_custkey",
+        m=m,
+        depth=depth,
+    )
+    exact = urgent.distinct().withColumnRenamed("o_custkey", "c_custkey")
+    return (
+        probed.join(
+            exact.withColumn("_has", F.lit(True)), "c_custkey", "left"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count(F.when(F.col("bloom_maybe"), 1)).alias("n_bloom_maybe"),
+            F.count(F.when(F.col("_has"), 1)).alias("n_with_urgent"),
+            F.count(
+                F.when(F.col("bloom_maybe") & F.col("_has").isNull(), 1)
+            ).alias("n_false_positive"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -577,6 +577,26 @@ class CatalogService:
 
         return cms_store_read(spark, store_dir)
 
+    def membership_filter(
+        self, df: DataFrame, key_col: str, **kwargs
+    ) -> DataFrame:
+        """Deterministic Bloom set-bit relation over ``key_col``
+        (operators/sketches.py bloom_build): ≤ m rows, broadcastable,
+        OR-mergeable across segments — the semi-join prefilter of the
+        sketch tier."""
+        from .operators.sketches import bloom_build
+
+        return bloom_build(df, key_col, **kwargs)
+
+    def membership_probe(
+        self, keys: DataFrame, bloom: DataFrame, key_col: str, **kwargs
+    ) -> DataFrame:
+        """Membership verdicts against a Bloom bit relation
+        (operators/sketches.py bloom_probe): never a false negative."""
+        from .operators.sketches import bloom_probe
+
+        return bloom_probe(keys, bloom, key_col, **kwargs)
+
     # -- exact set-similarity (zero-false-negative near-dup) ----------------
     def setsim_join(
         self, docs: DataFrame, threshold: float, **kwargs
