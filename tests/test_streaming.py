@@ -3126,3 +3126,38 @@ def test_setsim_dedup_stream_matches_batch(spark, tmp_path):
     assert _setsim_pairset(spark.read.parquet(pairs_dir).drop("batch")) == (
         _setsim_pairset(setsim_join(full, threshold=0.8))
     )
+
+
+def test_bloom_store_semilattice_replay_and_compaction(spark, tmp_path):
+    """Maintained Bloom store: split ≡ batch (any boundaries), replays
+    absorbed for free (semilattice), compaction re-bounds to one row
+    per bit and survives its crash window."""
+    import os as _os
+
+    from visual_asset_management_system_spark.operators.sketches import (
+        bloom_build,
+        bloom_store_read,
+        bloom_store_update,
+        compact_bloom_store,
+    )
+
+    rows = [(f"k{i}",) for i in range(300)]
+    store = str(tmp_path / "bloom_store")
+    mk = lambda rs: spark.createDataFrame(rs, "key string")  # noqa: E731
+    bloom_store_update(spark, store, mk(rows[:120]), "key", batch_key="b0")
+    bloom_store_update(spark, store, mk(rows[100:]), "key", batch_key="b1")
+    # at-least-once replay of b1
+    bloom_store_update(spark, store, mk(rows[100:]), "key", batch_key="b1")
+
+    want = {r["bit"] for r in bloom_build(mk(rows), "key").collect()}
+    got = {r["bit"] for r in bloom_store_read(spark, store).collect()}
+    assert got == want
+
+    n = compact_bloom_store(spark, store)
+    assert n == len(want)
+    assert {r["bit"] for r in bloom_store_read(spark, store).collect()} == want
+
+    # crash window: bits swept aside, store dir missing -> read recovers
+    bits = _os.path.join(store, "bits")
+    _os.rename(bits, bits + ".old")
+    assert {r["bit"] for r in bloom_store_read(spark, store).collect()} == want

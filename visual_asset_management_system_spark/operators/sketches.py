@@ -685,3 +685,79 @@ def bloom_probe(
             .alias(flag_col)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# maintained Bloom store (kappa form)
+# ---------------------------------------------------------------------------
+#
+# Bloom state is a set of bits under OR-merge — a join-semilattice like
+# KMV, so this store inherits the KMV store's free replay story: an
+# at-least-once re-append rewrites bits the reader's distinct absorbs;
+# no tags, no commit ordering. Appends are bounded at ≤ m rows (the
+# batch reduces to its bit set BEFORE touching the store).
+
+
+def _bits_dir(store_dir: str) -> str:
+    import os as _os
+
+    return _os.path.join(store_dir, "bits")
+
+
+def bloom_store_update(
+    spark,
+    store_dir: str,
+    new_df: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    depth: int = 3,
+    salt: str = "bloom",
+    batch_key: str | None = None,
+) -> None:
+    """Append one batch's set bits (≤ m rows) to the maintained store,
+    tagged for audit only (semilattice state — replays are absorbed)."""
+    _recover_kmv_store(_bits_dir(store_dir))
+    bloom_build(new_df, key_col, m, depth, salt).withColumn(
+        "batch_key", F.lit(batch_key).cast("string")
+    ).write.mode("append").parquet(_bits_dir(store_dir))
+
+
+def bloom_store_read(spark, store_dir: str) -> DataFrame:
+    """Current bit relation: distinct over every appended batch — by
+    the semilattice property equal to bloom_build over the union of
+    all batches, regardless of boundaries, ordering, or replays."""
+    _recover_kmv_store(_bits_dir(store_dir))
+    return (
+        spark.read.parquet(_bits_dir(store_dir)).select("bit").distinct()
+    )
+
+
+def compact_bloom_store(spark, store_dir: str) -> int:
+    """Re-bound the store to ≤ m rows (one row per set bit) under a
+    synthetic tag; two-rename swap with crash-window recovery (the
+    shared store-rewrite discipline). Returns the post-compaction row
+    count."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    bits_dir = _bits_dir(store_dir)
+    _recover_kmv_store(bits_dir)
+    if not _os.path.isdir(bits_dir):
+        return 0
+    compacted = (
+        spark.read.parquet(bits_dir)
+        .select("bit")
+        .distinct()
+        .withColumn("batch_key", F.lit("compacted-" + _uuid.uuid4().hex[:8]))
+    )
+    tmp = bits_dir + ".compact-tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    compacted.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    aside = bits_dir + ".old"
+    _shutil.rmtree(aside, ignore_errors=True)
+    _os.replace(bits_dir, aside)
+    _os.replace(tmp, bits_dir)
+    _shutil.rmtree(aside, ignore_errors=True)
+    return n
