@@ -231,3 +231,44 @@ def test_cms_never_underestimates_model(keys, depth, width):
     for key, true_cnt in truth.items():
         est = min(grid[(d, cell(key, d))] for d in range(depth))
         assert est >= true_cnt
+
+
+@given(
+    st.lists(
+        st.sets(st.text(string.ascii_lowercase, min_size=1, max_size=6),
+                min_size=0, max_size=30),
+        min_size=1, max_size=5,
+    ),
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=8, max_value=512),
+)
+@settings(max_examples=150)
+def test_bloom_never_false_negative_and_or_merge_model(segments, depth, m):
+    """Bloom's two load-bearing properties at the model level, with the
+    operator's exact hash construction (md5(key|bloom<i>) % m): every
+    inserted key probes present against the OR-merge of per-segment
+    filters (zero false negatives under any segmentation/replay — bit
+    sets form a semilattice under union), and the merged bit set equals
+    the filter of the union."""
+    import hashlib
+
+    def bits(key):
+        return {
+            int(hashlib.md5(f"{key}|bloom{i}".encode()).hexdigest()[:8], 16)
+            % m
+            for i in range(depth)
+        }
+
+    def build(keys):
+        out: set[int] = set()
+        for k in keys:
+            out |= bits(k)
+        return out
+
+    merged: set[int] = set()
+    for seg in segments + segments[:1]:  # replay the first segment
+        merged |= build(seg)
+    union = set().union(*segments)
+    assert merged == build(union)
+    for key in union:
+        assert bits(key) <= merged, key

@@ -3161,3 +3161,46 @@ def test_bloom_store_semilattice_replay_and_compaction(spark, tmp_path):
     bits = _os.path.join(store, "bits")
     _os.rename(bits, bits + ".old")
     assert {r["bit"] for r in bloom_store_read(spark, store).collect()} == want
+
+
+def test_bloom_sketch_stream_matches_batch(spark, tmp_path):
+    """Streaming Bloom maintenance: two micro-batches through the
+    wrapper produce exactly bloom_build over the concatenated docs."""
+    from visual_asset_management_system_spark.operators.sketches import (
+        bloom_build,
+        bloom_store_read,
+        start_bloom_sketch_stream,
+    )
+
+    docs_dir = str(tmp_path / "bl_docs")
+    os.makedirs(docs_dir)
+    store = str(tmp_path / "bl_store")
+    ckpt = str(tmp_path / "bl_ckpt")
+
+    def write_docs(name, keys):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for k in keys:
+                f.write(json.dumps({"key": k}) + "\n")
+
+    write_docs("b1.json", [f"k{i}" for i in range(60)])
+    q = start_bloom_sketch_stream(
+        spark, docs_dir, store, ckpt, "key string", "key", m=2048, depth=3
+    )
+    q.awaitTermination(120)
+    write_docs("b2.json", [f"k{i}" for i in range(40, 120)])
+    q2 = start_bloom_sketch_stream(
+        spark, docs_dir, store, ckpt, "key string", "key", m=2048, depth=3
+    )
+    q2.awaitTermination(120)
+
+    want = {
+        r["bit"]
+        for r in bloom_build(
+            spark.createDataFrame(
+                [(f"k{i}",) for i in range(120)], "key string"
+            ),
+            "key", m=2048, depth=3,
+        ).collect()
+    }
+    got = {r["bit"] for r in bloom_store_read(spark, store).collect()}
+    assert got == want

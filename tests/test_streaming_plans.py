@@ -43,6 +43,7 @@ _BASELINE = {
     "corpus_update": {"exchanges": 10, "scans": 2, "min_broadcasts": 1},
     "kmv_read": {"exchanges": 1, "scans": 1, "min_broadcasts": 0},
     "cms_read": {"exchanges": 2, "scans": 1, "min_broadcasts": 0},
+    "bloom_read": {"exchanges": 1, "scans": 1, "min_broadcasts": 0},
     "setsim_update": {"exchanges": 8, "scans": 2, "min_broadcasts": 1},
     "suggest_update": {"exchanges": 8, "scans": 3, "min_broadcasts": 1},
     "percolate": {"exchanges": 2, "scans": 0, "min_broadcasts": 1},
@@ -137,6 +138,19 @@ def _build_cms_read(spark, tmp):
     cms_store_update(spark, st, kv, "key", batch_key="b0")
     cms_store_update(spark, st, kv, "key", batch_key="b1")
     return cms_store_read(spark, st)
+
+
+def _build_bloom_read(spark, tmp):
+    from visual_asset_management_system_spark.operators.sketches import (
+        bloom_store_read,
+        bloom_store_update,
+    )
+
+    st = os.path.join(tmp, "bloom")
+    kv = spark.createDataFrame([(f"k{i}",) for i in range(100)], "key string")
+    bloom_store_update(spark, st, kv, "key", batch_key="b0")
+    bloom_store_update(spark, st, kv, "key", batch_key="b1")
+    return bloom_store_read(spark, st)
 
 
 def _build_setsim_update(spark, tmp):
@@ -257,6 +271,7 @@ _BUILDERS = {
     "corpus_update": _build_corpus_update,
     "kmv_read": _build_kmv_read,
     "cms_read": _build_cms_read,
+    "bloom_read": _build_bloom_read,
     "setsim_update": _build_setsim_update,
     "suggest_update": _build_suggest_update,
     "percolate": _build_percolate,

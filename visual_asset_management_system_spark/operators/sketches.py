@@ -761,3 +761,37 @@ def compact_bloom_store(spark, store_dir: str) -> int:
     _os.replace(tmp, bits_dir)
     _shutil.rmtree(aside, ignore_errors=True)
     return n
+
+
+def start_bloom_sketch_stream(
+    spark,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_col: str,
+    m: int = 4096,
+    depth: int = 3,
+    salt: str = "bloom",
+    trigger_once: bool = True,
+):
+    """Structured Streaming wrapper for the maintained Bloom store: one
+    bounded (≤ m rows) append per micro-batch, with the KMV stream's
+    free idempotence (semilattice state — a replayed micro-batch's
+    re-append is absorbed by the reader's distinct)."""
+    stream = spark.readStream.schema(schema).format("json").load(docs_dir)
+
+    def handle(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bloom_store_update(
+            spark, store_dir, batch, key_col, m, depth, salt,
+            batch_key=f"b{batch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
