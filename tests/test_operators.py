@@ -2368,3 +2368,39 @@ def test_bloom_filter_no_false_negatives_and_merge(spark):
     fp = sum(1 for i in range(500) if got[f"out{i}"])
     # n=200, m=8192, d=3 → fp rate ≈ (1-e^{-600/8192})^3 ≈ 3.6e-4
     assert fp <= 5, fp
+
+
+def test_bloom_prefiltered_anti_join_equals_plain_anti_join(spark):
+    """The semi-join-reduction form must equal the plain anti-join for
+    ANY filter parameters (zero false negatives make non-members exact;
+    false positives just take the slow path), including tiny saturated
+    filters — and NULL left keys survive as anti-rows (a NULL never
+    joins) exactly as in the plain form."""
+    left = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(400)] + [(None, 999)],
+        "key string, payload int",
+    )
+    right = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 400, 3)], "rk string"
+    )
+    from visual_asset_management_system_spark.operators.sketches import (
+        bloom_prefiltered_anti_join,
+    )
+
+    srt = lambda rows: sorted(  # noqa: E731 — None-safe tuple sort
+        rows, key=lambda t: (t[0] is None, t[0] or "", t[1])
+    )
+    want = srt(
+        (r["key"], r["payload"])
+        for r in left.join(
+            right.withColumnRenamed("rk", "key"), "key", "left_anti"
+        ).collect()
+    )
+    for m, d in ((8192, 3), (64, 2)):  # roomy and deliberately saturated
+        got = srt(
+            (r["key"], r["payload"])
+            for r in bloom_prefiltered_anti_join(
+                left, right, "key", "rk", m=m, depth=d
+            ).collect()
+        )
+        assert got == want, (m, d)

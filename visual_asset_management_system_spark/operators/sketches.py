@@ -795,3 +795,45 @@ def start_bloom_sketch_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bloom_prefiltered_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    m: int = 4096,
+    depth: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """``left ANTI JOIN right`` with a Bloom semi-join reduction — the
+    production use of the membership filter, exact by the
+    zero-false-negative guarantee:
+
+    - rows whose key is NOT bloom-positive cannot exist in ``right``
+      (no false negatives) → they are anti-join results OUTRIGHT and
+      never enter the shuffle;
+    - only the bloom-positive remainder (true members + the filter's
+      false-positive fraction) pays the real anti-join.
+
+    At 100 TB this is the difference between shuffling the whole probe
+    relation and shuffling its ~|right ∩ left| + ε·|left| sliver; the
+    bit relation itself is ≤ m rows and broadcasts. Equivalence with
+    the plain anti-join is guaranteed for any m/depth (tested) — the
+    parameters tune the shuffle saved, never the result."""
+    verdicts = bloom_probe(
+        left,
+        bloom_build(right, right_key, m, depth, salt),
+        left_key,
+        m,
+        depth,
+        salt,
+    )
+    definite_out = verdicts.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
+    maybe = verdicts.filter(F.col("bloom_maybe")).drop("bloom_maybe")
+    survivors = maybe.join(
+        right.select(F.col(right_key).alias(left_key)).distinct(),
+        left_key,
+        "left_anti",
+    )
+    return definite_out.unionByName(survivors)

@@ -597,6 +597,20 @@ class CatalogService:
 
         return bloom_probe(keys, bloom, key_col, **kwargs)
 
+    def anti_join_prefiltered(
+        self, left: DataFrame, right: DataFrame,
+        left_key: str, right_key: str, **kwargs
+    ) -> DataFrame:
+        """Anti-join with a Bloom semi-join reduction
+        (operators/sketches.py bloom_prefiltered_anti_join): exact for
+        any filter parameters; only the bloom-positive sliver of
+        ``left`` pays the shuffle."""
+        from .operators.sketches import bloom_prefiltered_anti_join
+
+        return bloom_prefiltered_anti_join(
+            left, right, left_key, right_key, **kwargs
+        )
+
     # -- exact set-similarity (zero-false-negative near-dup) ----------------
     def setsim_join(
         self, docs: DataFrame, threshold: float, **kwargs
