@@ -2404,3 +2404,42 @@ def test_bloom_prefiltered_anti_join_equals_plain_anti_join(spark):
             ).collect()
         )
         assert got == want, (m, d)
+
+
+def test_bloom_flag_is_shuffle_free_and_matches_probe(spark):
+    """bloom_flag's verdict must equal bloom_probe's for every key, and
+    its executed plan must hold ZERO exchanges (the per-row projection
+    over a single-row broadcast mask — the property the prefiltered
+    anti-join's 'never enters a shuffle' claim rests on)."""
+    from visual_asset_management_system_spark.operators.sketches import (
+        bloom_build,
+        bloom_flag,
+        bloom_probe,
+    )
+    from visual_asset_management_system_spark.plans.audit import (
+        exchange_count,
+    )
+
+    members = spark.createDataFrame(
+        [(f"in{i}",) for i in range(80)], "key string"
+    )
+    bloom = bloom_build(members, "key", m=2048, depth=3)
+    probe = spark.createDataFrame(
+        [(f"in{i}",) for i in range(80)]
+        + [(f"out{i}",) for i in range(200)]
+        + [(None,)],
+        "key string",
+    )
+    flagged = bloom_flag(probe, bloom, "key", m=2048, depth=3)
+    flagged.collect()
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert exchange_count(plan) == 0, plan
+
+    got = {r["key"]: r["bloom_maybe"] for r in flagged.collect()}
+    want = {
+        r["key"]: r["bloom_maybe"]
+        for r in bloom_probe(probe, bloom, "key", m=2048, depth=3).collect()
+    }
+    assert got == want
+    assert all(got[f"in{i}"] for i in range(80))
+    assert got[None] is False

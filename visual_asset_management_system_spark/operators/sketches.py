@@ -797,6 +797,45 @@ def start_bloom_sketch_stream(
     return writer.start()
 
 
+def bloom_flag(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    depth: int = 3,
+    salt: str = "bloom",
+    flag_col: str = "bloom_maybe",
+) -> DataFrame:
+    """SHUFFLE-FREE per-row membership verdict: ``df`` + a boolean
+    ``flag_col`` (true iff every one of the key's ``depth`` bits is
+    set; NULL keys flag false). The filter's m bits are collapsed into
+    ONE array<boolean> row (a bounded driver collect — ≤ m rows by the
+    layout constant, the same provably-small class as the repo's other
+    collects) and cross-joined as a single-row broadcast, so the
+    verdict is a pure per-row projection: no groupBy, no exchange —
+    the property the semi-join reduction depends on. Contrast
+    :func:`bloom_probe`, the relation-shaped probe, whose per-DISTINCT
+    aggregation shuffles its input."""
+    spark = df.sparkSession
+    mask = [False] * m
+    for r in bloom.select("bit").collect():  # bounded: ≤ m rows
+        mask[r["bit"]] = True
+    mask_df = spark.createDataFrame([(mask,)], "__bloom_mask array<boolean>")
+    cond = None
+    for i in range(depth):
+        bit = F.pmod(sample_hash(F.col(key_col), f"{salt}{i}"), F.lit(m))
+        hit = F.coalesce(
+            F.element_at("__bloom_mask", (bit + 1).cast("int")),
+            F.lit(False),
+        )
+        cond = hit if cond is None else (cond & hit)
+    return (
+        df.crossJoin(F.broadcast(mask_df))
+        .withColumn(flag_col, F.coalesce(cond, F.lit(False)))
+        .drop("__bloom_mask")
+    )
+
+
 def bloom_prefiltered_anti_join(
     left: DataFrame,
     right: DataFrame,
@@ -812,25 +851,24 @@ def bloom_prefiltered_anti_join(
 
     - rows whose key is NOT bloom-positive cannot exist in ``right``
       (no false negatives) → they are anti-join results OUTRIGHT and
-      never enter the shuffle;
+      never enter any shuffle (the verdict is :func:`bloom_flag`'s
+      per-row projection over a single-row broadcast mask — the first
+      cut of this operator used bloom_probe, whose groupBy shuffled
+      the whole probe side, defeating the point);
     - only the bloom-positive remainder (true members + the filter's
       false-positive fraction) pays the real anti-join.
 
     At 100 TB this is the difference between shuffling the whole probe
     relation and shuffling its ~|right ∩ left| + ε·|left| sliver; the
-    bit relation itself is ≤ m rows and broadcasts. Equivalence with
-    the plain anti-join is guaranteed for any m/depth (tested) — the
-    parameters tune the shuffle saved, never the result."""
-    verdicts = bloom_probe(
-        left,
-        bloom_build(right, right_key, m, depth, salt),
-        left_key,
-        m,
-        depth,
-        salt,
+    mask is m bits broadcast once. Equivalence with the plain
+    anti-join is guaranteed for any m/depth (tested) — the parameters
+    tune the shuffle saved, never the result."""
+    flagged = bloom_flag(
+        left, bloom_build(right, right_key, m, depth, salt),
+        left_key, m, depth, salt,
     )
-    definite_out = verdicts.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
-    maybe = verdicts.filter(F.col("bloom_maybe")).drop("bloom_maybe")
+    definite_out = flagged.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
+    maybe = flagged.filter(F.col("bloom_maybe")).drop("bloom_maybe")
     survivors = maybe.join(
         right.select(F.col(right_key).alias(left_key)).distinct(),
         left_key,
