@@ -10140,9 +10140,12 @@ def q_bloom_prefilter(spark, sf_dir):
     overshoot. Bit positions are salted md5 content hashes, so every
     verdict is deterministic cross-engine and the counts hash-gate
     (a java-hash Bloom could not be oracle-checked). The broadcast
-    hint rides on the bit relation only — bounded by the constant m,
-    never by an SF-scaling side (SCALE.md broadcast discipline)."""
-    from .operators.sketches import bloom_build, bloom_probe
+    rides on the single-row bit MASK only — bounded by the constant m,
+    never by an SF-scaling side (SCALE.md broadcast discipline) — and
+    the verdict is bloom_flag's shuffle-free per-row projection, so
+    the only shuffle the probe side ever pays is the final per-segment
+    aggregation itself."""
+    from .operators.sketches import bloom_build, bloom_flag
 
     m, depth = 16384, 3
     t = tables(spark, sf_dir)
@@ -10155,7 +10158,7 @@ def q_bloom_prefilter(spark, sf_dir):
         .select("o_custkey")
     )
     bloom = bloom_build(urgent, "o_custkey", m=m, depth=depth)
-    probed = bloom_probe(
+    probed = bloom_flag(
         t["customer"].select("c_custkey", "c_mktsegment"),
         bloom,
         "c_custkey",
