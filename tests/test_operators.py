@@ -2443,3 +2443,47 @@ def test_bloom_flag_is_shuffle_free_and_matches_probe(spark):
     assert got == want
     assert all(got[f"in{i}"] for i in range(80))
     assert got[None] is False
+
+
+def test_bottomk_sample_deterministic_mergeable_quantiles(spark):
+    """The bottom-k-by-hash sample is identical under any partitioning,
+    merges as a semilattice (merge of segment samples == sample of the
+    union), excludes NULL ids, and its quantile estimates land within
+    the sampling error band of the exact quantiles on a skewed
+    distribution."""
+    from visual_asset_management_system_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    # skewed values: id i -> i^2 (heavy right tail)
+    rows = [(i, float(i * i)) for i in range(2000)] + [(None, 0.0)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+
+    ids = lambda d: sorted(  # noqa: E731
+        r["rid"] for r in bottomk_sample(d, "rid", 256).collect()
+    )
+    base = ids(df)
+    assert len(base) == 256 and None not in base
+    assert base == ids(df.repartition(13, "v")) == ids(df.coalesce(1))
+
+    # semilattice: segment samples merge to the union's sample
+    seg1 = bottomk_sample(df.filter("rid < 1200"), "rid", 256)
+    seg2 = bottomk_sample(df.filter("rid >= 1100"), "rid", 256)  # overlap
+    merged = sorted(
+        r["rid"]
+        for r in bottomk_merge(seg1.unionByName(seg2), "rid", 256).collect()
+    )
+    assert merged == base
+
+    # quantile accuracy: sampling sigma = sqrt(q(1-q)/k) on the RANK
+    # scale; compare sample quantiles of v against exact at 4 sigma
+    got = sample_quantiles(
+        bottomk_sample(df, "rid", 256), "v", [0.1, 0.5, 0.9]
+    ).collect()[0]
+    for q, col in ((0.1, "q0_1"), (0.5, "q0_5"), (0.9, "q0_9")):
+        sigma_rank = (q * (1 - q) / 256) ** 0.5
+        lo = ((q - 4 * sigma_rank) * 2000) ** 2
+        hi = ((q + 4 * sigma_rank) * 2000) ** 2
+        assert lo <= got[col] <= hi, (q, got[col], lo, hi)

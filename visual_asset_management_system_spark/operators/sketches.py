@@ -875,3 +875,110 @@ def bloom_prefiltered_anti_join(
         "left_anti",
     )
     return definite_out.unionByName(survivors)
+
+
+# ---------------------------------------------------------------------------
+# bottom-k hash sample → deterministic mergeable quantiles
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the synopsis family (KMV distinct / CMS
+# frequency / Bloom membership / THIS for distribution shape). The
+# classic mergeable quantile sketches (KLL, GK, t-digest) are
+# insertion-ORDER-dependent — useless under the differential-oracle
+# discipline, where a synopsis must be a pure function of the data.
+# The order-free alternative is a BOTTOM-K-BY-CONTENT-HASH row sample
+# [priority/bottom-k sampling — Cohen & Kaplan 2007]: rank every row
+# by a uniform content hash of its identity and keep the k smallest.
+# That sample is (a) uniform without replacement, (b) deterministic
+# cross-engine, and (c) a join-semilattice under "union then re-take
+# the k smallest" — segments merge exactly like KMV sketches, so
+# per-partition samples answer any coarser quantile question without a
+# rescan. Quantiles read from the sample carry the standard sampling
+# error ~ sqrt(q(1-q)/k) per quantile q.
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    salt: str = "qsample",
+) -> DataFrame:
+    """Per-group bottom-k-by-hash row sample: the input rows (all
+    columns) whose ``id_col`` content hash ranks in the group's k
+    smallest, plus the ranking hash as ``__h``. Deterministic under
+    any partitioning; the rank filter compiles to WindowGroupLimit so
+    no group is ever fully sorted. NULL ids are excluded (the sketch
+    tier's shared NULL guard). ``id_col`` must identify rows uniquely
+    for uniform ROW sampling — hash a composite key first if no single
+    column does."""
+    group_cols = list(group_cols or [])
+    hashed = df.filter(F.col(id_col).isNotNull()).withColumn(
+        "__h", sample_hash(F.col(id_col), salt)
+    )
+    w = (
+        Window.partitionBy(*group_cols).orderBy("__h", id_col)
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("__h", id_col)
+    )
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def bottomk_merge(
+    samples: DataFrame,
+    id_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge per-segment bottom-k samples to a coarser rollup level:
+    re-take the k smallest ``__h`` per group (drop the segment columns
+    from ``group_cols`` before calling). By the semilattice property
+    this equals :func:`bottomk_sample` over the union of the segments'
+    raw rows — sketch-sized work, no rescan. Overlapping segments (or
+    replayed appends, in a maintained form) contribute byte-identical
+    duplicate rows; the per-(group, id) dedup below keeps them from
+    consuming rank slots — without it the merged sample would fall
+    short of the union's true bottom k."""
+    group_cols = list(group_cols or [])
+    samples = samples.dropDuplicates([*group_cols, id_col])
+    w = (
+        Window.partitionBy(*group_cols).orderBy("__h", id_col)
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("__h", id_col)
+    )
+    return (
+        samples.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles OF THE SAMPLE, per group — the
+    read side of the bottom-k synopsis. Identical IEEE arithmetic in
+    Spark and DuckDB (the q_events_anomaly_mad precedent), so the
+    estimates themselves hash-gate cross-engine."""
+    group_cols = list(group_cols or [])
+    qs = ", ".join(repr(float(q)) for q in quantiles)
+    agg = F.expr(f"percentile({value_col}, array({qs}))").alias("__qv")
+    out = (
+        sample.groupBy(*group_cols).agg(agg)
+        if group_cols
+        else sample.agg(agg)
+    )
+    cols = [
+        F.round(F.element_at("__qv", i + 1), 6).alias(
+            f"q{str(q).replace('.', '_')}"
+        )
+        for i, q in enumerate(quantiles)
+    ]
+    return out.select(*group_cols, *cols)

@@ -597,6 +597,26 @@ class CatalogService:
 
         return bloom_probe(keys, bloom, key_col, **kwargs)
 
+    def bottomk_row_sample(
+        self, df: DataFrame, id_col: str, k: int, **kwargs
+    ) -> DataFrame:
+        """Deterministic mergeable bottom-k-by-hash row sample
+        (operators/sketches.py bottomk_sample) — the order-free
+        quantile synopsis: segments merge via ``bottomk_merge``,
+        quantiles read via ``quantiles_of_sample``."""
+        from .operators.sketches import bottomk_sample
+
+        return bottomk_sample(df, id_col, k, **kwargs)
+
+    def quantiles_of_sample(
+        self, sample: DataFrame, value_col: str, quantiles, **kwargs
+    ) -> DataFrame:
+        """Exact interpolated percentiles of a bottom-k sample
+        (operators/sketches.py sample_quantiles)."""
+        from .operators.sketches import sample_quantiles
+
+        return sample_quantiles(sample, value_col, list(quantiles), **kwargs)
+
     def anti_join_prefiltered(
         self, left: DataFrame, right: DataFrame,
         left_key: str, right_key: str, **kwargs
