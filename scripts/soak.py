@@ -85,10 +85,13 @@ def _store_updates(spark, sf_dir: str, n_docs: int) -> dict[str, float]:
         word_shingles,
     )
 
+    # deterministic doc_id filter, not limit(n): limit's row selection
+    # is order-nondeterministic, so the seed/batch split could deviate
+    # from the intended 90/10 and skew the measured exponents
     docs = (
         tables(spark, sf_dir)["documents"]
         .select("doc_id", "text")
-        .limit(n_docs)
+        .filter(F.col("doc_id") < n_docs)
     )
     cut = int(n_docs * 0.9)
     seed = docs.filter(F.col("doc_id") < cut)

@@ -790,8 +790,16 @@ def setsim_join(
         if items_col is not None
         else tokens(F.lower(F.col(text_col)))
     )
+    # NULL guard (shared with the maintained store, setsim_store.py):
+    # an exploded NULL item survives into the count(1)-based n of the
+    # `arrays` relation but is dropped from collect_set — and on the
+    # prefix side vanishes at the df equi-join — so n would disagree
+    # between the two relations and inflate jaccard denominators,
+    # silently dropping boundary pairs (J exactly τ).
     toks = maybe_checkpoint(
-        docs.select(F.col(id_col), F.explode(items).alias("tok")).distinct()
+        docs.select(F.col(id_col), F.explode(items).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .distinct()
     )
     tokdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w_doc = Window.partitionBy(id_col).orderBy("df", "tok")

@@ -116,10 +116,18 @@ def _batch_relations(
         if items_col is not None
         else tokens(F.lower(F.col(text_col)))
     )
+    # NULL guard (the KMV/CMS/Bloom discipline): an exploded NULL item
+    # is counted by the window count(1) but dropped by collect_set, so
+    # without this filter pn != size(arr) — jaccard denominators
+    # inflate and the prefix length is computed on the wrong n, which
+    # can silently drop boundary pairs (J exactly τ) and break the
+    # zero-false-negative guarantee.
     toks = maybe_checkpoint(
         new_docs.select(
             F.col(id_col).alias("id"), F.explode(items).alias("tok")
-        ).distinct()
+        )
+        .filter(F.col("tok").isNotNull())
+        .distinct()
     )
     w_doc = Window.partitionBy("id").orderBy(
         sample_hash(F.col("tok"), _ORDER_SALT), "tok"
@@ -264,7 +272,20 @@ def setsim_index_update(
     exactly the pair set the batch ``setsim_join`` computes over ∪Bi,
     each pair once — when its later document arrives. ``threshold``
     must stay constant for a store's lifetime (prefix lengths depend on
-    it; a different τ is a different index)."""
+    it; a different τ is a different index).
+
+    ``batch_key`` is REQUIRED (non-None): the exactly-once crash
+    discipline (pair sink before store append, replay excludes its own
+    half-applied rows) only holds when the append is tagged — an
+    untagged replay after a crash between the sink and the append
+    would probe against its own half-applied rows and re-emit pairs.
+    Same stance as cms_store_update."""
+    if batch_key is None:
+        raise ValueError(
+            "setsim_index_update requires a non-None batch_key: the "
+            "exactly-once replay discipline depends on excluding the "
+            "current batch's own half-applied store rows by tag"
+        )
     pairs, prefix_new, arrays_new = _setsim_probe(
         spark,
         store_dir,

@@ -819,6 +819,13 @@ def bloom_flag(
     spark = df.sparkSession
     mask = [False] * m
     for r in bloom.select("bit").collect():  # bounded: ≤ m rows
+        if not 0 <= r["bit"] < m:
+            raise ValueError(
+                f"bloom bit {r['bit']} out of range for m={m}: the bit "
+                "relation was built with a different m than the probe "
+                "(m/depth/salt are part of the filter format and must "
+                "match between build and probe)"
+            )
         mask[r["bit"]] = True
     mask_df = spark.createDataFrame([(mask,)], "__bloom_mask array<boolean>")
     cond = None

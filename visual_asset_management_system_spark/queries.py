@@ -9802,7 +9802,14 @@ def _kmv_segment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.sketches import kmv_sketch
 
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): CPython can reuse a
+    # stopped session's id for a new one, which would serve the new
+    # session a stale tempdir; existence-checked so a tmp-cleaner
+    # sweep just triggers a rebuild instead of a read error
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _kmv_segment_cache.get(key)
+    if cached is not None and not os.path.isdir(cached):
+        del _kmv_segment_cache[key]
     if key not in _kmv_segment_cache:
         out = tempfile.mkdtemp(prefix="vams_spark_kmv_segments_")
         kmv_sketch(
