@@ -2215,6 +2215,103 @@ def test_setsim_join_matches_quadratic_model_exactly(spark):
         assert (100, 101, 19, 20, 19) in got  # planted pair found
 
 
+def test_setsim_positional_filter_prunes_losslessly(spark):
+    """The PPJoin positional filter cuts the candidate set but never a
+    qualifying pair. Planted geometry: docs A and B share exactly one
+    token u, with u at rank 2 of A (behind a df-1 token) and rank 1 of
+    B, both n=10, τ=0.9 — so the bound min(2,1) + min(8,9) = 9 is
+    below the required overlap ⌈9·20/19⌉ = 10 and the candidate is
+    pruned BEFORE verification; the filterless candidate set must
+    still contain it, and the verified join output must equal the
+    quadratic model either way."""
+    import itertools
+
+    from visual_asset_management_system_spark.operators.dedup import (
+        setsim_candidates,
+        setsim_join,
+    )
+
+    f = [f"f{i}" for i in range(8)]
+    g = [f"g{i}" for i in range(9)]
+    rows = [
+        (0, " ".join(["arare", "u", *f])),  # doc A: n=10, u at rank 2
+        (1, " ".join(["u", *g])),           # doc B: n=10, u at rank 1
+        (2, " ".join([*f, "c1", "c2"])),    # f* df boosters (df=3)
+        (3, " ".join([*f, "d1", "d2"])),
+        (4, " ".join([*g, "e1"])),          # g* df boosters (df=3)
+        (5, " ".join([*g, "e2"])),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pruned = {
+        (r["id_a"], r["id_b"])
+        for r in setsim_candidates(docs, 0.9).collect()
+    }
+    unpruned = {
+        (r["id_a"], r["id_b"])
+        for r in setsim_candidates(
+            docs, 0.9, positional_filter=False
+        ).collect()
+    }
+    assert pruned <= unpruned
+    assert (0, 1) in unpruned and (0, 1) not in pruned  # the planted prune
+
+    sets = {did: set(text.split()) for did, text in rows}
+    for threshold in (0.5, 0.9):
+        got = {
+            (r["id_a"], r["id_b"], r["overlap"])
+            for r in setsim_join(docs, threshold).collect()
+        }
+        want = {
+            (a, b, len(sets[a] & sets[b]))
+            for a, b in itertools.combinations(sorted(sets), 2)
+            if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= threshold
+        }
+        assert got == want, (threshold, got ^ want)
+
+
+def test_setsim_max_df_ratio_stop_lists_item_space(spark):
+    """max_df_ratio drops saturated tokens from the ITEM SPACE (not
+    just prefixes), so the join equals the quadratic model computed
+    over the stop-listed sets — exact w.r.t. the filtered universe,
+    zero false negatives. A universal token pushes two otherwise-
+    distinct docs over τ; with the cap their true (stop-listed)
+    similarity governs."""
+    import itertools
+
+    from visual_asset_management_system_spark.operators.dedup import (
+        setsim_join,
+    )
+
+    import random as _random
+
+    rng = _random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for did in range(30):
+        n = rng.randrange(3, 15)
+        # 'the' is in EVERY doc: df ratio 1.0 > cap 0.5
+        rows.append((did, "the " + " ".join(rng.sample(vocab, n))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for threshold in (0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"], r["overlap"], r["n_a"], r["n_b"])
+            for r in setsim_join(
+                docs, threshold, max_df_ratio=0.5
+            ).collect()
+        }
+        sets = {
+            did: set(text.split()) - {"the"} for did, text in rows
+        }
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            o = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and o / u >= threshold:
+                want.add((a, b, o, len(sets[a]), len(sets[b])))
+        assert got == want, (threshold, got ^ want)
+
+
 def test_kmv_empty_sketch_edges(spark):
     """Empty segments must not error the rollup: theta is NULL, the
     estimate is 0.0, an empty array unions losslessly, and the

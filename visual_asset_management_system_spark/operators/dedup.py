@@ -731,42 +731,22 @@ def start_minhash_dedup_stream(
 # --------------------------------------------------------------------------
 # exact set-similarity join (prefix filtering)
 # --------------------------------------------------------------------------
-def setsim_join(
+def _setsim_stage(
     docs: DataFrame,
     threshold: float,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    items_col: str | None = None,
-) -> DataFrame:
-    """EXACT Jaccard self-join over distinct-token sets via prefix
-    filtering (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
-    Search"; Xiao et al. PPJoin) — the zero-false-negative complement
-    of the MinHash/LSH tier: LSH trades recall for candidate volume
-    (q_ngram_jaccard_topk documents its 1-(1-j^r)^b recall curve),
-    while prefix filtering guarantees EVERY pair at jaccard ≥ τ is
-    found, at the cost of exact candidate generation.
-
-    Theorem used: order all tokens by ascending global document
-    frequency (rarest first, token tiebreak); if J(x,y) ≥ τ then
-    overlap ≥ ⌈τ·|x|⌉ for each side (pairs with |y| < τ·|x| cannot
-    qualify since J ≤ |y|/|x|), so x and y must share a token inside
-    each one's first |x| − ⌈τ·|x|⌉ + 1 tokens. Candidates therefore
-    come from an equi-join of PREFIX tokens only — the rare end of the
-    vocabulary, which is what keeps candidate buckets small: a stopword
-    lands in a prefix only for documents so short the stopword is
-    τ-significant. The ⌈·⌉ is computed in INTEGER arithmetic from a
-    rational approximation of τ (floats would round ⌈0.8·35⌉ to 29 and
-    silently drop boundary pairs).
-
-    Scale shape: one distinct-pairs shuffle, two vocabulary-keyed
-    joins (token df + the prefix equi-join), one per-doc window for
-    prefix positions, and an array-expression verification on
-    candidate pairs (no re-join of token relations). The length filter
-    τ·|x| ≤ |y| ≤ |x|/τ prunes candidates before verification. At a
-    100 TB corpus the prefix join is the dominant shuffle and is
-    exactly as skewed as the τ-significant tail of the vocabulary —
-    bounded, unlike a raw token join.
-    """
+    text_col: str,
+    id_col: str,
+    items_col: str | None,
+    max_df_ratio: float | None,
+    positional_filter: bool,
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Shared tokenize→rank→prefix→candidate stage of the AllPairs
+    join: returns (toks, cand, num, den) where ``toks`` is the
+    checkpointed distinct (id, tok) relation the caller's verification
+    arrays must be built from (so the corpus-sized relation is
+    evaluated once) and ``cand`` is the deduped candidate pair set.
+    See :func:`setsim_join` for the theorems; the positional filter is
+    documented there."""
     from fractions import Fraction
 
     from pyspark.sql.window import Window
@@ -802,6 +782,34 @@ def setsim_join(
         .distinct()
     )
     tokdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if max_df_ratio is not None:
+        # df-cap guard (OPT-IN; changes semantics): tokens present in
+        # more than max_df_ratio of the corpus are dropped from the
+        # ITEM SPACE — prefixes, arrays, and n alike — so the join
+        # computes exact Jaccard over the stop-listed universe. This is
+        # the BM25 stop-list stance, enforced: on a saturated
+        # vocabulary (the sf1→sf3 soak's measured super-linear
+        # candidate growth, SOAK_r10.json) per-token df grows with the
+        # corpus and the τ-significant tail stops being rare; capping
+        # df bounds every prefix posting list by construction. Dropping
+        # a token ONLY from prefixes would break zero-false-negatives
+        # (a pair's sole shared prefix token could be the dropped one);
+        # dropping it from the universe keeps the guarantee exact
+        # w.r.t. the filtered sets. The 1-row count agg broadcasts (the
+        # provably-bounded class); the vocabulary-sized keep-list join
+        # is left to AQE per the broadcast-hint discipline.
+        total = toks.agg(
+            F.count_distinct(F.col(id_col)).cast("double").alias("__nd")
+        )
+        tokdf = (
+            tokdf.crossJoin(F.broadcast(total))
+            .filter(
+                F.col("df").cast("double")
+                <= F.col("__nd") * F.lit(float(max_df_ratio))
+            )
+            .drop("__nd")
+        )
+        toks = maybe_checkpoint(toks.join(tokdf.select("tok"), "tok"))
     w_doc = Window.partitionBy(id_col).orderBy("df", "tok")
     ranked = (
         toks.join(tokdf, "tok")
@@ -811,9 +819,9 @@ def setsim_join(
     # ⌈τ·n⌉ = (num·n + den − 1) div den, exactly
     need = F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
     prefix = ranked.filter(F.col("pos") <= F.col("n") - need + 1).select(
-        F.col(id_col).alias("pid"), "tok", F.col("n").alias("pn")
+        F.col(id_col).alias("pid"), "tok", "pos", F.col("n").alias("pn")
     )
-    cand = (
+    joined = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
         .filter(F.col("a.pid") < F.col("b.pid"))
@@ -822,10 +830,134 @@ def setsim_join(
             (F.lit(num) * F.greatest("a.pn", "b.pn"))
             <= (F.lit(den) * F.least("a.pn", "b.pn"))
         )
-        .select(
+    )
+    if not positional_filter:
+        cand = joined.select(
             F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b")
+        ).distinct()
+        return toks, cand, num, den
+    # PPJoin positional filter (Xiao et al. 2008): for a shared token t
+    # at 1-based positions (pos_a, pos_b) of two docs sorted under the
+    # SAME global order, overlap(x,y) ≤ min(pos_a, pos_b) − 1 common
+    # tokens strictly before t, plus t itself, plus at most
+    # min(n_a − pos_a, n_b − pos_b) after t:
+    #     ub(t) = min(pos_a, pos_b) + min(n_a − pos_a, n_b − pos_b).
+    # Every shared prefix token yields a valid bound, so the pair's
+    # tightest is min over the equi-join's rows — computed by the SAME
+    # aggregation that deduped candidates before (groupBy replaces
+    # distinct; no extra shuffle). J ≥ τ ⟺ overlap ≥ τ(n_a+n_b)/(1+τ),
+    # so with τ = num/den the required overlap is
+    #     O = ⌈num·(n_a+n_b)/(num+den)⌉  (integer arithmetic — the
+    # Fraction discipline; floats would drop J = τ boundary pairs).
+    # Pruning min ub(t) < O is LOSSLESS: each ub ≥ true overlap, so a
+    # qualifying pair has min ub ≥ overlap ≥ O. ub is symmetric in the
+    # (pos, n) pairs, so it commutes with any id normalization.
+    ub = F.least("a.pos", "b.pos") + F.least(
+        F.col("a.pn") - F.col("a.pos"), F.col("b.pn") - F.col("b.pos")
+    )
+    cand = (
+        joined.select(
+            F.col("a.pid").alias("id_a"),
+            F.col("b.pid").alias("id_b"),
+            ub.alias("__ub"),
+            (F.col("a.pn") + F.col("b.pn")).alias("__sn"),
         )
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.min("__ub").alias("__min_ub"), F.min("__sn").alias("__sn"))
+        .filter(
+            F.col("__min_ub")
+            >= F.floor(
+                (F.lit(num) * F.col("__sn") + F.lit(num + den - 1))
+                / F.lit(num + den)
+            )
+        )
+        .select("id_a", "id_b")
+    )
+    return toks, cand, num, den
+
+
+def setsim_candidates(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    items_col: str | None = None,
+    positional_filter: bool = True,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """The candidate (id_a, id_b) pair set of :func:`setsim_join`
+    BEFORE exact verification — the measurement seam for the filters'
+    pruning power (the soak harness and the losslessness tests count
+    candidates with ``positional_filter`` on vs off; the verified
+    output is identical either way because the filter is lossless)."""
+    return _setsim_stage(
+        docs,
+        threshold,
+        text_col,
+        id_col,
+        items_col,
+        max_df_ratio,
+        positional_filter,
+    )[1]
+
+
+def setsim_join(
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    items_col: str | None = None,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """EXACT Jaccard self-join over distinct-token sets via prefix
+    filtering (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    Search"; Xiao et al. PPJoin) — the zero-false-negative complement
+    of the MinHash/LSH tier: LSH trades recall for candidate volume
+    (q_ngram_jaccard_topk documents its 1-(1-j^r)^b recall curve),
+    while prefix filtering guarantees EVERY pair at jaccard ≥ τ is
+    found, at the cost of exact candidate generation.
+
+    Theorem used: order all tokens by ascending global document
+    frequency (rarest first, token tiebreak); if J(x,y) ≥ τ then
+    overlap ≥ ⌈τ·|x|⌉ for each side (pairs with |y| < τ·|x| cannot
+    qualify since J ≤ |y|/|x|), so x and y must share a token inside
+    each one's first |x| − ⌈τ·|x|⌉ + 1 tokens. Candidates therefore
+    come from an equi-join of PREFIX tokens only — the rare end of the
+    vocabulary, which is what keeps candidate buckets small: a stopword
+    lands in a prefix only for documents so short the stopword is
+    τ-significant. The ⌈·⌉ is computed in INTEGER arithmetic from a
+    rational approximation of τ (floats would round ⌈0.8·35⌉ to 29 and
+    silently drop boundary pairs).
+
+    Scale shape: one distinct-pairs shuffle, two vocabulary-keyed
+    joins (token df + the prefix equi-join), one per-doc window for
+    prefix positions, and an array-expression verification on
+    candidate pairs (no re-join of token relations). Two candidate
+    prunes run before verification, both LOSSLESS: the length filter
+    τ·|x| ≤ |y| ≤ |x|/τ, and the PPJoin POSITIONAL filter (see
+    :func:`_setsim_stage` for the bound) — the pair dedup aggregation
+    doubles as the per-pair min over position bounds, so the filter
+    costs no extra shuffle while typically cutting verified candidates
+    2-5× (Xiao et al.). At a 100 TB corpus the prefix join is the
+    dominant shuffle and is exactly as skewed as the τ-significant
+    tail of the vocabulary — bounded, unlike a raw token join. When
+    the vocabulary SATURATES (a closed item space where per-token df
+    grows with the corpus — the sf1→sf3 soak measured the candidate
+    surface going super-linear exactly this way), pass
+    ``max_df_ratio`` to stop-list tokens present in more than that
+    fraction of documents OUT OF THE ITEM SPACE: Jaccard is then exact
+    over the filtered universe (the BM25 stop-list stance — documented
+    semantics change, zero false negatives w.r.t. the filtered sets),
+    and every prefix posting list is df-bounded by construction.
+    """
+    toks, cand, _num, _den = _setsim_stage(
+        docs,
+        threshold,
+        text_col,
+        id_col,
+        items_col,
+        max_df_ratio,
+        positional_filter=True,
     )
     arrays = toks.groupBy(id_col).agg(
         F.sort_array(F.collect_set("tok")).alias("arr"),

@@ -28,8 +28,15 @@ candidate buckets proportional to df, bounded exactly like the batch
 form's analysis (dedup.py setsim_join docstring).
 
 Store layout (``store_dir``):
-- ``prefix/``  — (id, tok, pn, batch_key): each doc's prefix tokens
-  under the frozen order (pn = the doc's distinct-item count);
+- ``prefix/``  — (id, tok, pos, pn, batch_key): each doc's prefix
+  tokens under the frozen order (pos = the token's 1-based rank in
+  the doc's FULL frozen-order array — carried for the PPJoin
+  positional filter; pn = the doc's distinct-item count). pos is a
+  pure function of (id's item set, tok) under the frozen order, so
+  replayed rows stay byte-identical and compaction's (id, tok) dedup
+  is unchanged. Format note: pos was added in round 11 — a store
+  written by an earlier build must be re-indexed (no such store
+  persists; the relation is test/stream-built);
 - ``arrays/`` — (id, arr, pn, batch_key): each doc's full sorted
   distinct-item array, for exact verification of candidate pairs.
 
@@ -107,7 +114,7 @@ def _batch_relations(
     items_col: str | None,
 ) -> tuple[DataFrame, DataFrame]:
     """(prefix, arrays) of one batch under the store's frozen hash
-    order. ``prefix``: (id, tok, pn); ``arrays``: (id, arr, pn).
+    order. ``prefix``: (id, tok, pos, pn); ``arrays``: (id, arr, pn).
     Documents with empty item sets produce no rows (as in the batch
     setsim_join)."""
     num, den = _tau_fraction(threshold)
@@ -141,7 +148,7 @@ def _batch_relations(
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("pn") - need + 1
-    ).select("id", "tok", "pn")
+    ).select("id", "tok", "pos", "pn")
     arrays = toks.groupBy("id").agg(
         F.sort_array(F.collect_set("tok")).alias("arr"),
         F.count(F.lit(1)).alias("pn"),
@@ -198,6 +205,20 @@ def _setsim_probe(
         all_prefix = prefix_new
         all_arrays = arrays_new
 
+    # PPJoin positional filter, mirrored from the batch form (see
+    # dedup._setsim_stage for the bound's derivation): ub(t) =
+    # min(pos_a, pos_b) + min(n_a − pos_a, n_b − pos_b) is a valid
+    # overlap upper bound for every shared token t because BOTH sides'
+    # positions are ranks under the store's one frozen order; the pair
+    # survives iff min over its shared prefix tokens ≥ the required
+    # overlap ⌈num·(n_a+n_b)/(num+den)⌉ — lossless, so the store's
+    # zero-false-negative contract is untouched (the split≡batch
+    # randomized tests pin this). ub and the pair-id normalization are
+    # both symmetric, so a new-new pair seen from both join directions
+    # aggregates to the same bound.
+    ub = F.least("a.pos", "b.pos") + F.least(
+        F.col("a.pn") - F.col("a.pos"), F.col("b.pn") - F.col("b.pos")
+    )
     cand = (
         prefix_new.alias("a")
         .join(all_prefix.alias("b"), "tok")
@@ -212,8 +233,19 @@ def _setsim_probe(
         .select(
             F.least("a.id", "b.id").alias("id_a"),
             F.greatest("a.id", "b.id").alias("id_b"),
+            ub.alias("__ub"),
+            (F.col("a.pn") + F.col("b.pn")).alias("__sn"),
         )
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.min("__ub").alias("__min_ub"), F.min("__sn").alias("__sn"))
+        .filter(
+            F.col("__min_ub")
+            >= F.floor(
+                (F.lit(num) * F.col("__sn") + F.lit(num + den - 1))
+                / F.lit(num + den)
+            )
+        )
+        .select("id_a", "id_b")
     )
     overlap = F.size(F.array_intersect("arr_a", "arr_b"))
     jac = overlap.cast("double") / (
