@@ -330,6 +330,8 @@ def test_topk_windows_get_group_limit_pushdown(spark):
         "q_kmv_distinct",
         "q_kmv_rollup",
         "q_doc_source_cap",
+        # bottom-k quantile synopsis: the sample's rank-k filter
+        "q_bottomk_quantiles",
     ]:
         plan = (
             QUERIES[name](spark, SF)

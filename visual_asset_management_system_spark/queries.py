@@ -10188,3 +10188,64 @@ def q_bloom_prefilter(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_bottomk_quantiles",
+    """
+    WITH samp AS (
+        SELECT event_type, value
+        FROM (
+            SELECT event_type, value, event_id,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                        || '|qsample'), 1, 8))::BIGINT AS hh
+            FROM events WHERE event_id IS NOT NULL
+        )
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY hh, event_id) <= 256
+    ),
+    est AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS q0_5,
+               ROUND(quantile_cont(value, 0.9), 6) AS q0_9
+        FROM samp GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS x0_5,
+               ROUND(quantile_cont(value, 0.9), 6) AS x0_9
+        FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, est.q0_5, est.q0_9, ex.x0_5, ex.x0_9
+    FROM est JOIN ex USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def q_bottomk_quantiles(spark, sf_dir):
+    """Bottom-k-by-hash quantile synopsis (operators/sketches.py
+    bottomk_sample/sample_quantiles) with its accuracy ledger: per
+    event type, the median and p90 read from a k=256 content-hash
+    row sample next to the exact interpolated quantiles over the full
+    relation. The order-free member of the synopsis family — KLL, GK
+    and t-digest are insertion-order-dependent and could never be
+    differentially oracled; a bottom-k sample is a pure function of
+    the data (salted md5 ranks, DuckDB recomputes the identical
+    sample), merges as a join-semilattice exactly like KMV, and its
+    rank filter compiles to WindowGroupLimit so no group is ever
+    fully sorted (plan-linted). Expected error per quantile q is
+    ~sqrt(q(1-q)/k); the exact columns exist so the gate itself
+    verifies the estimates, not just the plumbing. At 100 TB only the
+    synopsis build touches the base relation — reads are sketch-sized,
+    and per-partition samples roll up without a rescan
+    (bottomk_merge)."""
+    from .operators.sketches import bottomk_sample, sample_quantiles
+
+    t = tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "event_id", "value")
+    samp = bottomk_sample(ev, "event_id", k=256, group_cols=["event_type"])
+    est = sample_quantiles(samp, "value", [0.5, 0.9], ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("x0_5"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("x0_9"),
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
