@@ -49,6 +49,47 @@ def test_descendants_depth_cap(spark):
     assert {r["depth"] for r in out} == {1, 2, 3}
 
 
+def test_descendants_frontier_batching_equivalence(spark):
+    """Batched multi-level expansion must equal the 1-level loop
+    exactly — same node set AND same (minimum) depths — on random
+    graphs with diamonds and cycles, across batch sizes that divide
+    the depth unevenly."""
+    import random as _random
+
+    rng = _random.Random(7)
+    for trial in range(3):
+        n = 30
+        edges = {(0, 1), (1, 2)}  # guarantee some depth
+        while len(edges) < 70:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((a, b))
+        links = spark.createDataFrame(
+            [
+                ("db", f"a{a}", "db", f"a{b}", "parentChild")
+                for a, b in sorted(edges)
+            ],
+            "from_database_id string, from_asset_id string, "
+            "to_database_id string, to_asset_id string, "
+            "relationship_type string",
+        )
+        base = {
+            (r["asset_id"], r["depth"])
+            for r in descendants(
+                links, "db", "a0", max_depth=9, levels_per_round=1
+            ).collect()
+        }
+        for batch in (2, 3, 4):
+            got = {
+                (r["asset_id"], r["depth"])
+                for r in descendants(
+                    links, "db", "a0", max_depth=9,
+                    levels_per_round=batch,
+                ).collect()
+            }
+            assert got == base, (trial, batch, got ^ base)
+
+
 def test_one_hop_classification(spark):
     links = tables(spark, SF)["asset_links"]
     rows = one_hop(links, "db_2", "asset_42").collect()
