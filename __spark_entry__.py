@@ -96,12 +96,23 @@ def _latest_rows() -> dict[str, tuple[int, bool]]:
 def _auto_recheck(green: dict[str, int]) -> list[str]:
     """Compute the stale-green set from git history.
 
-    A green row from round R is STALE when any engine module the query
-    function imports (``from .operators.x import ...`` in its source)
-    was committed after round R's gate ran (approximated by the
-    "round R: verdict/..." commit timestamp). Oldest-green-first so a
-    capped window refreshes the most out-of-date rows first. Returns []
-    on any git/inspect failure — the priority order degrades to
+    A green row from round R is STALE when a SYMBOL the query function
+    references, in an engine module it imports (``from .operators.x
+    import ...`` in its source), changed between round R's gate commit
+    (the "round R: verdict/..." commit) and the working tree.
+    Module-level timestamp attribution alone over-flags: r10's edit to
+    graph.py's ``descendants`` marked all 11 graph.py importers stale
+    and pushed 4 genuinely-oldest r6 greens out of the 50-wide gate
+    window (VERDICT r10 "What's missing" #1). The refinement diffs the
+    module's top-level defs/classes between the gate tree and the
+    working tree (intra-module transitive closure: a symbol is changed
+    if its own source changed or it references a changed symbol), and
+    flags the query only when its source mentions a changed symbol. Any
+    preamble change (module constants, imports) conservatively flags
+    every importer, and any diff failure degrades to the old
+    file-timestamp behavior. Oldest-green-first so a capped window
+    refreshes the most out-of-date rows first. Returns [] on any
+    git/inspect failure — the priority order degrades to
     never-checked-first, which is always safe."""
     import inspect
     import re
@@ -110,21 +121,23 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         log = subprocess.run(
-            ["git", "log", "--format=C %ct %s", "--name-only"],
+            ["git", "log", "--format=C %ct %H %s", "--name-only"],
             cwd=here, capture_output=True, text=True, timeout=15,
         ).stdout
     except (OSError, subprocess.SubprocessError):
         return []
     round_ts: dict[int, int] = {}
+    round_sha: dict[int, str] = {}
     file_ts: dict[str, int] = {}
     cur_ts = 0
     for line in log.splitlines():
-        m = re.match(r"C (\d+) (.*)", line)
+        m = re.match(r"C (\d+) ([0-9a-f]{40}) (.*)", line)
         if m:
             cur_ts = int(m.group(1))
-            rm = re.match(r"round (\d+): verdict", m.group(2))
+            rm = re.match(r"round (\d+): verdict", m.group(3))
             if rm:
                 round_ts[int(rm.group(1))] = cur_ts
+                round_sha[int(rm.group(1))] = m.group(2)
         elif line.strip():
             file_ts.setdefault(line.strip(), cur_ts)
     if not round_ts:
@@ -150,11 +163,10 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
     except (OSError, SyntaxError):
         pass
 
-    # per-query source+oracle fingerprints captured at the end of the
-    # last round (scripts/update_query_hashes.py) — catches queries.py-
-    # LOCAL changes (shared helpers, inline rewrites) that git module
-    # attribution can't see
-    import hashlib
+    # per-query source+oracle+referenced-helper fingerprints captured at
+    # each name's green gate (scripts/update_query_hashes.py) — catches
+    # queries.py-LOCAL changes (shared helpers, inline rewrites) that
+    # git module attribution can't see
     import json
 
     snapshot: dict[str, str] = {}
@@ -166,12 +178,22 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
 
     from visual_asset_management_system_spark.queries import ORACLES
 
-    # two staleness classes, hash drift first: a fingerprint mismatch
-    # PROVES the query/oracle changed since its green gate, while a
-    # module-timestamp hit only says an imported module changed (the
-    # query may be unaffected) — when the window can't hold both, the
-    # proven class must not be crowded out. Oldest green first within
-    # each class.
+    # three staleness classes, most-proven first; oldest green round
+    # first within each class:
+    #   0 src-drift: the query's own source or oracle changed since its
+    #     green gate — a direct edit, must never be crowded out;
+    #   1 helper-drift: a queries.py-local helper the query transitively
+    #     references changed since its gate (r10's _kmv_segment_cache
+    #     fix) — proven relevant but indirect. NOTE: redefining the
+    #     fingerprint to include helpers makes ALL historical helper
+    #     churn visible at once (~140 names in r11); the oldest-first
+    #     order makes this transient backfill coincide with the
+    #     freshness-tail drain, and class 0 stays ahead of it;
+    #   2 module-staleness: an imported engine module changed a symbol
+    #     the query references since its gate (symbol-diffed — plain
+    #     file timestamps over-flag; see _changed_symbols).
+    import hashlib
+
     stale: list[tuple[int, int, str]] = []
     for name, rnd in green.items():
         if name not in QUERIES:
@@ -186,26 +208,227 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
         # in progress never has a `round N: verdict` commit yet — so a
         # green name edited post-gate in the current round would
         # otherwise escape both staleness classes (VERDICT r8 #1).
-        if name in snapshot:
-            blob = src + "\n--oracle--\n" + ORACLES.get(name, "")
-            if hashlib.md5(blob.encode()).hexdigest() != snapshot[name]:
-                stale.append((0, rnd, name))
-                continue
+        snap = snapshot.get(name)
+        if snap is not None:
+            src_fp = hashlib.md5(
+                (src + "\n--oracle--\n" + ORACLES.get(name, "")).encode()
+            ).hexdigest()
+            if isinstance(snap, str):
+                # legacy single-hash entry (pre-r11 snapshot): src+oracle
+                if src_fp != snap:
+                    stale.append((0, rnd, name))
+                    continue
+            else:
+                if src_fp != snap.get("src"):
+                    stale.append((0, rnd, name))
+                    continue
+                if _query_fingerprint(name, src) != snap.get("full"):
+                    stale.append((1, rnd, name))
+                    continue
         gate_ts = round_ts.get(rnd)
         if gate_ts is None:
             continue
         mods = set(re.findall(r"from \.((?:\w+\.)*\w+) import", src))
         words = set(re.findall(r"\b\w+\b", src))
         mods.update(m for ident, m in top_ident_mod.items() if ident in words)
+        sha = round_sha.get(rnd)
         for mod in mods:
             path = f"{pkg}/{mod.replace('.', '/')}.py"
             if file_ts.get(path, 0) > gate_ts:
-                stale.append((1, rnd, name))
-                break
+                changed = _changed_symbols(sha, path, here) if sha else None
+                if changed is None or words & changed:
+                    stale.append((2, rnd, name))
+                    break
     return [n for _, _, n in sorted(stale)]
 
 
+_HELPER_TABLE: "tuple[dict[str, str], dict[str, set[str]]] | None" = None
+
+
+def _helper_table() -> "tuple[dict[str, str], dict[str, set[str]]]":
+    """(helper_src, helper_refs) for queries.py's top-level defs/classes.
+
+    helper_src: symbol -> source segment (decorators included via the
+    segment starting at the def; queries.py uses no decorators on
+    helpers). helper_refs: symbol -> other top-level symbols its source
+    mentions (word match). Cached per process — queries.py does not
+    change under a running driver. MUST stay in sync with the
+    _FP_SNIPPET in scripts/update_query_hashes.py (tested by
+    tests/test_entry_order.py::test_fingerprint_definitions_agree)."""
+    global _HELPER_TABLE
+    if _HELPER_TABLE is not None:
+        return _HELPER_TABLE
+    import ast
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(
+        here, "visual_asset_management_system_spark", "queries.py"
+    )
+    with open(path) as f:
+        src_all = f.read()
+    tree = ast.parse(src_all)
+    helper_src: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            helper_src[node.name] = ast.get_source_segment(src_all, node) or ""
+    helper_refs = {
+        n: {
+            m
+            for m in helper_src
+            if m != n and m in set(re.findall(r"\b\w+\b", s))
+        }
+        for n, s in helper_src.items()
+    }
+    _HELPER_TABLE = (helper_src, helper_refs)
+    return _HELPER_TABLE
+
+
+def _query_fingerprint(name: str, src: "str | None" = None) -> str:
+    """md5 over (query source, oracle SQL, and the sources of every
+    queries.py top-level helper the query transitively references).
+
+    Including referenced helpers closes the staleness hole git module
+    attribution and the plain src+oracle blob both miss: an edit to a
+    queries.py-LOCAL shared helper (e.g. r10's `_kmv_segment_cache`
+    cache-key fix) changes behavior without touching any query
+    function's own source or any imported engine module. Helper
+    sources are appended sorted by name so the blob is deterministic.
+    MUST stay in sync with _FP_SNIPPET in
+    scripts/update_query_hashes.py."""
+    import hashlib
+    import inspect
+    import re
+
+    from visual_asset_management_system_spark.queries import ORACLES, QUERIES
+
+    fn = QUERIES[name]
+    if src is None:
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            src = ""
+    helper_src, helper_refs = _helper_table()
+    words = set(re.findall(r"\b\w+\b", src))
+    own = getattr(fn, "__name__", name)
+    deps: set[str] = set()
+    frontier = {h for h in helper_src if h in words and h != own}
+    while frontier:
+        deps |= frontier
+        frontier = {
+            m for h in frontier for m in helper_refs[h]
+        } - deps - {own}
+    blob = src + "\n--oracle--\n" + ORACLES.get(name, "")
+    for h in sorted(deps):
+        blob += f"\n--helper:{h}--\n" + helper_src[h]
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+_SYMDIFF_CACHE: dict[tuple[str, str], "set[str] | None"] = {}
+
+
+def _changed_symbols(sha: str, path: str, here: str) -> "set[str] | None":
+    """Top-level symbols of ``path`` that changed between commit ``sha``
+    and the working tree, with intra-module transitive closure (a
+    symbol counts changed if its own def/class source — including
+    decorators — changed, or if its source references a changed
+    symbol). Returns None to mean "treat every symbol as changed": on
+    any parse/git failure, when the file didn't exist at ``sha``, or
+    when the module preamble (imports, constants, any non-def/class
+    top-level statement) changed — callers must then fall back to
+    module-level staleness. The closure is computed over the CURRENT
+    source: a renamed helper makes both old and new names 'changed',
+    and callers of the old name no longer parse anyway."""
+    import ast
+    import hashlib
+    import re
+    import subprocess
+
+    key = (sha, path)
+    if key in _SYMDIFF_CACHE:
+        return _SYMDIFF_CACHE[key]
+
+    def fingerprints(src: str) -> "tuple[dict[str, str], str] | None":
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            return None
+        syms: dict[str, str] = {}
+        preamble: list[str] = []
+        for node in tree.body:
+            seg = ast.get_source_segment(src, node) or ""
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                deco = "".join(
+                    ast.get_source_segment(src, d) or "" for d in node.decorator_list
+                )
+                syms[node.name] = hashlib.md5((deco + seg).encode()).hexdigest()
+            else:
+                preamble.append(seg)
+        return syms, hashlib.md5("\n".join(preamble).encode()).hexdigest()
+
+    result: "set[str] | None"
+    try:
+        old = subprocess.run(
+            ["git", "show", f"{sha}:{path}"],
+            cwd=here, capture_output=True, text=True, timeout=15,
+        )
+        with open(os.path.join(here, path)) as f:
+            new_src = f.read()
+        if old.returncode != 0:
+            result = None  # file absent at the gate — everything is new
+        else:
+            of, nf = fingerprints(old.stdout), fingerprints(new_src)
+            if of is None or nf is None or of[1] != nf[1]:
+                result = None  # unparseable or preamble drift
+            else:
+                osyms, nsyms = of[0], nf[0]
+                changed = {
+                    n
+                    for n in set(osyms) | set(nsyms)
+                    if osyms.get(n) != nsyms.get(n)
+                }
+                # intra-module closure over current sources
+                tree = ast.parse(new_src)
+                refs = {
+                    node.name: set(
+                        re.findall(
+                            r"\b\w+\b", ast.get_source_segment(new_src, node) or ""
+                        )
+                    )
+                    for node in tree.body
+                    if isinstance(
+                        node,
+                        (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+                    )
+                }
+                grew = True
+                while grew:
+                    grew = False
+                    for name, ws in refs.items():
+                        if name not in changed and ws & changed:
+                            changed.add(name)
+                            grew = True
+                result = changed
+    except (OSError, subprocess.SubprocessError, SyntaxError, ValueError):
+        result = None
+    _SYMDIFF_CACHE[key] = result
+    return result
+
+
+_ORDER_CACHE: dict[tuple[str, ...], list[str]] = {}
+
+
 def _driver_order(names: list[str]) -> list[str]:
+    # queries() and oracle_sql() both need the order in one driver run;
+    # the staleness computation (git symbol diffs + 190 helper-closure
+    # fingerprints) costs ~15 s, so memoize per process
+    ck = tuple(names)
+    if ck in _ORDER_CACHE:
+        return _ORDER_CACHE[ck]
     latest = _latest_rows()
     green = {n: r for n, (r, ok) in latest.items() if ok}
     never = [n for n in names if n not in green]
@@ -227,7 +450,8 @@ def _driver_order(names: list[str]) -> list[str]:
         (n for n in names if n in green and n not in set(recheck)),
         key=lambda n: (green[n], order_idx[n]),
     )
-    return never + recheck + rest
+    _ORDER_CACHE[ck] = never + recheck + rest
+    return _ORDER_CACHE[ck]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,9 +1,13 @@
-"""Reconstruct QUERY_HASHES.json: a per-query fingerprint (md5 of the
-query function's source + its oracle SQL) of the code each query's
-LATEST GREEN correctness gate actually ran — recomputed from git, so
-the snapshot is a pure function of (git history, CORRECTNESS_r*.json)
-and can be regenerated at ANY point in a round without erasing
-staleness.
+"""Reconstruct QUERY_HASHES.json: per-query fingerprints of the code
+each query's LATEST GREEN correctness gate actually ran — recomputed
+from git, so the snapshot is a pure function of (git history,
+CORRECTNESS_r*.json) and can be regenerated at ANY point in a round
+without erasing staleness. Each entry is {"src": md5(query source +
+oracle SQL), "full": md5(the same + sources of every transitively
+referenced queries.py top-level helper)} — `src` drift means a direct
+edit (highest recheck priority), `full`-only drift means a shared
+helper changed under an untouched query (the r10 `_kmv_segment_cache`
+case). Legacy pre-r11 string entries are src-only hashes.
 
 __spark_entry__._auto_recheck compares current fingerprints against
 this snapshot: a driver-green name whose fingerprint changed since its
@@ -45,19 +49,52 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)  # __spark_entry__ + the queries package
 
 # run inside each historical worktree; prints {name: fingerprint} JSON.
-# QUERIES/ORACLES is the stable module contract across all rounds.
+# QUERIES/ORACLES is the stable module contract across all rounds. The
+# blob is (query source, oracle SQL, sources of every queries.py
+# top-level helper the query TRANSITIVELY references, sorted by name):
+# including helpers closes the hole where an edit to a queries.py-local
+# shared helper (r10's `_kmv_segment_cache` cache-key fix) changes
+# behavior without drifting any query's own source. Because this script
+# RECONSTRUCTS the snapshot from gate-commit worktrees, redefining the
+# blob is safe — one rerun regenerates every entry under the new
+# definition. MUST stay in sync with __spark_entry__._query_fingerprint
+# (tests/test_entry_order.py::test_fingerprint_definitions_agree).
 _FP_SNIPPET = """
-import hashlib, inspect, json, sys
+import ast, hashlib, inspect, json, os, re, sys
 sys.path.insert(0, sys.argv[1])
 from visual_asset_management_system_spark.queries import ORACLES, QUERIES
+qpath = os.path.join(
+    sys.argv[1], "visual_asset_management_system_spark", "queries.py")
+with open(qpath) as f:
+    src_all = f.read()
+tree = ast.parse(src_all)
+helper_src = {}
+for node in tree.body:
+    if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+        helper_src[node.name] = ast.get_source_segment(src_all, node) or ""
+helper_refs = {
+    n: {m for m in helper_src
+        if m != n and m in set(re.findall(r"\\b\\w+\\b", s))}
+    for n, s in helper_src.items()
+}
 out = {}
 for name, fn in QUERIES.items():
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         src = ""
+    words = set(re.findall(r"\\b\\w+\\b", src))
+    own = getattr(fn, "__name__", name)
+    deps = set()
+    frontier = {h for h in helper_src if h in words and h != own}
+    while frontier:
+        deps |= frontier
+        frontier = {m for h in frontier for m in helper_refs[h]} - deps - {own}
     blob = src + "\\n--oracle--\\n" + ORACLES.get(name, "")
-    out[name] = hashlib.md5(blob.encode()).hexdigest()
+    src_fp = hashlib.md5(blob.encode()).hexdigest()
+    for h in sorted(deps):
+        blob += "\\n--helper:" + h + "--\\n" + helper_src[h]
+    out[name] = {"src": src_fp, "full": hashlib.md5(blob.encode()).hexdigest()}
 print(json.dumps(out))
 """
 

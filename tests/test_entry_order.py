@@ -69,26 +69,37 @@ def test_fingerprint_drift_is_flagged_stale():
     source/oracle fingerprint drifted from the snapshot must be flagged
     by _auto_recheck, and (capacity permitting) land inside the gate
     window."""
-    import hashlib
-    import inspect
     import json
 
-    from visual_asset_management_system_spark.queries import ORACLES, QUERIES
+    from visual_asset_management_system_spark.queries import QUERIES
 
     with open("/root/repo/QUERY_HASHES.json") as f:
         snapshot = json.load(f)
     latest = e._latest_rows()
     green = {n: r for n, (r, ok) in latest.items() if ok}
+    import hashlib
+    import inspect
+
+    from visual_asset_management_system_spark.queries import ORACLES
+
     drifted = []
     for name in green:
         if name not in snapshot or name not in QUERIES:
             continue
-        blob = (
-            inspect.getsource(QUERIES[name])
-            + "\n--oracle--\n"
-            + ORACLES.get(name, "")
-        )
-        if hashlib.md5(blob.encode()).hexdigest() != snapshot[name]:
+        snap = snapshot[name]
+        src_fp = hashlib.md5(
+            (
+                inspect.getsource(QUERIES[name])
+                + "\n--oracle--\n"
+                + ORACLES.get(name, "")
+            ).encode()
+        ).hexdigest()
+        if isinstance(snap, str):  # legacy entry: src+oracle hash only
+            if src_fp != snap:
+                drifted.append(name)
+        elif src_fp != snap.get("src") or e._query_fingerprint(name) != snap.get(
+            "full"
+        ):
             drifted.append(name)
     flagged = set(e._auto_recheck(green)) | set(e._RECHECK_OVERRIDES)
     missing = [n for n in drifted if n not in flagged]
@@ -124,6 +135,105 @@ def test_simulated_local_rewrite_marks_stale(monkeypatch):
 
     monkeypatch.setitem(e.QUERIES, victim, rewritten)
     assert victim in e._auto_recheck({victim: green[victim]})
+
+
+def test_fingerprint_definitions_agree():
+    """__spark_entry__._query_fingerprint and the _FP_SNIPPET embedded
+    in scripts/update_query_hashes.py are two implementations of ONE
+    blob definition (the snippet must be self-contained because it runs
+    inside historical gate worktrees). If they drift, every name
+    'drifts' forever or staleness is silently erased — so pin exact
+    agreement on the current tree."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/scripts")
+    from update_query_hashes import _FP_SNIPPET
+
+    proc = subprocess.run(
+        [_sys.executable, "-c", _FP_SNIPPET, "/root/repo"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    snippet_fp = json.loads(proc.stdout.strip().splitlines()[-1])
+    from visual_asset_management_system_spark.queries import QUERIES
+
+    mismatched = [
+        n
+        for n in QUERIES
+        if (snippet_fp.get(n) or {}).get("full") != e._query_fingerprint(n)
+    ]
+    assert not mismatched, (
+        f"fingerprint definitions drifted for {len(mismatched)} names: "
+        f"{mismatched[:5]}"
+    )
+
+
+def test_fingerprint_covers_referenced_helpers(monkeypatch):
+    """The blob must include transitively-referenced queries.py-local
+    helpers: an edit to a shared helper (the r10 `_kmv_segment_cache`
+    cache-key fix) changes behavior without touching the query's own
+    source, and the old src+oracle blob missed it."""
+    helper_src, helper_refs = e._helper_table()
+    victim_helper = "tables"  # every query references the table loader
+    assert victim_helper in helper_src
+    before = e._query_fingerprint("q01_pricing_summary")
+    edited = dict(helper_src)
+    edited[victim_helper] = helper_src[victim_helper] + "\n# edited"
+    monkeypatch.setattr(e, "_HELPER_TABLE", (edited, helper_refs))
+    after = e._query_fingerprint("q01_pricing_summary")
+    assert before != after
+
+
+def test_changed_symbols_prunes_untouched_functions(tmp_path):
+    """Symbol-level staleness (VERDICT r10 'What's missing' #1): a
+    module edit must only flag queries referencing the CHANGED symbols
+    — r10's descendants() rewrite marked all 11 graph.py importers
+    stale and pushed 4 oldest r6 greens out of the 50-wide window.
+    Pins: direct change detected, intra-module transitive closure
+    (caller of a changed helper counts changed), untouched symbols
+    pruned, preamble change -> None (all stale)."""
+    import subprocess
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    sub = repo / "pkg"
+    sub.mkdir()
+    v1 = (
+        "X = 1\n\n"
+        "def _helper():\n    return X\n\n"
+        "def caller():\n    return _helper()\n\n"
+        "def untouched():\n    return 42\n"
+    )
+    (sub / "m.py").write_text(v1)
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+           "PATH": "/usr/bin:/bin"}
+    for cmd in (["git", "init", "-q"], ["git", "add", "."],
+                ["git", "commit", "-qm", "v1"]):
+        subprocess.run(cmd, cwd=repo, check=True, env=env)
+    sha = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True,
+        text=True, env=env,
+    ).stdout.strip()
+
+    # edit only _helper -> closure flags _helper AND caller, not untouched
+    (sub / "m.py").write_text(v1.replace("return X", "return X + 1"))
+    e._SYMDIFF_CACHE.clear()
+    changed = e._changed_symbols(sha, "pkg/m.py", str(repo))
+    assert changed == {"_helper", "caller"}
+
+    # preamble (module constant) change -> None: every importer stale
+    (sub / "m.py").write_text(v1.replace("X = 1", "X = 2"))
+    e._SYMDIFF_CACHE.clear()
+    assert e._changed_symbols(sha, "pkg/m.py", str(repo)) is None
+
+    # no change at all -> empty set
+    (sub / "m.py").write_text(v1)
+    e._SYMDIFF_CACHE.clear()
+    assert e._changed_symbols(sha, "pkg/m.py", str(repo)) == set()
+    e._SYMDIFF_CACHE.clear()
 
 
 def test_reconstruct_keeps_old_entry_when_history_unavailable():
