@@ -135,7 +135,9 @@ def compact_line(detail: dict, errors: dict[str, str]) -> dict:
         "n_queries": len(timings),
         "calib_sec": detail["calib_sec"],
         "calib_mc_sec": detail["calib_mc_sec"],
+        "calib_spark_sec": detail.get("calib_spark_sec"),
         "value_normalized": detail["value_normalized"],
+        "value_normalized_spark": detail.get("value_normalized_spark"),
         "detail_file": "BENCH_DETAIL.json",
     }
     if errors:
@@ -189,6 +191,40 @@ def _calibrate_mc(n_threads: int = 8) -> float:
     return round(time.time() - t0, 3)
 
 
+def _calibrate_spark(spark) -> float:
+    """Engine-shaped calibration: one FIXED synthetic shuffle+agg+join
+    micro-query (no fixture input, size independent of SF_DIR), best
+    of 2 warm runs. The numpy loops calibrate the HOST (single-core /
+    parallel arithmetic throughput) but round 10 showed they track
+    Spark workloads imperfectly: calib_mc_sec moved 0.399 -> 0.373
+    while every plan-identical query drifted +11% normalized — JVM
+    scheduler latency, shuffle I/O, and codegen pressure are not numpy
+    arithmetic (VERDICT r10 watch item #3). This pins a reference that
+    exercises exactly those paths: a 4M-row range -> hash-shuffle
+    groupBy (64k keys) -> top-k sort -> broadcast-sized join back ->
+    final agg. Deterministic by construction (range + modulo, no
+    randomness, no data files)."""
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        base = spark.range(0, 4_000_000, 1, 32).select(
+            (F.col("id") % 65536).alias("k"),
+            (F.col("id") % 977).alias("v"),
+        )
+        agg = base.groupBy("k").agg(F.sum("v").alias("s"))
+        top = agg.orderBy(F.desc("s"), "k").limit(1000)
+        base.join(top.select("k"), "k").groupBy().agg(
+            F.sum("v").alias("t")
+        ).collect()
+
+    ts = []
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    return round(min(ts), 3)
+
+
 def main() -> None:
     # Every step is fenced: one red query must cost one row of the
     # artifact, never the whole round's performance signal — and a
@@ -236,6 +272,15 @@ def main() -> None:
 
     # warm-up: JVM/codegen/file-listing costs paid once, not billed to q1
     _safe("_warmup", lambda: QUERIES["q01_pricing_summary"](spark, SF_DIR).collect())
+    # engine-shaped calibration AFTER warm-up (JVM hot, like the
+    # queries it normalizes) — fenced like everything else
+    calib_spark = 0.0
+
+    def _spark_calib():
+        nonlocal calib_spark
+        calib_spark = _calibrate_spark(spark)
+
+    _safe("_calibrate_spark", _spark_calib)
     # materialize the persisted search tables up front: they are
     # MAINTAINED state in the architecture (CDC keeps them current —
     # streaming/cdc.py), so search queries bench against the index the
@@ -322,10 +367,19 @@ def main() -> None:
         "sf": sf,
         "calib_sec": calib,
         "calib_mc_sec": calib_mc,
+        "calib_spark_sec": calib_spark,
         # round-over-round comparable (sec / calib_mc_sec); raw seconds
         # above remain the ground truth for the ≤29s baseline envelope
         "queries_normalized": norm,
         "value_normalized": round(sum(norm.values()), 3),
+        # engine-shaped normalization (sec / calib_spark_sec): tracks
+        # JVM/shuffle/codegen pressure, not just host arithmetic —
+        # compare BOTH round-over-round before calling a regression
+        "value_normalized_spark": (
+            round(sum(timings.values()) / calib_spark, 3)
+            if calib_spark > 0
+            else None
+        ),
     }
     if errors:
         detail["errors"] = errors

@@ -71,9 +71,16 @@ def test_compact_line_totals_roundtrip_detail():
         "sf": 0.01,
         "calib_sec": 1.0,
         "calib_mc_sec": 0.5,
+        "calib_spark_sec": 2.0,
         "value_normalized": 21.0,
+        "value_normalized_spark": 5.25,
     }
     out = bench.compact_line(detail, {})
     assert out["value"] == detail["value"]
     assert out["value_normalized"] == detail["value_normalized"]
+    # both calibrations must reach the driver's parsed line (VERDICT
+    # r10 next-round #6): the numpy loops track the HOST, the
+    # engine-shaped micro-query tracks JVM/shuffle pressure
+    assert out["calib_spark_sec"] == 2.0
+    assert out["value_normalized_spark"] == 5.25
     assert "errors" not in out
