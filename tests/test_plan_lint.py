@@ -332,6 +332,8 @@ def test_topk_windows_get_group_limit_pushdown(spark):
         "q_doc_source_cap",
         # bottom-k quantile synopsis: the sample's rank-k filter
         "q_bottomk_quantiles",
+        # its deployment shape: the store merge's re-take-k filter
+        "q_bottomk_merged",
     ]:
         plan = (
             QUERIES[name](spark, SF)

@@ -2778,6 +2778,95 @@ def test_kmv_store_split_replay_and_compaction_equivalence(spark, tmp_path):
     assert healed == want
 
 
+def test_bottomk_store_split_replay_and_compaction_equivalence(
+    spark, tmp_path
+):
+    """Maintained bottom-k sample store (operators/sketches.py): any
+    batch split, an at-least-once replay, AND a compaction all yield
+    the exact one-shot sample — the same join-semilattice property the
+    KMV store rests on, extended to SAMPLE ROWS (the dedup key is
+    (group, id), not the hash: two distinct ids can collide on __h
+    without consuming each other's rank slots). Quantiles read from
+    the maintained sample equal those read from the batch sample, and
+    a simulated crash between the compaction's two renames heals on
+    next read."""
+    import random as _random
+
+    from visual_asset_management_system_spark.operators.sketches import (
+        bottomk_sample,
+        bottomk_store_sample,
+        bottomk_store_update,
+        compact_bottomk_store,
+        sample_quantiles,
+    )
+
+    rng = _random.Random(11)
+    rows = [
+        (f"g{i % 2}", f"id_{i}", round(rng.gauss(50.0, 10.0), 3))
+        for i in range(900)
+    ]
+    cols = ["grp", "rid", "val"]
+    store = str(tmp_path / "bk_store")
+    splits = sorted(rng.sample(range(1, 900), 3)) + [900]
+    lo = 0
+    for i, hi in enumerate(splits):
+        bottomk_store_update(
+            spark, store, spark.createDataFrame(rows[lo:hi], cols),
+            "rid", k=64, group_cols=["grp"], batch_key=f"b{i}",
+        )
+        lo = hi
+    # replay batch 1 (at-least-once redelivery)
+    bottomk_store_update(
+        spark, store,
+        spark.createDataFrame(rows[splits[0]: splits[1]], cols),
+        "rid", k=64, group_cols=["grp"], batch_key="b1-replay",
+    )
+
+    def key_set(df):
+        return {(r["grp"], r["rid"]) for r in df.collect()}
+
+    batch_sample = bottomk_sample(
+        spark.createDataFrame(rows, cols), "rid", 64, ["grp"]
+    )
+    want = key_set(batch_sample)
+    assert len(want) == 2 * 64
+    got = bottomk_store_sample(spark, store, "rid", 64, ["grp"])
+    assert key_set(got) == want
+    want_q = {
+        r["grp"]: (r["q0_5"], r["q0_9"])
+        for r in sample_quantiles(
+            batch_sample, "val", [0.5, 0.9], ["grp"]
+        ).collect()
+    }
+    got_q = {
+        r["grp"]: (r["q0_5"], r["q0_9"])
+        for r in sample_quantiles(got, "val", [0.5, 0.9], ["grp"]).collect()
+    }
+    assert got_q == want_q
+
+    n = compact_bottomk_store(spark, store, "rid", 64, ["grp"])
+    assert n <= 2 * 64
+    assert key_set(
+        bottomk_store_sample(spark, store, "rid", 64, ["grp"])
+    ) == want
+    # a replayed append AFTER compaction is absorbed by the merge
+    bottomk_store_update(
+        spark, store,
+        spark.createDataFrame(rows[splits[0]: splits[1]], cols),
+        "rid", k=64, group_cols=["grp"], batch_key="b1-replay2",
+    )
+    assert key_set(
+        bottomk_store_sample(spark, store, "rid", 64, ["grp"])
+    ) == want
+
+    # crash window: store moved aside, replacement not yet in place
+    d = os.path.join(store, "sample")
+    os.replace(d, d + ".old")
+    assert key_set(
+        bottomk_store_sample(spark, store, "rid", 64, ["grp"])
+    ) == want
+
+
 def test_kmv_sketch_stream_matches_batch(spark, tmp_path):
     """Streaming form: two micro-batches through start_kmv_sketch_stream
     leave a store whose sketch equals the one-shot batch sketch."""

@@ -44,6 +44,8 @@ _BASELINE = {
     "kmv_read": {"exchanges": 1, "scans": 1, "min_broadcasts": 0},
     "cms_read": {"exchanges": 2, "scans": 1, "min_broadcasts": 0},
     "bloom_read": {"exchanges": 1, "scans": 1, "min_broadcasts": 0},
+    # bottomk: dedup shuffle + the per-group WindowGroupLimit shuffle
+    "bottomk_read": {"exchanges": 2, "scans": 1, "min_broadcasts": 0},
     "setsim_update": {"exchanges": 8, "scans": 2, "min_broadcasts": 1},
     # suggest: measured 8 OR 9 with identical code (an AQE
     # broadcast<->shuffle seam that flips with session state); the
@@ -142,6 +144,26 @@ def _build_cms_read(spark, tmp):
     cms_store_update(spark, st, kv, "key", batch_key="b0")
     cms_store_update(spark, st, kv, "key", batch_key="b1")
     return cms_store_read(spark, st)
+
+
+def _build_bottomk_read(spark, tmp):
+    from visual_asset_management_system_spark.operators.sketches import (
+        bottomk_store_sample,
+        bottomk_store_update,
+    )
+
+    st = os.path.join(tmp, "bk")
+    kv = spark.createDataFrame(
+        [(f"g{i % 2}", f"id{i}", float(i)) for i in range(100)],
+        "grp string, rid string, val double",
+    )
+    bottomk_store_update(
+        spark, st, kv, "rid", k=16, group_cols=["grp"], batch_key="b0"
+    )
+    bottomk_store_update(
+        spark, st, kv, "rid", k=16, group_cols=["grp"], batch_key="b1"
+    )
+    return bottomk_store_sample(spark, st, "rid", 16, ["grp"])
 
 
 def _build_bloom_read(spark, tmp):
@@ -276,6 +298,7 @@ _BUILDERS = {
     "kmv_read": _build_kmv_read,
     "cms_read": _build_cms_read,
     "bloom_read": _build_bloom_read,
+    "bottomk_read": _build_bottomk_read,
     "setsim_update": _build_setsim_update,
     "suggest_update": _build_suggest_update,
     "percolate": _build_percolate,

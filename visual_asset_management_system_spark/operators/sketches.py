@@ -989,3 +989,112 @@ def sample_quantiles(
         for i, q in enumerate(quantiles)
     ]
     return out.select(*group_cols, *cols)
+
+
+# ---------------------------------------------------------------------------
+# maintained bottom-k sample store (kappa form)
+# ---------------------------------------------------------------------------
+#
+# Completes the synopsis family's maintained-store symmetry: KMV
+# (distinct), CMS (frequency), and Bloom (membership) each have a
+# store; this is the quantile member's. Bottom-k sample state is a
+# JOIN-SEMILATTICE exactly like KMV minima — "union the samples,
+# re-take the k smallest per group" is idempotent, commutative, and
+# associative, and overlapping/replayed appends contribute
+# byte-identical (group, id) rows the merge's dedup absorbs — so an
+# at-least-once redelivery is exactly-once FOR FREE: no exclude-tags
+# machinery, no sink/state commit ordering. The only discipline is the
+# two-rename compaction swap shared with every store rewrite here.
+# The store keeps SAMPLE ROWS (id, value columns, ranking hash), not
+# scalar hashes: the read side answers any quantile question over any
+# value column the rows carry, at any coarser group level, without a
+# rescan — per-segment updates are one bounded blind append each
+# (≤ groups·k rows), an INSERT into a clustered table on a lakehouse
+# runtime.
+
+
+def _bottomk_dir(store_dir: str) -> str:
+    import os as _os
+
+    return _os.path.join(store_dir, "sample")
+
+
+def bottomk_store_update(
+    spark,
+    store_dir: str,
+    new_df: DataFrame,
+    id_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    salt: str = "qsample",
+    batch_key: str | None = None,
+) -> None:
+    """One incremental step of a maintained bottom-k sample store:
+    reduce the NEW batch to its per-group bottom-k rows (bounded
+    before anything touches the store) and append them tagged with the
+    batch key for audit. The store is never read on the write path.
+    ``new_df`` should be pre-projected to (group_cols, id_col, value
+    columns) — every column appended is a column every reader pays
+    for. ``id_col`` must identify rows uniquely (hash a composite key
+    first otherwise); NULL ids are excluded by the shared guard in
+    :func:`bottomk_sample`."""
+    sample = bottomk_sample(new_df, id_col, k, group_cols, salt)
+    _recover_kmv_store(_bottomk_dir(store_dir))
+    sample.withColumn(
+        "batch_key", F.lit(batch_key).cast("string")
+    ).write.mode("append").parquet(_bottomk_dir(store_dir))
+
+
+def bottomk_store_sample(
+    spark,
+    store_dir: str,
+    id_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Current bottom-k sample from a maintained store: merge every
+    appended segment (dedup by (group, id), re-take the k smallest).
+    By the semilattice property this equals :func:`bottomk_sample`
+    over the union of every batch ever appended — regardless of batch
+    boundaries, ordering, or replays (tested). Reader work grows with
+    appended batches until :func:`compact_bottomk_store` re-bounds
+    it. Feed the result to :func:`sample_quantiles`."""
+    _recover_kmv_store(_bottomk_dir(store_dir))
+    rows = spark.read.parquet(_bottomk_dir(store_dir)).drop("batch_key")
+    return bottomk_merge(rows, id_col, k, group_cols)
+
+
+def compact_bottomk_store(
+    spark,
+    store_dir: str,
+    id_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> int:
+    """Re-bound the store to ≤ groups·k rows: keep each group's merged
+    bottom-k under a synthetic tag. No replay tags need excluding — a
+    replayed append after compaction re-adds rows the semilattice
+    merge absorbs. Crash safety: two renames with the shared
+    _recover healing. Single-writer maintenance job. Returns the
+    post-compaction row count."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    d = _bottomk_dir(store_dir)
+    _recover_kmv_store(d)
+    if not _os.path.isdir(d):
+        return 0
+    compacted = bottomk_merge(
+        spark.read.parquet(d).drop("batch_key"), id_col, k, group_cols
+    ).withColumn("batch_key", F.lit("compacted-" + _uuid.uuid4().hex[:8]))
+    tmp = d + ".compact-tmp"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    compacted.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    aside = d + ".old"
+    _shutil.rmtree(aside, ignore_errors=True)
+    _os.replace(d, aside)
+    _os.replace(tmp, d)
+    _shutil.rmtree(aside, ignore_errors=True)
+    return n

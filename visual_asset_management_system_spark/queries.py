@@ -10249,3 +10249,104 @@ def q_bottomk_quantiles(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("x0_9"),
     )
     return est.join(exact, "event_type").orderBy("event_type")
+
+
+_bottomk_store_cache: dict = {}
+
+
+def _bottomk_event_store(spark: SparkSession, sf_dir: str) -> str:
+    """A maintained bottom-k sample store over events, built the way a
+    deployment builds it: one bottomk_store_update PER WEEKLY SEGMENT
+    as the segment lands (here: a loop over the fixture's ~5 ISO
+    weeks), once per session × sf_dir. The driver-side week list is
+    bounded by the calendar, not the data (≤53 rows collected).
+    Readers answer quantile questions from the store's ≤ types·k rows
+    — never the base relation (the q_kmv_rollup_merged artifact
+    discipline, extended to the quantile member of the synopsis
+    family)."""
+    import tempfile
+
+    from .operators.sketches import bottomk_store_update
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _bottomk_store_cache.get(key)
+    if cached is not None and not os.path.isdir(cached):
+        del _bottomk_store_cache[key]
+    if key not in _bottomk_store_cache:
+        out = tempfile.mkdtemp(prefix="vams_spark_bottomk_store_")
+        ev = tables(spark, sf_dir)["events"].select(
+            "event_type",
+            "event_id",
+            "value",
+            F.weekofyear(
+                F.timestamp_micros(F.expr("ts div 1000"))
+            ).alias("wk"),
+        )
+        weeks = sorted(
+            r["wk"] for r in ev.select("wk").distinct().collect()
+        )
+        for wk in weeks:
+            bottomk_store_update(
+                spark,
+                out,
+                ev.filter(F.col("wk") == wk).drop("wk"),
+                "event_id",
+                k=256,
+                group_cols=["event_type"],
+                batch_key=f"wk{wk}",
+            )
+        _bottomk_store_cache[key] = out
+    return _bottomk_store_cache[key]
+
+
+@query(
+    "q_bottomk_merged",
+    """
+    WITH samp AS (
+        SELECT event_type, value
+        FROM (
+            SELECT event_type, value, event_id,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                                        || '|qsample'), 1, 8))::BIGINT AS hh
+            FROM events WHERE event_id IS NOT NULL
+        )
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY hh, event_id) <= 256
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS sample_size,
+           ROUND(quantile_cont(value, 0.5), 6) AS q0_5,
+           ROUND(quantile_cont(value, 0.9), 6) AS q0_9
+    FROM samp GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_bottomk_merged(spark, sf_dir):
+    """The DEPLOYMENT shape of the quantile synopsis:
+    q_bottomk_quantiles builds its sample and the exact comparator in
+    one plan; THIS query answers the same per-type median/p90 from a
+    MAINTAINED bottom-k store fed one weekly segment at a time
+    (operators/sketches.py bottomk_store_update/-_sample — the kappa
+    form whose semilattice merge makes at-least-once replays
+    exactly-once for free, tested with split/replay/compaction/crash
+    equivalence). The executed plan is merge-only: scan the ≤ types·k
+    sample artifact, dedup, one rank-k window, aggregate — everything
+    after the artifact scan is sketch-sized. The oracle recomputes the
+    sample from events (DuckDB has no store), equivalent by the
+    semilattice property: merging per-week bottom-k samples IS the
+    global bottom-k sample."""
+    from .operators.sketches import bottomk_store_sample, sample_quantiles
+
+    store = _bottomk_event_store(spark, sf_dir)
+    samp = bottomk_store_sample(
+        spark, store, "event_id", k=256, group_cols=["event_type"]
+    )
+    est = sample_quantiles(samp, "value", [0.5, 0.9], ["event_type"])
+    size = samp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("sample_size")
+    )
+    return (
+        size.join(est, "event_type")
+        .select("event_type", "sample_size", "q0_5", "q0_9")
+        .orderBy("event_type")
+    )
