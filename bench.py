@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "q_doc_setsim_join",
     # round-10: merge-only sketch rollup (deployment shape)
     "q_kmv_rollup_merged",
+    # round-11: maintained bottom-k sample store, merge-only read
+    "q_bottomk_merged",
 ]
 
 

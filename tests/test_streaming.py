@@ -2866,6 +2866,20 @@ def test_bottomk_store_split_replay_and_compaction_equivalence(
         bottomk_store_sample(spark, store, "rid", 64, ["grp"])
     ) == want
 
+    # k is store FORMAT: a read beyond the smallest append bound must
+    # REFUSE (segments appended at k=64 cannot carry a 65th row — a
+    # k=128 read would silently under-fill), while a SMALLER k stays
+    # exact by the semilattice property
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=128"):
+        bottomk_store_sample(spark, store, "rid", 128, ["grp"])
+    assert key_set(
+        bottomk_store_sample(spark, store, "rid", 32, ["grp"])
+    ) == key_set(
+        bottomk_sample(spark.createDataFrame(rows, cols), "rid", 32, ["grp"])
+    )
+
 
 def test_kmv_sketch_stream_matches_batch(spark, tmp_path):
     """Streaming form: two micro-batches through start_kmv_sketch_stream

@@ -334,8 +334,11 @@ def descendants(
     FRONTIER BATCHING: the sf1/sf3 soak measured this query's cost as
     100% fixed per-level driver latency (scaling exponent −0.15 — the
     work *shrinks* relative to data), so the loop expands
-    ``levels_per_round`` levels inside ONE driver round, then
-    checkpoints and emptiness-checks the round's union ONCE. Within a
+    ``levels_per_round · 2^round`` levels inside ONE driver round
+    (geometric growth: O(log depth) rounds on a deep chain; an
+    overshoot past the true depth only joins empty frontiers within
+    the same action), then checkpoints and emptiness-checks the
+    round's union ONCE. Within a
     round there is NO per-level exclusion — g_i is simply
     neighbors(g_{i−1}) — because chaining anti-joins against the
     accumulating union nests each sub-frontier's plan inside the next
@@ -388,9 +391,20 @@ def descendants(
         )
 
     depth = 0
+    rounds = 0
     try:
         while depth < max_depth:
-            batch = min(max(1, levels_per_round), max_depth - depth)
+            # geometric growth: round r expands levels_per_round·2^r
+            # levels, so a diameter-D expansion costs O(log D) driver
+            # rounds instead of D/batch (the soak pinned per-round
+            # latency as this query's ENTIRE cost). Overshooting the
+            # true depth wastes only joins against empty frontiers,
+            # executed inside the same single action; the plan the
+            # round's checkpoint cuts stays linear in its batch size.
+            batch = min(
+                max(1, levels_per_round) * (2 ** rounds),
+                max_depth - depth,
+            )
             g = frontier
             acc: DataFrame | None = None
             for i in range(1, batch + 1):
@@ -412,11 +426,18 @@ def descendants(
                 break
             visited = visited.unionByName(nxt)
             # only the round's DEEPEST layer can still have unexplored
-            # neighbors (shallower new nodes were expanded in-round);
-            # if it is empty the next round produces an empty union
-            # and the loop exits one round later
+            # neighbors (shallower new nodes were expanded in-round) —
+            # when it is empty, break NOW rather than let the next
+            # round discover it: with geometric batching the wasted
+            # round would be the largest one (2× this round's levels
+            # of empty joins, whose Catalyst analysis alone is
+            # driver-side milliseconds per level), and this emptiness
+            # check is a tiny job over the just-checkpointed rows
             frontier = nxt.filter(F.col("depth") == depth + batch)
             depth += batch
+            rounds += 1
+            if depth < max_depth and frontier.isEmpty():
+                break
     finally:
         edges.unpersist()
     # exclude the root itself (the reference returns the subtree below it)

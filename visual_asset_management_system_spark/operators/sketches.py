@@ -1019,6 +1019,50 @@ def _bottomk_dir(store_dir: str) -> str:
     return _os.path.join(store_dir, "sample")
 
 
+def _bottomk_min_k(store_dir: str, k: int | None = None) -> int | None:
+    """Track / validate the store's smallest append bound. ``k`` is
+    part of the store FORMAT: a read at k' is only exact for
+    k' ≤ min(k over every append) — a segment appended at k=64 simply
+    does not carry its 65th-smallest row, so a k=256 read over it
+    would silently fall short of the true global bottom-256 (the
+    Bloom m-mismatch class: parameters at a store seam must be
+    validated, not assumed). With ``k`` given, lowers the recorded
+    minimum (atomic replace; written BEFORE the append so a crash
+    between the two leaves the bound conservatively small, which can
+    only reject valid reads, never admit wrong ones). Returns the
+    recorded minimum, or None for a store predating the sidecar."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(store_dir, "sample_k.json")
+    cur: int | None = None
+    try:
+        with open(path) as f:
+            cur = int(_json.load(f)["min_k"])
+    except (OSError, ValueError, KeyError, TypeError):
+        cur = None
+    if k is not None and (cur is None or k < cur):
+        _os.makedirs(store_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"min_k": k}, f)
+        _os.replace(tmp, path)
+        cur = k
+    return cur
+
+
+def _bottomk_check_k(store_dir: str, k: int, op: str) -> None:
+    min_k = _bottomk_min_k(store_dir)
+    if min_k is not None and k > min_k:
+        raise ValueError(
+            f"bottomk store {op} at k={k}, but an append bounded this "
+            f"store at k={min_k}: segments appended at the smaller k do "
+            f"not carry rows beyond their own bottom-{min_k}, so a "
+            f"k={k} result would silently under-fill. Read at "
+            f"k<={min_k} or rebuild the store."
+        )
+
+
 def bottomk_store_update(
     spark,
     store_dir: str,
@@ -1040,6 +1084,7 @@ def bottomk_store_update(
     :func:`bottomk_sample`."""
     sample = bottomk_sample(new_df, id_col, k, group_cols, salt)
     _recover_kmv_store(_bottomk_dir(store_dir))
+    _bottomk_min_k(store_dir, k)  # record the bound BEFORE the append
     sample.withColumn(
         "batch_key", F.lit(batch_key).cast("string")
     ).write.mode("append").parquet(_bottomk_dir(store_dir))
@@ -1058,7 +1103,11 @@ def bottomk_store_sample(
     over the union of every batch ever appended — regardless of batch
     boundaries, ordering, or replays (tested). Reader work grows with
     appended batches until :func:`compact_bottomk_store` re-bounds
-    it. Feed the result to :func:`sample_quantiles`."""
+    it. Feed the result to :func:`sample_quantiles`. Raises if ``k``
+    exceeds the smallest bound any append used (the segments cannot
+    carry the missing rows — see :func:`_bottomk_min_k`); reads at a
+    SMALLER k are exact by the semilattice property."""
+    _bottomk_check_k(store_dir, k, "read")
     _recover_kmv_store(_bottomk_dir(store_dir))
     rows = spark.read.parquet(_bottomk_dir(store_dir)).drop("batch_key")
     return bottomk_merge(rows, id_col, k, group_cols)
@@ -1081,10 +1130,12 @@ def compact_bottomk_store(
     import shutil as _shutil
     import uuid as _uuid
 
+    _bottomk_check_k(store_dir, k, "compaction")
     d = _bottomk_dir(store_dir)
     _recover_kmv_store(d)
     if not _os.path.isdir(d):
         return 0
+    _bottomk_min_k(store_dir, k)  # the rewrite re-bounds the store
     compacted = bottomk_merge(
         spark.read.parquet(d).drop("batch_key"), id_col, k, group_cols
     ).withColumn("batch_key", F.lit("compacted-" + _uuid.uuid4().hex[:8]))
