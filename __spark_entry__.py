@@ -152,6 +152,13 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
     import ast
 
     top_ident_mod: dict[str, str] = {}
+    # alias -> real imported name, for `from .x import real as alias` at
+    # module top: the query's source then contains only the ALIAS, so
+    # the symbol-level `words & changed` test below would never see the
+    # real name and an aliased import of a changed symbol would slip
+    # through silently (the pre-symbol-level behavior over-flagged but
+    # never under-flagged — keep that property)
+    top_alias_orig: dict[str, str] = {}
     try:
         qpath = os.path.join(here, pkg, "queries.py")
         with open(qpath) as f:
@@ -160,6 +167,8 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
             if isinstance(node, ast.ImportFrom) and node.level == 1 and node.module:
                 for alias in node.names:
                     top_ident_mod[alias.asname or alias.name] = node.module
+                    if alias.asname and alias.asname != alias.name:
+                        top_alias_orig[alias.asname] = alias.name
     except (OSError, SyntaxError):
         pass
 
@@ -231,6 +240,13 @@ def _auto_recheck(green: dict[str, int]) -> list[str]:
         mods = set(re.findall(r"from \.((?:\w+\.)*\w+) import", src))
         words = set(re.findall(r"\b\w+\b", src))
         mods.update(m for ident, m in top_ident_mod.items() if ident in words)
+        # translate module-top aliases back to the real symbol names so
+        # the changed-symbol intersection can see them (body-level
+        # aliased imports need no help: the import statement's text —
+        # including the real name — is part of the query's source)
+        words.update(
+            orig for alias, orig in top_alias_orig.items() if alias in words
+        )
         sha = round_sha.get(rnd)
         for mod in mods:
             path = f"{pkg}/{mod.replace('.', '/')}.py"
@@ -268,19 +284,30 @@ def _helper_table() -> "tuple[dict[str, str], dict[str, set[str]]]":
     with open(path) as f:
         src_all = f.read()
     tree = ast.parse(src_all)
+    from visual_asset_management_system_spark.queries import QUERIES
+
     helper_src: dict[str, str] = {}
     for node in tree.body:
         if isinstance(
             node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
         ):
             helper_src[node.name] = ast.get_source_segment(src_all, node) or ""
+    # registered query functions are NOT helpers: a docstring that
+    # merely NAMES a sibling query (q_bottomk_merged's does) would
+    # otherwise inherit that query's entire body into this one's
+    # fingerprint — churn for a query whose behavior did not change,
+    # while the sibling is already gated independently. No query calls
+    # another query function (they are standalone registrations).
+    for fn in QUERIES.values():
+        helper_src.pop(getattr(fn, "__name__", ""), None)
+    # tokenize once per helper, not once per (helper, candidate) pair —
+    # the quadratic form ran ~36k full-source regex scans per process
+    helper_words = {
+        n: set(re.findall(r"\b\w+\b", s)) for n, s in helper_src.items()
+    }
     helper_refs = {
-        n: {
-            m
-            for m in helper_src
-            if m != n and m in set(re.findall(r"\b\w+\b", s))
-        }
-        for n, s in helper_src.items()
+        n: {m for m in helper_src if m != n and m in helper_words[n]}
+        for n in helper_src
     }
     _HELPER_TABLE = (helper_src, helper_refs)
     return _HELPER_TABLE
@@ -391,12 +418,21 @@ def _changed_symbols(sha: str, path: str, here: str) -> "set[str] | None":
                     for n in set(osyms) | set(nsyms)
                     if osyms.get(n) != nsyms.get(n)
                 }
-                # intra-module closure over current sources
+                # intra-module closure over current sources; decorator
+                # text is INCLUDED in each symbol's reference set (the
+                # def-segment starts below the decorators) so a change
+                # to a locally-defined decorator propagates to the
+                # functions it wraps, matching the fingerprint half
                 tree = ast.parse(new_src)
                 refs = {
                     node.name: set(
                         re.findall(
-                            r"\b\w+\b", ast.get_source_segment(new_src, node) or ""
+                            r"\b\w+\b",
+                            (ast.get_source_segment(new_src, node) or "")
+                            + "".join(
+                                ast.get_source_segment(new_src, d) or ""
+                                for d in node.decorator_list
+                            ),
                         )
                     )
                     for node in tree.body

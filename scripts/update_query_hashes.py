@@ -72,10 +72,14 @@ helper_src = {}
 for node in tree.body:
     if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
         helper_src[node.name] = ast.get_source_segment(src_all, node) or ""
+for fn in QUERIES.values():
+    helper_src.pop(getattr(fn, "__name__", ""), None)
+helper_words = {
+    n: set(re.findall(r"\\b\\w+\\b", s)) for n, s in helper_src.items()
+}
 helper_refs = {
-    n: {m for m in helper_src
-        if m != n and m in set(re.findall(r"\\b\\w+\\b", s))}
-    for n, s in helper_src.items()
+    n: {m for m in helper_src if m != n and m in helper_words[n]}
+    for n in helper_src
 }
 out = {}
 for name, fn in QUERIES.items():

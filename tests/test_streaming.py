@@ -2879,6 +2879,17 @@ def test_bottomk_store_split_replay_and_compaction_equivalence(
     ) == key_set(
         bottomk_sample(spark.createDataFrame(rows, cols), "rid", 32, ["grp"])
     )
+    # group_cols and salt are format too: a global-grouping compaction
+    # would DELETE every other group's rows; a different-salt append
+    # would store incomparable ranks — both must refuse at the seam
+    with _pytest.raises(ValueError, match="group_cols"):
+        compact_bottomk_store(spark, store, "rid", 32, group_cols=None)
+    with _pytest.raises(ValueError, match="salt"):
+        bottomk_store_update(
+            spark, store, spark.createDataFrame(rows[:5], cols),
+            "rid", k=64, group_cols=["grp"], salt="other",
+            batch_key="bx",
+        )
 
 
 def test_kmv_sketch_stream_matches_batch(spark, tmp_path):

@@ -1019,48 +1019,87 @@ def _bottomk_dir(store_dir: str) -> str:
     return _os.path.join(store_dir, "sample")
 
 
-def _bottomk_min_k(store_dir: str, k: int | None = None) -> int | None:
-    """Track / validate the store's smallest append bound. ``k`` is
-    part of the store FORMAT: a read at k' is only exact for
-    k' ≤ min(k over every append) — a segment appended at k=64 simply
-    does not carry its 65th-smallest row, so a k=256 read over it
-    would silently fall short of the true global bottom-256 (the
-    Bloom m-mismatch class: parameters at a store seam must be
-    validated, not assumed). With ``k`` given, lowers the recorded
-    minimum (atomic replace; written BEFORE the append so a crash
-    between the two leaves the bound conservatively small, which can
-    only reject valid reads, never admit wrong ones). Returns the
-    recorded minimum, or None for a store predating the sidecar."""
+def _bottomk_meta(
+    store_dir: str,
+    op: str,
+    k: int,
+    group_cols: list[str],
+    salt: str | None,
+    record: bool,
+) -> None:
+    """Track / validate the store's FORMAT parameters (the Bloom
+    m-mismatch class: parameters at a store seam must be validated,
+    not assumed). All three are format, with different failure shapes:
+
+    - ``k``: a read/compaction at k' is only exact for k' ≤ min(k over
+      every append) — a segment appended at k=64 simply does not carry
+      its 65th-smallest row, so a larger-k read would silently
+      under-fill the true global bottom-k';
+    - ``group_cols``: a compaction with the wrong grouping REWRITES
+      the store — the global bottom-k deletes every other group's
+      rows with no error;
+    - ``salt`` (writes only; reads never hash): segments appended
+      under different salts carry incomparable ``__h`` ranks, so the
+      merged 'bottom-k' is the bottom-k of no consistent hash order.
+
+    With ``record`` the sidecar is lowered/initialized via atomic
+    replace, written BEFORE the append so a crash between the two
+    leaves the bound conservatively small (can only reject valid
+    reads, never admit wrong ones). Stores predating the sidecar
+    validate nothing (None meta)."""
     import json as _json
     import os as _os
 
     path = _os.path.join(store_dir, "sample_k.json")
-    cur: int | None = None
+    meta: dict | None = None
     try:
         with open(path) as f:
-            cur = int(_json.load(f)["min_k"])
-    except (OSError, ValueError, KeyError, TypeError):
-        cur = None
-    if k is not None and (cur is None or k < cur):
-        _os.makedirs(store_dir, exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"min_k": k}, f)
-        _os.replace(tmp, path)
-        cur = k
-    return cur
-
-
-def _bottomk_check_k(store_dir: str, k: int, op: str) -> None:
-    min_k = _bottomk_min_k(store_dir)
-    if min_k is not None and k > min_k:
-        raise ValueError(
-            f"bottomk store {op} at k={k}, but an append bounded this "
-            f"store at k={min_k}: segments appended at the smaller k do "
-            f"not carry rows beyond their own bottom-{min_k}, so a "
-            f"k={k} result would silently under-fill. Read at "
-            f"k<={min_k} or rebuild the store."
-        )
+            meta = _json.load(f)
+    except (OSError, ValueError):
+        meta = None
+    if meta is not None:
+        if list(meta.get("group_cols", [])) != list(group_cols):
+            raise ValueError(
+                f"bottomk store {op} with group_cols={list(group_cols)}, "
+                f"but the store was built with "
+                f"group_cols={meta.get('group_cols')}: a mismatched "
+                f"grouping mis-merges per-group samples (and a mismatched "
+                f"compaction would DELETE every other group's rows). Use "
+                f"the store's grouping or rebuild."
+            )
+        if (
+            salt is not None
+            and meta.get("salt") is not None
+            and meta.get("salt") != salt
+        ):
+            raise ValueError(
+                f"bottomk store {op} with salt={salt!r}, but the store's "
+                f"segments rank by salt={meta.get('salt')!r}: mixed salts "
+                f"make __h ranks incomparable and the merged sample is "
+                f"the bottom-k of no consistent hash order."
+            )
+        min_k = meta.get("min_k")
+        if op in ("read", "compaction") and min_k is not None and k > min_k:
+            raise ValueError(
+                f"bottomk store {op} at k={k}, but an append bounded this "
+                f"store at k={min_k}: segments appended at the smaller k "
+                f"do not carry rows beyond their own bottom-{min_k}, so a "
+                f"k={k} result would silently under-fill. Use k<={min_k} "
+                f"or rebuild the store."
+            )
+    if record:
+        old_k = None if meta is None else meta.get("min_k")
+        new = {
+            "min_k": k if old_k is None else min(old_k, k),
+            "group_cols": list(group_cols),
+            "salt": salt if meta is None else (meta.get("salt") or salt),
+        }
+        if meta != new:
+            _os.makedirs(store_dir, exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(new, f)
+            _os.replace(tmp, path)
 
 
 def bottomk_store_update(
@@ -1084,7 +1123,10 @@ def bottomk_store_update(
     :func:`bottomk_sample`."""
     sample = bottomk_sample(new_df, id_col, k, group_cols, salt)
     _recover_kmv_store(_bottomk_dir(store_dir))
-    _bottomk_min_k(store_dir, k)  # record the bound BEFORE the append
+    # validate + record format params BEFORE the append
+    _bottomk_meta(
+        store_dir, "update", k, list(group_cols or []), salt, record=True
+    )
     sample.withColumn(
         "batch_key", F.lit(batch_key).cast("string")
     ).write.mode("append").parquet(_bottomk_dir(store_dir))
@@ -1106,8 +1148,12 @@ def bottomk_store_sample(
     it. Feed the result to :func:`sample_quantiles`. Raises if ``k``
     exceeds the smallest bound any append used (the segments cannot
     carry the missing rows — see :func:`_bottomk_min_k`); reads at a
-    SMALLER k are exact by the semilattice property."""
-    _bottomk_check_k(store_dir, k, "read")
+    SMALLER k are exact by the semilattice property; a mismatched
+    ``group_cols`` refuses too (it would mis-merge per-group
+    samples)."""
+    _bottomk_meta(
+        store_dir, "read", k, list(group_cols or []), None, record=False
+    )
     _recover_kmv_store(_bottomk_dir(store_dir))
     rows = spark.read.parquet(_bottomk_dir(store_dir)).drop("batch_key")
     return bottomk_merge(rows, id_col, k, group_cols)
@@ -1130,12 +1176,19 @@ def compact_bottomk_store(
     import shutil as _shutil
     import uuid as _uuid
 
-    _bottomk_check_k(store_dir, k, "compaction")
+    _bottomk_meta(
+        store_dir, "compaction", k, list(group_cols or []), None,
+        record=False,
+    )
     d = _bottomk_dir(store_dir)
     _recover_kmv_store(d)
     if not _os.path.isdir(d):
         return 0
-    _bottomk_min_k(store_dir, k)  # the rewrite re-bounds the store
+    # the rewrite re-bounds the store
+    _bottomk_meta(
+        store_dir, "compaction", k, list(group_cols or []), None,
+        record=True,
+    )
     compacted = bottomk_merge(
         spark.read.parquet(d).drop("batch_key"), id_col, k, group_cols
     ).withColumn("batch_key", F.lit("compacted-" + _uuid.uuid4().hex[:8]))

@@ -10278,8 +10278,14 @@ def _bottomk_event_store(spark: SparkSession, sf_dir: str) -> str:
             "event_type",
             "event_id",
             "value",
-            F.weekofyear(
-                F.timestamp_micros(F.expr("ts div 1000"))
+            # NULL ts lands in its own -1 segment rather than crashing
+            # the sorted() week list or silently dropping the row (the
+            # oracle's sample has no ts condition, so a dropped row
+            # would diverge at the hash gate); WHICH segment a row
+            # lands in never affects the merged sample (semilattice)
+            F.coalesce(
+                F.weekofyear(F.timestamp_micros(F.expr("ts div 1000"))),
+                F.lit(-1),
             ).alias("wk"),
         )
         weeks = sorted(
