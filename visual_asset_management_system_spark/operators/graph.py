@@ -451,6 +451,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     round_digits: int = 6,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-iteration PageRank as an iterative DataFrame loop:
     (node, rank) over the nodes appearing in ``edges``.
@@ -461,10 +462,17 @@ def pagerank(
     on partitioning), dangling mass (rank parked on nodes with no
     out-edges) is redistributed uniformly via a broadcast 1-row frame
     (in-plan — no per-iteration driver round-trip), and every node gets
-    (1-d)/N + d·(inflow + dangling/N). The per-iteration eager
-    localCheckpoint cuts lineage — without it the plan depth grows
-    linearly and analysis cost quadratically (the standard iterative-
-    algorithm discipline on Spark; GraphX materializes likewise).
+    (1-d)/N + d·(inflow + dangling/N). An eager localCheckpoint every
+    ``checkpoint_every`` iterations cuts lineage — without any cut the
+    plan depth grows linearly and analysis cost quadratically (the
+    standard iterative-algorithm discipline on Spark; GraphX
+    materializes likewise), while cutting EVERY iteration pays one
+    driver action per step for a cost that is almost entirely fixed
+    scheduler latency (the BFS frontier-batching finding, applied
+    here: two iterations per cut halves the action count for a plan
+    only twice as deep, and the checkpoint placement cannot change
+    values — each step is a deterministic function of the previous
+    ranks).
 
     N (node count) is read once up front — one scalar job, unavoidable
     for the teleport term.
@@ -484,7 +492,7 @@ def pagerank(
     teleport = (1.0 - damping) / n
     n_f = float(n)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
@@ -515,8 +523,9 @@ def pagerank(
                     * (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dang") / F.lit(n_f))
                 ).alias("rank"),
             )
-            .transform(maybe_checkpoint)
         )
+        if (it + 1) % max(1, checkpoint_every) == 0 or it == iters - 1:
+            ranks = ranks.transform(maybe_checkpoint)
     return ranks.select("node", F.round("rank", round_digits).alias("rank"))
 
 
