@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "q_kmv_rollup_merged",
     # round-11: maintained bottom-k sample store, merge-only read
     "q_bottomk_merged",
+    # round-11: maintained IVF index, partition-pruned probe
+    "q_ann_store_topk",
 ]
 
 

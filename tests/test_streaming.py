@@ -2778,6 +2778,120 @@ def test_kmv_store_split_replay_and_compaction_equivalence(spark, tmp_path):
     assert healed == want
 
 
+def test_ann_store_split_replay_upsert_and_compaction(spark, tmp_path):
+    """Maintained IVF index (operators/similarity.py): with frozen
+    centroids, a probe over ANY batch split + an at-least-once replay
+    equals ivf_topk over the union (assignment is a pure function of
+    (vector, centroids); the max-seq dedup absorbs replays). A genuine
+    re-embedding of an existing id WINS deterministically (the upsert
+    path no other maintained store needed — vectors change when assets
+    are re-processed). Compaction preserves the probe exactly, heals
+    its crash window, and the probe plan prunes to the probed list
+    partitions. Format params (dim / n_lists / foreign centroids)
+    refuse at every seam."""
+    import random as _random
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_topk,
+        compact_ann_store,
+        ivf_topk,
+    )
+
+    rng = _random.Random(7)
+    dim, n = 8, 120
+    rows = [
+        (i, [round(rng.gauss(0, 1), 4) for _ in range(dim)])
+        for i in range(n)
+    ]
+    schema = "vec_id long, embedding array<float>"
+    store = str(tmp_path / "ann")
+    # batch 0 must hold >= n_lists rows: it seeds the frozen centroids
+    splits = sorted(rng.sample(range(10, n), 2)) + [n]
+    lo = 0
+    for i, hi in enumerate(splits):
+        ann_index_update(
+            spark, store, spark.createDataFrame(rows[lo:hi], schema),
+            dim, n_lists=8, batch_key=f"b{i}",
+        )
+        lo = hi
+    # replay batch 1
+    ann_index_update(
+        spark, store,
+        spark.createDataFrame(rows[splits[0]: splits[1]], schema),
+        dim, n_lists=8, batch_key="b1-replay",
+    )
+
+    q = rows[0][1]
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_store_topk(spark, store, q, k=10, nprobe=3).collect()
+    ]
+    # the frozen matrix = first 8 vectors of batch 0 (sample_centroids)
+    cents = _np.asarray([rows[i][1] for i in range(8)], dtype=_np.float64)
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivf_topk(
+            spark.createDataFrame(rows, schema), q, cents, k=10, nprobe=3
+        ).collect()
+    ]
+    assert got == want
+
+    # probe plan prunes to the probed list partitions
+    plan = (
+        ann_store_topk(spark, store, q, k=10, nprobe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "_list" in plan
+
+    # upsert: re-embed vec_id 0 far away — the new vector must win
+    new_vec = [100.0] * dim
+    ann_index_update(
+        spark, store, spark.createDataFrame([(0, new_vec)], schema),
+        dim, n_lists=8, batch_key="b-upsert",
+    )
+    after = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in ann_store_topk(spark, store, q, k=n, nprobe=8).collect()
+    }
+    assert after[0] != 1.0  # no longer identical to the old query vector
+
+    nrows = compact_ann_store(spark, store)
+    assert nrows == n  # one live row per id
+    assert {
+        r["vec_id"]: r["cosine_sim"]
+        for r in ann_store_topk(spark, store, q, k=n, nprobe=8).collect()
+    } == after
+
+    # crash window: vectors moved aside, replacement not yet in place
+    vecs = os.path.join(store, "vectors")
+    os.replace(vecs, vecs + ".old")
+    assert {
+        r["vec_id"]: r["cosine_sim"]
+        for r in ann_store_topk(spark, store, q, k=n, nprobe=8).collect()
+    } == after
+
+    # format guards
+    with _pytest.raises(ValueError, match="dim"):
+        ann_index_update(
+            spark, store, spark.createDataFrame([(200, [1.0] * 4)],
+            "vec_id long, embedding array<float>"), 4, n_lists=8,
+        )
+    with _pytest.raises(ValueError, match="n_lists"):
+        ann_index_update(
+            spark, store, spark.createDataFrame(rows[:2], schema),
+            dim, n_lists=4,
+        )
+    with _pytest.raises(ValueError, match="FROZEN"):
+        ann_index_update(
+            spark, store, spark.createDataFrame(rows[:2], schema),
+            dim, n_lists=8, centroids=cents + 1.0,
+        )
+
+
 def test_bottomk_store_split_replay_and_compaction_equivalence(
     spark, tmp_path
 ):

@@ -46,6 +46,9 @@ _BASELINE = {
     "bloom_read": {"exchanges": 1, "scans": 1, "min_broadcasts": 0},
     # bottomk: dedup shuffle + the per-group WindowGroupLimit shuffle
     "bottomk_read": {"exchanges": 2, "scans": 1, "min_broadcasts": 0},
+    # ann: one pruned scan of the probed list partitions, one max-seq
+    # dedup shuffle (TakeOrdered's merge is not an Exchange)
+    "ann_read": {"exchanges": 1, "scans": 1, "min_broadcasts": 0},
     "setsim_update": {"exchanges": 8, "scans": 2, "min_broadcasts": 1},
     # suggest: measured 8 OR 9 with identical code (an AQE
     # broadcast<->shuffle seam that flips with session state); the
@@ -144,6 +147,26 @@ def _build_cms_read(spark, tmp):
     cms_store_update(spark, st, kv, "key", batch_key="b0")
     cms_store_update(spark, st, kv, "key", batch_key="b1")
     return cms_store_read(spark, st)
+
+
+def _build_ann_read(spark, tmp):
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_topk,
+    )
+
+    st = os.path.join(tmp, "ann")
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(40)]
+    schema = "vec_id long, embedding array<float>"
+    ann_index_update(
+        spark, st, spark.createDataFrame(rows[:20], schema), 8,
+        n_lists=4, batch_key="b0",
+    )
+    ann_index_update(
+        spark, st, spark.createDataFrame(rows[20:], schema), 8,
+        n_lists=4, batch_key="b1",
+    )
+    return ann_store_topk(spark, st, rows[0][1], k=5, nprobe=2)
 
 
 def _build_bottomk_read(spark, tmp):
@@ -299,6 +322,7 @@ _BUILDERS = {
     "cms_read": _build_cms_read,
     "bloom_read": _build_bloom_read,
     "bottomk_read": _build_bottomk_read,
+    "ann_read": _build_ann_read,
     "setsim_update": _build_setsim_update,
     "suggest_update": _build_suggest_update,
     "percolate": _build_percolate,

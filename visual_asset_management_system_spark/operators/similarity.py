@@ -471,3 +471,288 @@ def semdedup(
         "bucket",
         F.col("_dropped").isNull().alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# maintained IVF index (kappa form)
+# ---------------------------------------------------------------------------
+#
+# Every other index the engine maintains rides the CDC loop — search
+# tables, BM25 postings, suggest, minhash/setsim stores, the sketch
+# family. The ANN layout was the one write-path artifact still
+# batch-only; this is its incremental form, the FAISS `add()`
+# discipline re-expressed as a maintained Spark store:
+#
+# - centroids are FROZEN at store creation (trained or sampled from
+#   the first batch, or passed in) and persisted in a sidecar — list
+#   assignment must be a pure function of (vector, centroids), or the
+#   partition a probe prunes to would drift per batch;
+# - each update assigns its vectors to the nearest EXISTING centroid
+#   and appends, partitioned by list id — bounded work per batch, the
+#   store is never read on the write path;
+# - rows carry a monotone per-update sequence from the sidecar, so
+#   reads keep the max-seq row per id: a replayed append re-adds
+#   byte-identical vectors under a higher seq (same winner — replays
+#   are free), and a genuine re-embedding of an existing id wins
+#   deterministically (the CDC upsert semantics, without a rewrite);
+# - compaction keeps each id's winning row and rewrites with the
+#   shared two-rename crash-window swap. Re-TRAINING centroids is a
+#   rebuild (new store), exactly as re-sharding a FAISS IVF is — the
+#   sidecar's params are index format, validated at every seam (the
+#   Bloom m-mismatch class).
+#
+# Probe-side equivalence is differentially testable: with the same
+# centroids, ann_store_topk over any batch split + replays equals
+# ivf_topk over the union (assignment is pure; dedup absorbs
+# replays), and the probe scan carries the list IN-filter as a
+# PartitionFilter.
+
+
+def _ann_dirs(store_dir: str) -> str:
+    import os
+
+    return os.path.join(store_dir, "vectors")
+
+
+def _recover_ann_store(d: str) -> None:
+    """Heal the compaction swap's crash window (the shared two-rename
+    discipline: complete data sits in `.old` when a crash landed
+    between the renames)."""
+    import os
+
+    aside = d + ".old"
+    if not os.path.isdir(d) and os.path.isdir(aside):
+        os.replace(aside, d)
+
+
+def _ann_meta(
+    store_dir: str,
+    op: str,
+    dim: int | None = None,
+    n_lists: int | None = None,
+    centroids: "np.ndarray | None" = None,
+    bump_seq: bool = False,
+) -> dict:
+    """Load / validate / initialize the sidecar holding the index
+    FORMAT: frozen centroids, dim, n_lists, and the monotone update
+    sequence. Mismatched dim or n_lists refuses (a probe against
+    centroids of the wrong shape is the silent-wrong-partition class);
+    with ``bump_seq`` the sequence is incremented and persisted BEFORE
+    the caller's append — a crash between the two burns a sequence
+    number, which is harmless (ordering stays monotone)."""
+    import json
+    import os
+
+    path = os.path.join(store_dir, "ann_meta.json")
+    meta: dict | None = None
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        meta = None
+    if meta is None:
+        if centroids is None:
+            raise ValueError(
+                f"ann store {op}: store at {store_dir} has no sidecar — "
+                "create it with ann_index_update (first batch) before "
+                "reading or compacting"
+            )
+        meta = {
+            "dim": int(dim if dim is not None else centroids.shape[1]),
+            "n_lists": int(centroids.shape[0]),
+            "centroids": [[float(v) for v in c] for c in centroids],
+            "seq": 0,
+        }
+    else:
+        if dim is not None and int(meta["dim"]) != int(dim):
+            raise ValueError(
+                f"ann store {op} with dim={dim}, but the store's frozen "
+                f"centroids are dim={meta['dim']}: list assignment would "
+                f"be against the wrong geometry. Rebuild to change dim."
+            )
+        if n_lists is not None and int(meta["n_lists"]) != int(n_lists):
+            raise ValueError(
+                f"ann store {op} with n_lists={n_lists}, but the store "
+                f"was created with n_lists={meta['n_lists']}: the "
+                f"partition layout is the index format. Rebuild to "
+                f"change it."
+            )
+        if centroids is not None and [
+            [float(v) for v in c] for c in centroids
+        ] != meta["centroids"]:
+            raise ValueError(
+                f"ann store {op} passed centroids differing from the "
+                f"store's FROZEN matrix: assignment must be a pure "
+                f"function of (vector, stored centroids) or probes "
+                f"prune to the wrong partitions. Omit the argument to "
+                f"use the stored centroids, or rebuild."
+            )
+    if bump_seq:
+        meta["seq"] = int(meta.get("seq", 0)) + 1
+        os.makedirs(store_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+    return meta
+
+
+def ann_index_update(
+    spark,
+    store_dir: str,
+    new_embeddings: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    batch_key: str | None = None,
+) -> None:
+    """One incremental step of the maintained IVF index: assign the
+    batch's vectors to the nearest FROZEN centroid and append them
+    partitioned by list id. The first call creates the store (freezing
+    ``centroids``, or :func:`sample_centroids` of the first batch when
+    omitted — pass :func:`kmeans_centroids` output for trained lists);
+    later calls must not pass a different matrix. NULL ids and NULL
+    vectors are excluded (the sketch tier's shared guard). The store
+    is never read on the write path — a backfill is one bounded
+    append per batch."""
+    import os
+
+    vecs = _ann_dirs(store_dir)
+    _recover_ann_store(vecs)
+    first = not os.path.isfile(os.path.join(store_dir, "ann_meta.json"))
+    if first and centroids is None:
+        centroids = sample_centroids(
+            new_embeddings.filter(
+                F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+            ),
+            n_lists,
+            id_col,
+            vec_col,
+        )
+    meta = _ann_meta(
+        store_dir, "update", dim, n_lists, centroids, bump_seq=True
+    )
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    assigned = (
+        new_embeddings.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .withColumn("_list", _nearest_list(F.col(vec_col), cents))
+        .withColumn("_seq", F.lit(int(meta["seq"])))
+        .withColumn("batch_key", F.lit(batch_key).cast("string"))
+        # co-locate each list before the partitioned write (one file
+        # per touched list directory, not shuffle-partitions × lists)
+        .repartition("_list")
+    )
+    assigned.write.mode("append").partitionBy("_list").parquet(vecs)
+
+
+def ann_store_read(
+    spark,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Current live vectors: max-seq row per id (ties cannot occur —
+    seq is bumped per update and rows within one update are unique by
+    id after the caller's own dedup; a replayed append re-adds the
+    same vector under a higher seq, so the winner's VALUES are
+    unchanged). Reader-side work grows with appended batches until
+    :func:`compact_ann_store` re-bounds it."""
+    from pyspark.sql.window import Window
+
+    vecs = _ann_dirs(store_dir)
+    _recover_ann_store(vecs)
+    rows = spark.read.parquet(vecs)
+    # vector-hash tie-break: duplicate ids WITHIN one update share a
+    # seq, and the winner must not depend on row order
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_seq"), F.desc(F.xxhash64(F.col(vec_col)))
+    )
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "_seq", "batch_key")
+    )
+
+
+def ann_store_topk(
+    spark,
+    store_dir: str,
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the maintained index: nearest ``nprobe`` lists by the
+    frozen centroids (driver-side numpy over the sidecar — k×dim), an
+    IN-list filter on the PARTITION column (the scan prunes to the
+    probed directories; plan-asserted in tests), max-seq dedup within
+    the probed lists only, exact cosine top-k within. Equals
+    :func:`ivf_topk` over the union of every appended batch with the
+    same centroids — assignment is a pure function of (vector,
+    centroids) and the dedup absorbs replays (tested)."""
+    from pyspark.sql.window import Window
+
+    meta = _ann_meta(store_dir, "read")
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vector, dtype=np.float64)
+    if q.shape[0] != int(meta["dim"]):
+        raise ValueError(
+            f"ann store read: query dim {q.shape[0]} != index dim "
+            f"{meta['dim']}"
+        )
+    d2 = ((cents - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    vecs = _ann_dirs(store_dir)
+    _recover_ann_store(vecs)
+    rows = spark.read.parquet(vecs).filter(F.col("_list").isin(*probe))
+    # dedup AFTER the partition prune: an id's rows all share a list
+    # (assignment is pure), so pruning first is lossless and the
+    # window runs over probe-sized data only; same vector-hash
+    # tie-break as ann_store_read
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_seq"), F.desc(F.xxhash64(F.col(vec_col)))
+    )
+    live = (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return cosine_topk(live, query_vector, k, id_col, vec_col)
+
+
+def compact_ann_store(
+    spark,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Re-bound reader work to one row per live id: keep each id's
+    max-seq row, rewrite partitioned, two-rename swap with
+    _recover_ann_store healing the crash window. Replays after
+    compaction re-add rows under later seqs the reader dedup absorbs.
+    Returns the post-compaction row count. Single-writer maintenance
+    job (the shared store-rewrite assumption)."""
+    import os
+    import shutil
+
+    _ann_meta(store_dir, "compaction")
+    vecs = _ann_dirs(store_dir)
+    _recover_ann_store(vecs)
+    if not os.path.isdir(vecs):
+        return 0
+    compacted = ann_store_read(spark, store_dir, id_col, vec_col).withColumn(
+        "_seq", F.lit(0)
+    ).withColumn("batch_key", F.lit("compacted")).repartition("_list")
+    tmp = vecs + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    compacted.write.mode("overwrite").partitionBy("_list").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    aside = vecs + ".old"
+    shutil.rmtree(aside, ignore_errors=True)
+    os.replace(vecs, aside)
+    os.replace(tmp, vecs)
+    shutil.rmtree(aside, ignore_errors=True)
+    return n

@@ -2934,6 +2934,67 @@ def q_ivf_ann(spark, sf_dir):
     return ivf_topk(emb, _query_vector(sf_dir), cents, k=10, nprobe=4)
 
 
+_ann_store_cache: dict = {}
+
+
+def _ann_event_store(spark: SparkSession, sf_dir: str) -> str:
+    """The maintained IVF index over embeddings, built the way a
+    deployment builds it: three incremental ann_index_update calls
+    (vec_id thirds — new assets landing over time), once per session ×
+    sf_dir. The FIRST batch holds the lowest vec_ids, so the frozen
+    sampled centroids are the corpus's first 16 by id — byte-identical
+    to q_ivf_ann's matrix, which is what lets the probe share its
+    generated oracle."""
+    import tempfile
+
+    from .operators.similarity import ann_index_update
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ann_store_cache.get(key)
+    if cached is not None and not os.path.isdir(cached):
+        del _ann_store_cache[key]
+    if key not in _ann_store_cache:
+        out = tempfile.mkdtemp(prefix="vams_spark_ann_store_")
+        emb = tables(spark, sf_dir)["embeddings"]
+        n = emb.count()
+        cuts = [0, max(n // 3, 16), max(2 * n // 3, 17), n]
+        for i in range(3):
+            batch = emb.filter(
+                (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
+            )
+            ann_index_update(
+                spark, out, batch, _EMB_DIM, n_lists=16, batch_key=f"b{i}"
+            )
+        _ann_store_cache[key] = out
+    return _ann_store_cache[key]
+
+
+@query(
+    "q_ann_store_topk",
+    _ivf_oracle() if os.path.isdir(_ORACLE_SF_DIR) else None,
+)
+def q_ann_store_topk(spark, sf_dir):
+    """The DEPLOYMENT shape of the IVF tier: q_ivf_ann assigns the
+    whole corpus in one plan; THIS query probes a MAINTAINED index
+    (operators/similarity.py ann_index_update/ann_store_topk — the
+    FAISS add() discipline as a Spark store: centroids frozen at
+    creation, each batch assigned to the nearest existing list and
+    appended partition-by-list, max-seq reads giving replay-free
+    at-least-once semantics AND deterministic re-embedding upserts).
+    The executed probe prunes to the 4 probed list partitions
+    (PartitionFilters — plan-asserted in tests) and runs exact cosine
+    within them. With the same frozen centroids the result provably
+    equals q_ivf_ann (assignment is a pure function of (vector,
+    centroids)), so the two queries SHARE the generated oracle — the
+    driver gate certifies the maintained path against the same SQL."""
+    from .operators.similarity import ann_store_topk
+
+    store = _ann_event_store(spark, sf_dir)
+    return ann_store_topk(
+        spark, store, _query_vector(sf_dir), k=10, nprobe=4
+    )
+
+
 # -- no-oracle entries (non-SQL-expressible; driver records rows-only) ------
 
 @query(
