@@ -161,6 +161,27 @@ def _store_updates(
     kmv_store_update(spark, st, ev, "user_id", batch_key="b1")
     cms_store_update(spark, st2, ev, "user_id", batch_key="b0")
     out["sketch_updates"] = round(time.time() - t0, 3)
+
+    # maintained IVF index (r11): seed 90% of the embeddings, time one
+    # 10% append against the frozen centroids
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+    )
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    n_emb = emb.count()
+    cut = int(n_emb * 0.9)
+    st = os.path.join(base, "ann")
+    ann_index_update(
+        spark, st, emb.filter(F.col("vec_id") < cut), 64, n_lists=16,
+        batch_key="b0",
+    )
+    t0 = time.time()
+    ann_index_update(
+        spark, st, emb.filter(F.col("vec_id") >= cut), 64, n_lists=16,
+        batch_key="b1",
+    )
+    out["ann_update"] = round(time.time() - t0, 3)
     return out, base
 
 
@@ -200,6 +221,12 @@ def _store_compaction(spark, base: str) -> dict[str, dict]:
         spark, os.path.join(base, "kmv")))
     timed("cms_compact", lambda: compact_cms_store(
         spark, os.path.join(base, "cms")))
+    from visual_asset_management_system_spark.operators.similarity import (
+        compact_ann_store,
+    )
+
+    timed("ann_compact", lambda: compact_ann_store(
+        spark, os.path.join(base, "ann")))
     return out
 
 
