@@ -2778,6 +2778,54 @@ def test_kmv_store_split_replay_and_compaction_equivalence(spark, tmp_path):
     assert healed == want
 
 
+def test_ann_store_upsert_across_lists_probe_correct(spark, tmp_path):
+    """The review-confirmed stale-row class: a re-embedded id's new row
+    lands in a DIFFERENT list, so a probe pruned to the old list must
+    NOT resurrect the superseded vector — winner selection is global
+    (thin projection), only the vector fetch is pruned. Compaction
+    must leave the same probe unchanged."""
+    import numpy as _np
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_read,
+        ann_store_topk,
+        compact_ann_store,
+    )
+
+    cents = _np.asarray([[1.0, 0.0], [-1.0, 0.0]])
+    schema = "vec_id long, embedding array<float>"
+    store = str(tmp_path / "ann_mv")
+    ann_index_update(
+        spark, store,
+        spark.createDataFrame(
+            [(0, [0.9, 0.1]), (1, [0.95, 0.05]), (2, [-0.9, 0.1])], schema
+        ),
+        2, n_lists=2, centroids=cents, batch_key="b0",
+    )
+    # re-embed id 0 to the OPPOSITE side: its live row moves to list 1
+    ann_index_update(
+        spark, store,
+        spark.createDataFrame([(0, [-0.9, -0.1])], schema),
+        2, n_lists=2, batch_key="b1",
+    )
+    probe = ann_store_topk(spark, store, [1.0, 0.0], k=5, nprobe=1)
+    got = {r["vec_id"] for r in probe.collect()}
+    assert got == {1}, f"stale pre-upsert row resurrected: {got}"
+    live = {
+        r["vec_id"]: list(r["embedding"])
+        for r in ann_store_read(spark, store).collect()
+    }
+    assert [round(x, 2) for x in live[0]] == [-0.9, -0.1]
+    compact_ann_store(spark, store)
+    assert {
+        r["vec_id"]
+        for r in ann_store_topk(
+            spark, store, [1.0, 0.0], k=5, nprobe=1
+        ).collect()
+    } == {1}
+
+
 def test_ann_store_split_replay_upsert_and_compaction(spark, tmp_path):
     """Maintained IVF index (operators/similarity.py): with frozen
     centroids, a probe over ANY batch split + an at-least-once replay

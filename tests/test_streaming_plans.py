@@ -46,9 +46,12 @@ _BASELINE = {
     "bloom_read": {"exchanges": 1, "scans": 1, "min_broadcasts": 0},
     # bottomk: dedup shuffle + the per-group WindowGroupLimit shuffle
     "bottomk_read": {"exchanges": 2, "scans": 1, "min_broadcasts": 0},
-    # ann: one pruned scan of the probed list partitions, one max-seq
-    # dedup shuffle (TakeOrdered's merge is not an Exchange)
-    "ann_read": {"exchanges": 1, "scans": 1, "min_broadcasts": 0},
+    # ann: TWO scans by design — the thin (id, seq, rh, list) winner
+    # pass over all partitions (upsert-correctness: a re-embedded id's
+    # live row can sit in a non-probed list) + the vector fetch pruned
+    # to the probed partitions; one winner-window shuffle, and the
+    # live-key semi-join back to the pruned fetch broadcasts
+    "ann_read": {"exchanges": 1, "scans": 2, "min_broadcasts": 1},
     "setsim_update": {"exchanges": 8, "scans": 2, "min_broadcasts": 1},
     # suggest: measured 8 OR 9 with identical code (an AQE
     # broadcast<->shuffle seam that flips with session state); the

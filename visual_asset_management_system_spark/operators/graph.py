@@ -469,14 +469,25 @@ def pagerank(
     materializes likewise), while cutting EVERY iteration pays one
     driver action per step for a cost that is almost entirely fixed
     scheduler latency (the BFS frontier-batching finding, applied
-    here: two iterations per cut halves the action count for a plan
-    only twice as deep, and the checkpoint placement cannot change
-    values — each step is a deterministic function of the previous
-    ranks).
+    here). NOTE the growth between cuts is EXPONENTIAL, not linear:
+    each iteration references ``ranks`` twice (the contribution join
+    and the dangling-mass aggregate), so k un-checkpointed iterations
+    embed ~2^k copies of the per-iteration subplan — 2 per cut is the
+    measured sweet spot (A/B: every-iteration and every-5 both
+    slower), and values larger than 4 are refused rather than let a
+    latency-tuning caller hand Catalyst a 2^10-node plan. Checkpoint
+    placement cannot change values — each step is a deterministic
+    function of the previous ranks.
 
     N (node count) is read once up front — one scalar job, unavoidable
     for the teleport term.
     """
+    if not 1 <= checkpoint_every <= 4:
+        raise ValueError(
+            f"checkpoint_every={checkpoint_every}: plan size grows "
+            f"~2^checkpoint_every between cuts (ranks is referenced "
+            f"twice per iteration) — use 1-4"
+        )
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))

@@ -514,15 +514,12 @@ def _ann_dirs(store_dir: str) -> str:
     return os.path.join(store_dir, "vectors")
 
 
-def _recover_ann_store(d: str) -> None:
-    """Heal the compaction swap's crash window (the shared two-rename
-    discipline: complete data sits in `.old` when a crash landed
-    between the renames)."""
-    import os
-
-    aside = d + ".old"
-    if not os.path.isdir(d) and os.path.isdir(aside):
-        os.replace(aside, d)
+# the two-rename crash-window recovery is ONE invariant shared by every
+# maintained store; reuse setsim_store's directory-generic helper
+# rather than adding a fifth verbatim copy (full consolidation of the
+# kmv/gram copies is deferred — editing those modules mid-round would
+# fan module-staleness rechecks across their green queries)
+from .setsim_store import _recover_dir as _recover_ann_store  # noqa: E402
 
 
 def _ann_meta(
@@ -535,27 +532,61 @@ def _ann_meta(
 ) -> dict:
     """Load / validate / initialize the sidecar holding the index
     FORMAT: frozen centroids, dim, n_lists, and the monotone update
-    sequence. Mismatched dim or n_lists refuses (a probe against
-    centroids of the wrong shape is the silent-wrong-partition class);
-    with ``bump_seq`` the sequence is incremented and persisted BEFORE
-    the caller's append — a crash between the two burns a sequence
-    number, which is harmless (ordering stays monotone)."""
+    sequence. Every seam validates, INCLUDING creation: a first batch
+    whose centroids disagree with the declared dim/n_lists must refuse
+    here, not crash in numpy several calls later. Absence is strictly
+    FileNotFoundError — a transient read error or corrupt JSON RAISES
+    rather than silently re-initializing the store at seq 0 (which
+    would put new appends BELOW existing rows and serve stale vectors
+    with no error anywhere), and a missing sidecar beside an existing
+    vectors directory is corruption, not a fresh store. With
+    ``bump_seq`` the sequence is incremented and persisted BEFORE the
+    caller's append — a crash between the two burns a sequence number,
+    which is harmless (ordering stays monotone)."""
     import json
     import os
 
     path = os.path.join(store_dir, "ann_meta.json")
-    meta: dict | None = None
     try:
         with open(path) as f:
-            meta = json.load(f)
-    except (OSError, ValueError):
+            raw = f.read()
+    except FileNotFoundError:
         meta = None
+    else:
+        try:
+            meta = json.loads(raw)
+        except ValueError as exc:
+            raise ValueError(
+                f"ann store {op}: corrupt sidecar {path} — refusing to "
+                f"re-initialize over existing state ({exc}). Restore the "
+                f"sidecar or rebuild the store."
+            ) from None
     if meta is None:
+        if os.path.isdir(_ann_dirs(store_dir)):
+            raise ValueError(
+                f"ann store {op}: vectors exist under {store_dir} but the "
+                f"sidecar is missing — re-initializing would reset the "
+                f"sequence below existing rows. Restore ann_meta.json or "
+                f"rebuild."
+            )
         if centroids is None:
             raise ValueError(
                 f"ann store {op}: store at {store_dir} has no sidecar — "
                 "create it with ann_index_update (first batch) before "
                 "reading or compacting"
+            )
+        if dim is not None and int(centroids.shape[1]) != int(dim):
+            raise ValueError(
+                f"ann store {op}: declared dim={dim} but the centroid "
+                f"matrix is {centroids.shape[1]}-wide — an inconsistent "
+                f"frozen format would crash probes far from this cause."
+            )
+        if n_lists is not None and int(centroids.shape[0]) != int(n_lists):
+            raise ValueError(
+                f"ann store {op}: requested n_lists={n_lists} but "
+                f"{centroids.shape[0]} centroids were provided/sampled "
+                f"(a first batch smaller than n_lists samples short) — "
+                f"freeze exactly the requested list count or lower it."
             )
         meta = {
             "dim": int(dim if dim is not None else centroids.shape[1]),
@@ -614,9 +645,12 @@ def ann_index_update(
     ``centroids``, or :func:`sample_centroids` of the first batch when
     omitted — pass :func:`kmeans_centroids` output for trained lists);
     later calls must not pass a different matrix. NULL ids and NULL
-    vectors are excluded (the sketch tier's shared guard). The store
-    is never read on the write path — a backfill is one bounded
-    append per batch."""
+    vectors are excluded (the sketch tier's shared guard). Rows carry
+    the sidecar's monotone ``_seq`` plus ``_rh``, a write-time vector
+    hash — the winner-selection tie-break, stored so reads can pick
+    winners from the THIN (id, _seq, _rh, list) projection without
+    touching vector bytes. The store is never read on the write path —
+    a backfill is one bounded append per batch."""
     import os
 
     vecs = _ann_dirs(store_dir)
@@ -640,6 +674,7 @@ def ann_index_update(
         .filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
         .withColumn("_list", _nearest_list(F.col(vec_col), cents))
         .withColumn("_seq", F.lit(int(meta["seq"])))
+        .withColumn("_rh", F.xxhash64(F.col(vec_col)))
         .withColumn("batch_key", F.lit(batch_key).cast("string"))
         # co-locate each list before the partitioned write (one file
         # per touched list directory, not shuffle-partitions × lists)
@@ -648,33 +683,39 @@ def ann_index_update(
     assigned.write.mode("append").partitionBy("_list").parquet(vecs)
 
 
+def _ann_winners(rows: DataFrame, id_col: str) -> DataFrame:
+    """The store's ONE winner-selection rule (shared by read, probe,
+    and compaction — two copies of this window drifting apart would
+    make them disagree on which row is live): max ``_seq`` per id, the
+    stored vector hash ``_rh`` breaking ties for duplicate ids WITHIN
+    one update, so the winner never depends on row order — and never
+    needs vector bytes, keeping winner selection viable on the thin
+    column projection."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("_seq"), F.desc("_rh"))
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def ann_store_read(
     spark,
     store_dir: str,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Current live vectors: max-seq row per id (ties cannot occur —
-    seq is bumped per update and rows within one update are unique by
-    id after the caller's own dedup; a replayed append re-adds the
-    same vector under a higher seq, so the winner's VALUES are
-    unchanged). Reader-side work grows with appended batches until
-    :func:`compact_ann_store` re-bounds it."""
-    from pyspark.sql.window import Window
-
+    """Current live vectors: the max-seq row per id (see
+    :func:`_ann_winners`). A replayed append re-adds the same vector
+    under a higher seq, so the winner's VALUES are unchanged —
+    replays are free. Reader-side work grows with appended batches
+    until :func:`compact_ann_store` re-bounds it."""
+    _ann_meta(store_dir, "read")
     vecs = _ann_dirs(store_dir)
     _recover_ann_store(vecs)
     rows = spark.read.parquet(vecs)
-    # vector-hash tie-break: duplicate ids WITHIN one update share a
-    # seq, and the winner must not depend on row order
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("_seq"), F.desc(F.xxhash64(F.col(vec_col)))
-    )
-    return (
-        rows.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "_seq", "batch_key")
-    )
+    return _ann_winners(rows, id_col).drop("_seq", "_rh", "batch_key")
 
 
 def ann_store_topk(
@@ -687,15 +728,21 @@ def ann_store_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe the maintained index: nearest ``nprobe`` lists by the
-    frozen centroids (driver-side numpy over the sidecar — k×dim), an
-    IN-list filter on the PARTITION column (the scan prunes to the
-    probed directories; plan-asserted in tests), max-seq dedup within
-    the probed lists only, exact cosine top-k within. Equals
-    :func:`ivf_topk` over the union of every appended batch with the
-    same centroids — assignment is a pure function of (vector,
-    centroids) and the dedup absorbs replays (tested)."""
-    from pyspark.sql.window import Window
+    frozen centroids (driver-side numpy over the sidecar — k×dim),
+    then exact cosine top-k among the LIVE rows of the probed lists.
 
+    Upsert-correct by construction: a re-embedded id's new row can
+    land in a DIFFERENT list, so winner selection must be global —
+    deduping only within the probed partitions would resurrect the
+    superseded vector whenever the live row moved elsewhere (and
+    compaction, which dedups globally, would then silently change
+    probe results). The global pass runs on the THIN
+    (id, _seq, _rh, _list) projection — integer columns, no vector
+    bytes (parquet column pruning; at 100 TB the projection is a few
+    percent of store bytes) — and the VECTOR fetch stays restricted to
+    the probed list directories (PartitionFilters, plan-asserted): an
+    id whose live row sits in a probed list joins back to its vector
+    there; one whose live row moved out is excluded entirely."""
     meta = _ann_meta(store_dir, "read")
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     q = np.asarray(query_vector, dtype=np.float64)
@@ -708,33 +755,30 @@ def ann_store_topk(
     probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
     vecs = _ann_dirs(store_dir)
     _recover_ann_store(vecs)
-    rows = spark.read.parquet(vecs).filter(F.col("_list").isin(*probe))
-    # dedup AFTER the partition prune: an id's rows all share a list
-    # (assignment is pure), so pruning first is lossless and the
-    # window runs over probe-sized data only; same vector-hash
-    # tie-break as ann_store_read
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("_seq"), F.desc(F.xxhash64(F.col(vec_col)))
+    rows = spark.read.parquet(vecs)
+    live_keys = _ann_winners(
+        rows.select(id_col, "_seq", "_rh", "_list"), id_col
+    ).filter(F.col("_list").isin(*probe)).select(id_col, "_seq", "_rh")
+    fetched = rows.filter(F.col("_list").isin(*probe)).join(
+        live_keys, [id_col, "_seq", "_rh"], "left_semi"
     )
-    live = (
-        rows.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-    )
-    return cosine_topk(live, query_vector, k, id_col, vec_col)
+    return cosine_topk(fetched, query_vector, k, id_col, vec_col)
 
 
 def compact_ann_store(
     spark,
     store_dir: str,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> int:
     """Re-bound reader work to one row per live id: keep each id's
-    max-seq row, rewrite partitioned, two-rename swap with
-    _recover_ann_store healing the crash window. Replays after
-    compaction re-add rows under later seqs the reader dedup absorbs.
-    Returns the post-compaction row count. Single-writer maintenance
-    job (the shared store-rewrite assumption)."""
+    winning row (same :func:`_ann_winners` rule as every read),
+    rewrite partitioned, two-rename swap with the shared recovery
+    healing the crash window. Probe results are UNCHANGED by
+    compaction — the probe's winner selection is already global.
+    Replays after compaction re-add rows under later seqs the reader
+    dedup absorbs. Returns the post-compaction row count.
+    Single-writer maintenance job (the shared store-rewrite
+    assumption)."""
     import os
     import shutil
 
@@ -743,9 +787,12 @@ def compact_ann_store(
     _recover_ann_store(vecs)
     if not os.path.isdir(vecs):
         return 0
-    compacted = ann_store_read(spark, store_dir, id_col, vec_col).withColumn(
-        "_seq", F.lit(0)
-    ).withColumn("batch_key", F.lit("compacted")).repartition("_list")
+    compacted = (
+        _ann_winners(spark.read.parquet(vecs), id_col)
+        .withColumn("_seq", F.lit(0))
+        .withColumn("batch_key", F.lit("compacted"))
+        .repartition("_list")
+    )
     tmp = vecs + ".compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     compacted.write.mode("overwrite").partitionBy("_list").parquet(tmp)

@@ -2920,7 +2920,12 @@ def _ivf_oracle() -> str:
     """
 
 
-@query("q_ivf_ann", _ivf_oracle() if os.path.isdir(_ORACLE_SF_DIR) else None)
+# built once at import: two queries share this generated oracle, and
+# each build pays a pyarrow read of the correctness-SF embeddings
+_IVF_ORACLE_SQL = _ivf_oracle() if os.path.isdir(_ORACLE_SF_DIR) else None
+
+
+@query("q_ivf_ann", _IVF_ORACLE_SQL)
 def q_ivf_ann(spark, sf_dir):
     """IVF-lite ANN: inverted lists keyed by nearest sampled centroid,
     probe the 4 nearest lists, exact cosine within — the second
@@ -2969,10 +2974,7 @@ def _ann_event_store(spark: SparkSession, sf_dir: str) -> str:
     return _ann_store_cache[key]
 
 
-@query(
-    "q_ann_store_topk",
-    _ivf_oracle() if os.path.isdir(_ORACLE_SF_DIR) else None,
-)
+@query("q_ann_store_topk", _IVF_ORACLE_SQL)
 def q_ann_store_topk(spark, sf_dir):
     """The DEPLOYMENT shape of the IVF tier: q_ivf_ann assigns the
     whole corpus in one plan; THIS query probes a MAINTAINED index
