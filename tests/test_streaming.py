@@ -3104,6 +3104,117 @@ def test_kmv_sketch_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_bottomk_sample_stream_matches_batch(spark, tmp_path):
+    """Streaming form: two micro-batches through
+    start_bottomk_sample_stream leave a store whose merged sample
+    equals the one-shot batch sample (the KMV stream contract,
+    extended to sample rows)."""
+    from visual_asset_management_system_spark.operators.sketches import (
+        bottomk_sample,
+        bottomk_store_sample,
+        start_bottomk_sample_stream,
+    )
+
+    docs_dir = str(tmp_path / "bk_in")
+    os.makedirs(docs_dir)
+    store = str(tmp_path / "bk_stream_store")
+    ckpt = str(tmp_path / "bk_ckpt")
+    schema = "grp string, rid string, val double"
+
+    def write_batch(name, rows):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for g, r, v in rows:
+                f.write(json.dumps({"grp": g, "rid": r, "val": v}) + "\n")
+
+    b1 = [("g0", f"id_{i}", float(i % 37)) for i in range(150)]
+    b2 = [("g1", f"id_{i}", float(i % 11)) for i in range(150, 400)]
+    for name, rows in (("b1.json", b1), (None, None)):
+        if name:
+            write_batch(name, rows)
+        q = start_bottomk_sample_stream(
+            spark, docs_dir, store, ckpt, schema, "rid", k=32,
+            group_cols=["grp"],
+        )
+        q.awaitTermination(120)
+        if name == "b1.json":
+            write_batch("b2.json", b2)
+
+    want = {
+        (r["grp"], r["rid"])
+        for r in bottomk_sample(
+            spark.createDataFrame(b1 + b2, ["grp", "rid", "val"]),
+            "rid", 32, ["grp"],
+        ).collect()
+    }
+    got = {
+        (r["grp"], r["rid"])
+        for r in bottomk_store_sample(
+            spark, store, "rid", 32, ["grp"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ann_index_stream_matches_batch(spark, tmp_path):
+    """Streaming form: two micro-batches through start_ann_index_stream
+    (explicit frozen centroids — a live stream must not couple index
+    geometry to arrival order) leave a store whose probe equals
+    ivf_topk over the union."""
+    import numpy as _np
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_store_topk,
+        ivf_topk,
+        start_ann_index_stream,
+    )
+
+    docs_dir = str(tmp_path / "ann_in")
+    os.makedirs(docs_dir)
+    store = str(tmp_path / "ann_stream_store")
+    ckpt = str(tmp_path / "ann_ckpt")
+    schema = "vec_id long, embedding array<float>"
+    import random as _random
+
+    rng = _random.Random(13)
+    rows = [
+        (i, [round(rng.gauss(0, 1), 4) for _ in range(6)]) for i in range(90)
+    ]
+    cents = _np.asarray([rows[i][1] for i in range(6)], dtype=_np.float64)
+
+    def write_batch(name, rs):
+        with open(os.path.join(docs_dir, name), "w") as f:
+            for i, v in rs:
+                f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+
+    write_batch("b1.json", rows[:40])
+    q = start_ann_index_stream(
+        spark, docs_dir, store, ckpt, schema, 6, n_lists=6,
+        centroids=cents,
+    )
+    q.awaitTermination(120)
+    write_batch("b2.json", rows[40:])
+    q2 = start_ann_index_stream(
+        spark, docs_dir, store, ckpt, schema, 6, n_lists=6,
+        centroids=cents,
+    )
+    q2.awaitTermination(120)
+
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_store_topk(
+            spark, store, rows[0][1], k=8, nprobe=2
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivf_topk(
+            spark.createDataFrame(rows, schema), rows[0][1], cents,
+            k=8, nprobe=2,
+        ).collect()
+    ]
+    assert got == want
+
+
 def test_cms_store_split_replay_compaction_equivalence(spark, tmp_path):
     """Maintained count-min store: additive state with the gram-store
     replay discipline — any batch split plus an at-least-once replay

@@ -765,6 +765,54 @@ def ann_store_topk(
     return cosine_topk(fetched, query_vector, k, id_col, vec_col)
 
 
+def start_ann_index_stream(
+    spark,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    dim: int,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    trigger_once: bool = True,
+):
+    """Structured Streaming wrapper: a file-source embedding stream
+    feeds the maintained IVF index one bounded append per micro-batch
+    (the start_kmv_sketch_stream shape). Pass ``centroids`` to freeze
+    a trained matrix up front — otherwise the FIRST micro-batch's
+    sample freezes them, which couples index geometry to stream
+    arrival order (fine for a backfill replay of a fixed file set,
+    wrong for a live stream; the sidecar makes either choice explicit
+    and permanent). Replays are free: a redelivered micro-batch
+    re-appends identical rows under a higher seq, so the winner's
+    values are unchanged."""
+    stream = spark.readStream.schema(schema).format("json").load(docs_dir)
+
+    def handle(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ann_index_update(
+            spark,
+            store_dir,
+            batch,
+            dim,
+            n_lists,
+            id_col,
+            vec_col,
+            centroids=centroids,
+            batch_key=f"b{batch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_ann_store(
     spark,
     store_dir: str,

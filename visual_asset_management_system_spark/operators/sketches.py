@@ -1159,6 +1159,47 @@ def bottomk_store_sample(
     return bottomk_merge(rows, id_col, k, group_cols)
 
 
+def start_bottomk_sample_stream(
+    spark,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    id_col: str,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+    salt: str = "qsample",
+    trigger_once: bool = True,
+):
+    """Structured Streaming wrapper: a file-source stream feeds the
+    maintained bottom-k sample store one bounded append per
+    micro-batch (the start_kmv_sketch_stream shape — the semilattice
+    absorbs a replayed micro-batch's re-append via the (group, id)
+    dedup, so there is no sink/state commit ordering to get right)."""
+    stream = spark.readStream.schema(schema).format("json").load(docs_dir)
+
+    def handle(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bottomk_store_update(
+            spark,
+            store_dir,
+            batch,
+            id_col,
+            k,
+            group_cols,
+            salt,
+            batch_key=f"b{batch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_bottomk_store(
     spark,
     store_dir: str,
