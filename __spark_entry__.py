@@ -54,16 +54,9 @@ _RECHECK_OVERRIDES: list[str] = [
     # against is now caught by the hash-drift class, which runs even
     # for the round in progress.)
     #
-    # r11: these two received REAL engine edits this round (the PPJoin
-    # positional filter in dedup.py; the checkpoint-cadence change in
-    # graph.py's pagerank). The symbol-level class-2 machinery flags
-    # both, but ~140 class-1 helper-drift backfill names (a one-time
-    # consequence of the fingerprint redefinition) would sort ahead of
-    # them and push them to positions ~90/~140 — and the r10 verdict's
-    # done-criteria name q_doc_setsim_join green in CORRECTNESS_r11
-    # explicitly. Remove after the r11 gate lands.
-    "q_doc_setsim_join",
-    "q_vams_pagerank",
+    # (r11 pins q_doc_setsim_join / q_vams_pagerank pruned: both
+    # driver-green in CORRECTNESS_r11; the hash-drift class covers any
+    # further edits to them.)
 ]
 
 #: the driver's oracle gate checks this many leading queries() entries
