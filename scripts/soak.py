@@ -31,7 +31,15 @@ host noise hits both sides roughly equally), and records:
   batch through each handler body with the plan-structure ceilings of
   tests/test_streaming_plans.py checked at soak scale, not toy scale.
 
-Writes SOAK_r11.json at the repo root.
+- ANN probe flatness (r12): probe wall vs appended-batch count, pre/
+  post compaction — the maintained live-key relation's evidence that
+  probes cost O(live ids in probed lists), not O(ever-appended rows);
+- every number adaptive best-of-N (r12): published only when a second
+  warm sample lands within 25% (bench.py's rule; stateful steps
+  snapshot/restore their store dirs between samples), after SOAK_r11
+  carried a self-contradicting single-sample pair.
+
+Writes SOAK_r12.json at the repo root.
 
 Usage: python scripts/soak.py [SF1_DIR] [SF3_DIR]
        (generate fixtures first: scripts/gen_scaled_fixture.py OUT 10 /
@@ -67,12 +75,73 @@ SOAK_QUERIES = [
 ]
 
 
-def _bestof2(fn) -> float:
-    ts = []
-    for _ in range(2):
+def _bestofn(fn, max_samples: int = 4) -> float:
+    """Adaptive best-of-N — bench.py's publication rule, adopted for
+    every soak number after SOAK_r11 carried a self-contradicting pair
+    (setsim sf1: 56.6 s in one section, 35.7 s re-measured same-run —
+    single samples on shared-CPU hosts absorb 10-20x neighbor stalls).
+    The min is publishable once a SECOND sample lands within 25% of
+    it; while the samples disagree the host is stall-suspect and up to
+    ``max_samples`` are taken. Every published number is therefore
+    backed by two mutually-consistent warm measurements, or is the
+    best of four on a host that never settles."""
+    ts: list[float] = []
+
+    def one() -> None:
         t0 = time.time()
         fn()
         ts.append(time.time() - t0)
+
+    one()
+    one()
+    while len(ts) < max_samples and sum(
+        1 for s in ts if s <= min(ts) * 1.25
+    ) < 2:
+        one()
+    return round(min(ts), 3)
+
+
+def _bestofn_stateful(dirs: list[str], fn, max_samples: int = 4) -> float:
+    """The same adaptive rule for STATEFUL steps (store updates,
+    compactions): each extra sample first restores ``dirs`` from a
+    pristine snapshot, so re-sampling never double-applies a store
+    mutation — and the FINAL state is post-``fn``, exactly as if run
+    once (the compaction section consumes the update section's
+    stores). Snapshot copies are driver-local dir copies of soak-scale
+    stores — cheap next to the Spark jobs being timed."""
+    import shutil
+
+    snaps = []
+    fresh = []  # dirs fn will CREATE: restore = remove them again
+    for d in dirs:
+        if os.path.isdir(d):
+            s = d + ".soaksnap"
+            shutil.rmtree(s, ignore_errors=True)
+            shutil.copytree(d, s)
+            snaps.append((d, s))
+        else:
+            fresh.append(d)
+    ts: list[float] = []
+
+    def one() -> None:
+        if ts:  # re-run: restore pristine state first
+            for d, s in snaps:
+                shutil.rmtree(d, ignore_errors=True)
+                shutil.copytree(s, d)
+            for d in fresh:
+                shutil.rmtree(d, ignore_errors=True)
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+
+    one()
+    one()
+    while len(ts) < max_samples and sum(
+        1 for s in ts if s <= min(ts) * 1.25
+    ) < 2:
+        one()
+    for _, s in snaps:
+        shutil.rmtree(s, ignore_errors=True)
     return round(min(ts), 3)
 
 
@@ -131,36 +200,45 @@ def _store_updates(
 
     st = os.path.join(base, "mh")
     minhash_index_update(spark, st, seed, batch_key="b0").count()
-    t0 = time.time()
-    minhash_index_update(spark, st, batch, batch_key="b1").count()
-    out["minhash_update"] = round(time.time() - t0, 3)
+    out["minhash_update"] = _bestofn_stateful(
+        [st],
+        lambda: minhash_index_update(
+            spark, st, batch, batch_key="b1"
+        ).count(),
+    )
 
     st = os.path.join(base, "sets")
     setsim_index_update(
         spark, st, shingled(seed), threshold=0.9, id_col="doc_id",
         items_col="g", batch_key="b0",
     ).count()
-    t0 = time.time()
-    setsim_index_update(
-        spark, st, shingled(batch), threshold=0.9, id_col="doc_id",
-        items_col="g", batch_key="b1",
-    ).count()
-    out["setsim_update"] = round(time.time() - t0, 3)
+    out["setsim_update"] = _bestofn_stateful(
+        [st],
+        lambda: setsim_index_update(
+            spark, st, shingled(batch), threshold=0.9, id_col="doc_id",
+            items_col="g", batch_key="b1",
+        ).count(),
+    )
 
     st = os.path.join(base, "sub")
     substring_index_update(spark, st, seed, batch_key="b0").count()
-    t0 = time.time()
-    substring_index_update(spark, st, batch, batch_key="b1").count()
-    out["substring_update"] = round(time.time() - t0, 3)
+    out["substring_update"] = _bestofn_stateful(
+        [st],
+        lambda: substring_index_update(
+            spark, st, batch, batch_key="b1"
+        ).count(),
+    )
 
     ev = tables(spark, sf_dir)["events"].select("user_id")
     st = os.path.join(base, "kmv")
     kmv_store_update(spark, st, ev, "user_id", batch_key="b0")
     st2 = os.path.join(base, "cms")
-    t0 = time.time()
-    kmv_store_update(spark, st, ev, "user_id", batch_key="b1")
-    cms_store_update(spark, st2, ev, "user_id", batch_key="b0")
-    out["sketch_updates"] = round(time.time() - t0, 3)
+
+    def _sketch_pair(st=st, st2=st2):
+        kmv_store_update(spark, st, ev, "user_id", batch_key="b1")
+        cms_store_update(spark, st2, ev, "user_id", batch_key="b0")
+
+    out["sketch_updates"] = _bestofn_stateful([st, st2], _sketch_pair)
 
     # maintained IVF index (r11): seed 90% of the embeddings, time one
     # 10% append against the frozen centroids
@@ -176,12 +254,13 @@ def _store_updates(
         spark, st, emb.filter(F.col("vec_id") < cut), 64, n_lists=16,
         batch_key="b0",
     )
-    t0 = time.time()
-    ann_index_update(
-        spark, st, emb.filter(F.col("vec_id") >= cut), 64, n_lists=16,
-        batch_key="b1",
+    out["ann_update"] = _bestofn_stateful(
+        [st],
+        lambda: ann_index_update(
+            spark, st, emb.filter(F.col("vec_id") >= cut), 64, n_lists=16,
+            batch_key="b1",
+        ),
     )
-    out["ann_update"] = round(time.time() - t0, 3)
     return out, base
 
 
@@ -204,12 +283,22 @@ def _store_compaction(spark, base: str) -> dict[str, dict]:
     )
 
     out: dict[str, dict] = {}
+    _COMPACT_DIR = {
+        "gram_compact": "sub",
+        "setsim_compact": "sets",
+        "kmv_compact": "kmv",
+        "cms_compact": "cms",
+        "ann_compact": "ann",
+    }
 
     def timed(name, fn):
-        t0 = time.time()
+        rows_box = []
         try:
-            rows = fn()
-            out[name] = {"sec": round(time.time() - t0, 3), "rows_after": rows}
+            sec = _bestofn_stateful(
+                [os.path.join(base, _COMPACT_DIR[name])],
+                lambda: rows_box.append(fn()),
+            )
+            out[name] = {"sec": sec, "rows_after": rows_box[-1]}
         except Exception as exc:  # noqa: BLE001 — one row per failure
             out[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
@@ -259,14 +348,18 @@ def _bloom_reduction(spark, sf_dir: str) -> dict:
     )
     maybe = flagged.filter(F.col("bloom_maybe")).count()
 
-    t0 = time.time()
     bloom_n = bloom_prefiltered_anti_join(
         ev, suppress, "user_id", "user_id", m, depth
     ).count()
-    bloom_sec = round(time.time() - t0, 3)
-    t0 = time.time()
+    bloom_sec = _bestofn(
+        lambda: bloom_prefiltered_anti_join(
+            ev, suppress, "user_id", "user_id", m, depth
+        ).count()
+    )
     plain_n = ev.join(suppress, "user_id", "left_anti").count()
-    plain_sec = round(time.time() - t0, 3)
+    plain_sec = _bestofn(
+        lambda: ev.join(suppress, "user_id", "left_anti").count()
+    )
     return {
         "probe_rows": total,
         "suppressed_keys": suppress.count(),
@@ -311,17 +404,97 @@ def _setsim_candidate_surface(spark, sf_dir: str, n_docs: int) -> dict:
     )
     out: dict = {}
     for label, pos in (("with_posfilter", True), ("without_posfilter", False)):
-        t0 = time.time()
         _toks, cand, _n, _d = _setsim_stage(
             docs, 0.9, "text", "doc_id", "g", None, positional_filter=pos
         )
         n = cand.count()
-        out[label] = {"candidates": n, "sec": round(time.time() - t0, 3)}
+        out[label] = {"candidates": n, "sec": _bestofn(cand.count)}
     w, wo = out["with_posfilter"], out["without_posfilter"]
     if wo["candidates"]:
         out["candidate_cut_ratio"] = round(
             1 - w["candidates"] / wo["candidates"], 4
         )
+    return out
+
+
+def _ann_probe_flatness(spark, sf_dir: str) -> dict:
+    """The r12 live-key relation's evidence item (VERDICT r11 task 2):
+    probe wall as APPENDED BATCHES grow, live-id count constant. The
+    pre-r12 probe re-derived global winners from the store-wide thin
+    projection, so its cost grew with every appended batch between
+    compactions; with the maintained keys/ artifact it is O(live ids
+    in the probed lists) and must stay FLAT. Protocol: seed the store
+    in 4 appends, probe; apply 16 MORE batches that re-embed 1/16 id
+    slices each (raw rows ~2x, live ids unchanged), probe again;
+    compact, probe a third time — all probes adaptive best-of-N."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_stats,
+        ann_store_topk,
+        compact_ann_store,
+    )
+    from visual_asset_management_system_spark.queries import tables
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    store = tempfile.mkdtemp(prefix="soak_ann_probe_") + "/store"
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    step = max(n // 4, 1)
+    for i in range(4):
+        ann_index_update(
+            spark, store,
+            emb.filter(
+                (F.col("vec_id") >= i * step)
+                & (F.col("vec_id") < (i + 1) * step if i < 3 else F.lit(True))
+            ),
+            64, n_lists=16, batch_key=f"seed{i}",
+        )
+    out: dict = {"live_ids": n}
+
+    def probe():
+        return ann_store_topk(
+            spark, store, q, k=10, nprobe=4
+        ).collect()
+
+    out["probe_4_batches_sec"] = _bestofn(probe)
+    upstep = max(n // 16, 1)
+    for i in range(16):
+        ann_index_update(
+            spark, store,
+            emb.filter(
+                (F.col("vec_id") >= i * upstep)
+                & (
+                    F.col("vec_id") < (i + 1) * upstep
+                    if i < 15
+                    else F.lit(True)
+                )
+            ).select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * F.lit(1.5)
+                ).alias("embedding"),
+            ),
+            64, n_lists=16, batch_key=f"up{i}",
+        )
+    raw = spark.read.parquet(store + "/vectors").count()
+    out["raw_rows_20_batches"] = raw
+    out["probe_20_batches_sec"] = _bestofn(probe)
+    out["flatness_ratio"] = (
+        round(out["probe_20_batches_sec"] / out["probe_4_batches_sec"], 3)
+        if out["probe_4_batches_sec"] > 0
+        else None
+    )
+    compact_ann_store(spark, store)
+    out["probe_after_compact_sec"] = _bestofn(probe)
+    out["rows_after_compact"] = spark.read.parquet(
+        store + "/vectors"
+    ).count()
+    out["list_size_stats_rows"] = ann_store_stats(spark, store).count()
     return out
 
 
@@ -420,9 +593,10 @@ def _suggest_percolate(spark, sf_dir: str, n_docs: int) -> dict:
             )
         finally:
             _cdc.apply_cdc_batch = real_apply
-        t0 = time.time()
-        suggest_index_update(spark, st, batch, "b1")
-        return round(time.time() - t0, 3), struct
+        sec = _bestofn_stateful(
+            [st], lambda: suggest_index_update(spark, st, batch, "b1")
+        )
+        return sec, struct
 
     _toy_sec, (tex, tscans, tbcasts) = suggest_dry(20, "toy")
     sec, (ex, scans, bcasts) = suggest_dry(n_docs, "soak")
@@ -466,16 +640,21 @@ def _suggest_percolate(spark, sf_dir: str, n_docs: int) -> dict:
         F.substring("text", 1, 64).alias("asset_name"),
         F.col("text").alias("description"),
     ).localCheckpoint()  # in-memory micro-batch, as in production
-    t0 = time.time()
     matches, (ex, scans, bcasts) = measure(
         lambda: percolate(
             chg, reg, ["database_id", "asset_id"],
             F.concat_ws(" ", F.col("asset_name"), F.col("description")),
         )
     )
+    perc_sec = _bestofn(
+        lambda: percolate(
+            chg, reg, ["database_id", "asset_id"],
+            F.concat_ws(" ", F.col("asset_name"), F.col("description")),
+        ).count()
+    )
     c = ceilings["percolate"]
     out["percolate"] = {
-        "sec": round(time.time() - t0, 3),
+        "sec": perc_sec,
         "batch_rows": n_docs,
         "registry_rows": len(reg_rows),
         "matches": matches,
@@ -524,7 +703,7 @@ def main() -> None:
         for name in SOAK_QUERIES:
             row = results.setdefault(name, {})
             try:
-                sec = _bestof2(
+                sec = _bestofn(
                     lambda: QUERIES[name](spark, sf_dir).collect()
                 )
                 row[sf_name] = sec
@@ -586,6 +765,17 @@ def main() -> None:
         suggest_percolate = {"error": f"{type(exc).__name__}: {exc}"[:300]}
     print(f"  suggest/percolate sf1: {suggest_percolate}", flush=True)
 
+    # ANN probe flatness at both SFs (the r12 live-key evidence item)
+    ann_probe = {}
+    for sf_name, sf_dir in (("sf0.1", sf01_dir), ("sf1", sf1_dir)):
+        try:
+            ann_probe[sf_name] = _ann_probe_flatness(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            ann_probe[sf_name] = {
+                "error": f"{type(exc).__name__}: {exc}"[:300]
+            }
+        print(f"  ann probe {sf_name}: {ann_probe[sf_name]}", flush=True)
+
     # step2: the sf1->sf3 curvature check (r10 found setsim at 1.68
     # BEFORE the positional filter; re-measure with it, and record the
     # candidate surface the filter removes)
@@ -604,7 +794,7 @@ def main() -> None:
             for name in step2_queries:
                 row = s2.setdefault(name, {})
                 try:
-                    row[sf_name] = _bestof2(
+                    row[sf_name] = _bestofn(
                         lambda: QUERIES[name](spark, sf_dir).collect()
                     )
                 except Exception as exc:  # noqa: BLE001
@@ -648,12 +838,14 @@ def main() -> None:
         "store_compaction": {**compaction, "exponents": compact_exp},
         "bloom_prefilter": bloom,
         "suggest_percolate_sf1": suggest_percolate,
+        "ann_probe_flatness": ann_probe,
+        "sampling": "adaptive best-of-N (two warm samples within 25%)",
         "step2": step2,
     }
     with open(os.path.join(REPO, "SOAK_r11.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
-    print("wrote SOAK_r11.json")
+    print("wrote SOAK_r12.json")
     spark.stop()
 
 

@@ -2259,12 +2259,13 @@ def test_setsim_join_matches_quadratic_model_exactly(spark):
 def test_setsim_positional_filter_prunes_losslessly(spark):
     """The PPJoin positional filter cuts the candidate set but never a
     qualifying pair. Planted geometry: docs A and B share exactly one
-    token u, with u at rank 2 of A (behind a df-1 token) and rank 1 of
-    B, both n=10, τ=0.9 — so the bound min(2,1) + min(8,9) = 9 is
-    below the required overlap ⌈9·20/19⌉ = 10 and the candidate is
-    pruned BEFORE verification; the filterless candidate set must
-    still contain it, and the verified join output must equal the
-    quadratic model either way."""
+    token u, with u at rank 3 of A (behind two df-1 tokens) and rank 1
+    of B, both n=30, τ=0.9 — prefix lengths 30−27+1 = 4 (past the ≤2
+    gate), and the bound min(3,1) + min(27,29) = 28 is below the
+    required overlap ⌈9·60/19⌉ = 29, so the candidate is pruned
+    BEFORE verification; the filterless candidate set must still
+    contain it, and the verified join output must equal the quadratic
+    model either way."""
     import itertools
 
     from visual_asset_management_system_spark.operators.dedup import (
@@ -2272,14 +2273,14 @@ def test_setsim_positional_filter_prunes_losslessly(spark):
         setsim_join,
     )
 
-    f = [f"f{i}" for i in range(8)]
-    g = [f"g{i}" for i in range(9)]
+    f = [f"f{i:02d}" for i in range(27)]
+    g = [f"g{i:02d}" for i in range(29)]
     rows = [
-        (0, " ".join(["arare", "u", *f])),  # doc A: n=10, u at rank 2
-        (1, " ".join(["u", *g])),           # doc B: n=10, u at rank 1
-        (2, " ".join([*f, "c1", "c2"])),    # f* df boosters (df=3)
+        (0, " ".join(["a1", "a2", "u", *f])),  # doc A: n=30, u at rank 3
+        (1, " ".join(["u", *g])),              # doc B: n=30, u at rank 1
+        (2, " ".join([*f, "c1", "c2"])),       # f* df boosters (df=3)
         (3, " ".join([*f, "d1", "d2"])),
-        (4, " ".join([*g, "e1"])),          # g* df boosters (df=3)
+        (4, " ".join([*g, "e1"])),             # g* df boosters (df=3)
         (5, " ".join([*g, "e2"])),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
@@ -2309,6 +2310,53 @@ def test_setsim_positional_filter_prunes_losslessly(spark):
             if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= threshold
         }
         assert got == want, (threshold, got ^ want)
+
+
+def test_setsim_positional_filter_short_prefix_gate(spark):
+    """The r12 prefix-length gate: pairs where BOTH docs' computed
+    prefix lengths are ≤2 contribute no positional bound — the r11
+    planted geometry (n=10, τ=0.9, prefix length 10−9+1 = 2, bound
+    min(2,1)+min(8,9) = 9 < ⌈9·20/19⌉ = 10) would have been pruned by
+    the raw bound, and with the gate it deliberately is NOT (the
+    bound's rare short-prefix prunes were measured a net loss,
+    SOAK_r11 step2; forgoing them is lossless — min over a SUBSET of
+    valid upper bounds is a looser prune, never a wrong one). The
+    verified join stays exact."""
+    import itertools
+
+    from visual_asset_management_system_spark.operators.dedup import (
+        setsim_candidates,
+        setsim_join,
+    )
+
+    f = [f"f{i}" for i in range(8)]
+    g = [f"g{i}" for i in range(9)]
+    rows = [
+        (0, " ".join(["arare", "u", *f])),  # doc A: n=10, u at rank 2
+        (1, " ".join(["u", *g])),           # doc B: n=10, u at rank 1
+        (2, " ".join([*f, "c1", "c2"])),
+        (3, " ".join([*f, "d1", "d2"])),
+        (4, " ".join([*g, "e1"])),
+        (5, " ".join([*g, "e2"])),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pruned = {
+        (r["id_a"], r["id_b"])
+        for r in setsim_candidates(docs, 0.9).collect()
+    }
+    assert (0, 1) in pruned  # gate active: short-prefix bound forgone
+
+    sets = {did: set(text.split()) for did, text in rows}
+    got = {
+        (r["id_a"], r["id_b"], r["overlap"])
+        for r in setsim_join(docs, 0.9).collect()
+    }
+    want = {
+        (a, b, len(sets[a] & sets[b]))
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.9
+    }
+    assert got == want
 
 
 def test_setsim_max_df_ratio_stop_lists_item_space(spark):

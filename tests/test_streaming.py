@@ -2940,6 +2940,258 @@ def test_ann_store_split_replay_upsert_and_compaction(spark, tmp_path):
         )
 
 
+def _mk_ann_store(spark, tmp_path, with_upsert=True):
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(40)
+    ]
+    schema = "vec_id long, embedding array<float>"
+    store = str(tmp_path / "ann_keys")
+    ann_index_update(
+        spark, store, spark.createDataFrame(rows[:20], schema), 8,
+        n_lists=4, batch_key="b0",
+    )
+    ann_index_update(
+        spark, store, spark.createDataFrame(rows[20:], schema), 8,
+        n_lists=4, batch_key="b1",
+    )
+    if with_upsert:
+        # re-embed id 3 far away — its live row likely changes list
+        ann_index_update(
+            spark, store, spark.createDataFrame([(3, [50.0] * 8)], schema),
+            8, n_lists=4, batch_key="b2",
+        )
+        rows[3] = (3, [50.0] * 8)
+    return store, rows, schema
+
+
+def test_ann_store_live_keys_bound_probe_and_healing(spark, tmp_path):
+    """r12 (verdict task 2): the probe's global winner selection reads
+    the MAINTAINED live-key relation (keys/ — one row per live id,
+    merged per update batch), not a store-wide thin winner pass: the
+    executed plan holds exactly TWO parquet scans (keys + vectors),
+    BOTH pruned to the probed list partitions. Crash windows heal
+    read-only — keys/ missing entirely (a pre-keys store) or the
+    sidecar's keys_seq left behind the store seq (crash between the
+    vector append and the key merge) must give the same probe — and
+    the next update re-persists coverage, restoring the bounded
+    2-scan plan."""
+    import json
+    import re
+    import shutil
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_topk,
+    )
+
+    store, rows, schema = _mk_ann_store(spark, tmp_path)
+    q = rows[1][1]
+
+    def probe():
+        return sorted(
+            (r["vec_id"], r["cosine_sim"])
+            for r in ann_store_topk(spark, store, q, k=8, nprobe=2).collect()
+        )
+
+    def plan():
+        return (
+            ann_store_topk(spark, store, q, k=8, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    want = probe()
+    p = plan()
+    scans = re.findall(r"FileScan parquet", p)
+    assert len(scans) == 2, f"probe should scan keys+vectors only: {p}"
+    pfs = re.findall(r"PartitionFilters: \[[^\]]*_list[^\]]*IN[^\]]*\]", p)
+    assert len(pfs) == 2, f"both scans must prune to probed lists: {p}"
+
+    # crash class 1: keys/ missing entirely (pre-keys store shape)
+    shutil.rmtree(os.path.join(store, "keys"))
+    assert probe() == want
+    # crash class 2: keys behind the store (append landed, merge did
+    # not) — rewind keys_seq; the read path must fold the delta in
+    ann_index_update(
+        spark, store,
+        spark.createDataFrame([(1, [25.0] * 8)], schema), 8,
+        n_lists=4, batch_key="b3",
+    )  # also re-creates keys/ after class 1
+    want2 = sorted(
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_store_topk(spark, store, q, k=8, nprobe=4).collect()
+    )
+    mpath = os.path.join(store, "ann_meta.json")
+    with open(mpath) as f:
+        meta = json.load(f)
+    assert meta["keys_seq"] == meta["seq"]  # merge persisted coverage
+    meta["keys_seq"] = meta["seq"] - 1
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    assert sorted(
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_store_topk(spark, store, q, k=8, nprobe=4).collect()
+    ) == want2
+    # next update heals the sidecar and restores the 2-scan plan
+    ann_index_update(
+        spark, store, spark.createDataFrame([(39, [9.0] * 8)], schema),
+        8, n_lists=4, batch_key="b4",
+    )
+    with open(mpath) as f:
+        healed = json.load(f)
+    assert healed["keys_seq"] == healed["seq"]
+    assert len(re.findall(r"FileScan parquet", plan())) == 2
+
+
+def test_ann_store_duplicate_id_in_batch_occupies_one_slot(
+    spark, tmp_path
+):
+    """A byte-identical duplicate of an id WITHIN one update batch
+    must not occupy two of the k probe slots (both rows match the
+    id's live key): the probe dedups the fetched frame, and
+    compaction — which collapses the duplicates — leaves the probe
+    unchanged (the r12 advisory)."""
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_topk,
+        compact_ann_store,
+    )
+    import numpy as _np
+
+    cents = _np.asarray([[1.0, 0.0], [-1.0, 0.0]])
+    schema = "vec_id long, embedding array<float>"
+    store = str(tmp_path / "ann_dup")
+    ann_index_update(
+        spark, store,
+        spark.createDataFrame(
+            [(0, [0.9, 0.1]), (0, [0.9, 0.1]), (1, [0.95, 0.05]),
+             (2, [0.8, 0.2])],
+            schema,
+        ),
+        2, n_lists=2, centroids=cents, batch_key="b0",
+    )
+    got = [
+        r["vec_id"]
+        for r in ann_store_topk(
+            spark, store, [1.0, 0.0], k=3, nprobe=1
+        ).collect()
+    ]
+    assert sorted(got) == [0, 1, 2], f"duplicate id ate a slot: {got}"
+    compact_ann_store(spark, store)
+    after = [
+        r["vec_id"]
+        for r in ann_store_topk(
+            spark, store, [1.0, 0.0], k=3, nprobe=1
+        ).collect()
+    ]
+    assert sorted(after) == [0, 1, 2]
+
+
+def test_ann_store_empty_first_batch_refuses(spark, tmp_path):
+    """An empty (or all-NULL-id) first batch samples a shape-(0,)
+    centroid matrix — creation must refuse with a clear error instead
+    of an IndexError inside the sidecar (the r12 advisory)."""
+    import pytest as _pytest
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+    )
+
+    with _pytest.raises(ValueError, match="at least one row"):
+        ann_index_update(
+            spark, str(tmp_path / "ann_empty"),
+            spark.createDataFrame([], "vec_id long, embedding array<float>"),
+            8, n_lists=4, batch_key="b0",
+        )
+
+
+def test_ann_store_knn_join_matches_per_vector_probes(spark, tmp_path):
+    """Batched query-table probes (verdict r11 task 3): for every row
+    of the query table, ann_store_knn_join must return exactly the
+    single-vector probe's top-k (same store, same k/nprobe) — the
+    JVM-side array_sort list assignment agrees with the driver-side
+    numpy argsort, including after a cross-list upsert. The executed
+    plan prunes both scans to the UNION of probed lists and applies
+    the rank-limit pushdown; an empty query table returns an empty,
+    correctly-typed frame."""
+    import re
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_store_knn_join,
+        ann_store_topk,
+    )
+
+    store, rows, schema = _mk_ann_store(spark, tmp_path)
+    qrows = [(100 + i, rows[i][1]) for i in range(6)]
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>"
+    )
+    res = ann_store_knn_join(spark, store, qdf, k=5, nprobe=2)
+    got: dict = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine_sim"])
+        )
+    for qid, vec in qrows:
+        want = [
+            (j + 1, r["vec_id"], r["cosine_sim"])
+            for j, r in enumerate(
+                ann_store_topk(spark, store, vec, k=5, nprobe=2).collect()
+            )
+        ]
+        assert sorted(got[qid]) == want, f"query {qid} diverged"
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # set(): an AQE final plan prints materialized stages twice
+    assert len(set(
+        re.findall(r"PartitionFilters: \[[^\]]*_list[^\]]*\]", plan)
+    )) == 2
+    assert "WindowGroupLimit" in plan
+
+    empty = ann_store_knn_join(
+        spark, store,
+        spark.createDataFrame([], "query_id long, embedding array<float>"),
+        k=5, nprobe=2,
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "vec_id", "cosine_sim", "rank",
+    ]
+
+
+def test_ann_store_stats_observes_skew_and_compaction_debt(
+    spark, tmp_path
+):
+    """ann_store_stats (verdict r11 task 8): one row per configured
+    list — including empty ones — with LIVE counts from the key
+    relation and RAW appended counts; live == raw after compaction,
+    live < raw while superseded rows await it; total live == one per
+    live id."""
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_store_stats,
+        compact_ann_store,
+    )
+
+    store, rows, schema = _mk_ann_store(spark, tmp_path)  # 40 ids, 1 upsert
+    stats = {
+        r["list_id"]: (r["live_rows"], r["raw_rows"])
+        for r in ann_store_stats(spark, store).collect()
+    }
+    assert sorted(stats) == [0, 1, 2, 3]
+    assert sum(lv for lv, _ in stats.values()) == 40
+    assert sum(rw for _, rw in stats.values()) == 41  # superseded row
+    compact_ann_store(spark, store)
+    after = {
+        r["list_id"]: (r["live_rows"], r["raw_rows"])
+        for r in ann_store_stats(spark, store).collect()
+    }
+    assert all(lv == rw for lv, rw in after.values())
+    assert sum(lv for lv, _ in after.values()) == 40
+
+
 def test_bottomk_store_split_replay_and_compaction_equivalence(
     spark, tmp_path
 ):
@@ -3102,6 +3354,39 @@ def test_kmv_sketch_stream_matches_batch(spark, tmp_path):
         for r in kmv_store_sketch(spark, store, ["seg"], k=16).collect()
     }
     assert got == want
+
+
+def test_bottomk_store_corrupt_sidecar_refuses(spark, tmp_path):
+    """A corrupt (not merely missing) sample_k.json must RAISE, not
+    validate nothing: a silent pass would let the next record=True
+    append overwrite the sidecar with min_k=k, erasing a historically
+    smaller bound, after which a larger-k read silently under-fills —
+    the failure class the ANN sidecar already refused (the r12
+    advisory)."""
+    import pytest as _pytest
+
+    from visual_asset_management_system_spark.operators.sketches import (
+        bottomk_store_sample,
+        bottomk_store_update,
+    )
+
+    store = str(tmp_path / "bk_corrupt")
+    kv = spark.createDataFrame(
+        [("g", f"id{i}", float(i)) for i in range(20)],
+        "grp string, rid string, val double",
+    )
+    bottomk_store_update(
+        spark, store, kv, "rid", k=8, group_cols=["grp"], batch_key="b0"
+    )
+    with open(os.path.join(store, "sample_k.json"), "w") as f:
+        f.write("{not json")
+    with _pytest.raises(ValueError, match="corrupt sidecar"):
+        bottomk_store_sample(spark, store, "rid", 8, ["grp"])
+    with _pytest.raises(ValueError, match="corrupt sidecar"):
+        bottomk_store_update(
+            spark, store, kv, "rid", k=8, group_cols=["grp"],
+            batch_key="b1",
+        )
 
 
 def test_bottomk_sample_stream_matches_batch(spark, tmp_path):

@@ -46,11 +46,15 @@ _BASELINE = {
     "bloom_read": {"exchanges": 1, "scans": 1, "min_broadcasts": 0},
     # bottomk: dedup shuffle + the per-group WindowGroupLimit shuffle
     "bottomk_read": {"exchanges": 2, "scans": 1, "min_broadcasts": 0},
-    # ann: TWO scans by design — the thin (id, seq, rh, list) winner
-    # pass over all partitions (upsert-correctness: a re-embedded id's
-    # live row can sit in a non-probed list) + the vector fetch pruned
-    # to the probed partitions; one winner-window shuffle, and the
-    # live-key semi-join back to the pruned fetch broadcasts
+    # ann: TWO scans by design — the MAINTAINED live-key relation
+    # (keys/, one row per live id, pruned to the probed list
+    # partitions; upsert-correctness lives in the merge that builds
+    # it, a re-embedded id's key row moves lists with its vector) +
+    # the vector fetch pruned to the same partitions; the key
+    # semi-join broadcasts and the only shuffle is the byte-dup
+    # dropDuplicates. A third scan appearing means the probe fell
+    # back to the store-wide thin winner pass (stale keys path) —
+    # that path is for crash healing only, never the steady state.
     "ann_read": {"exchanges": 1, "scans": 2, "min_broadcasts": 1},
     "setsim_update": {"exchanges": 8, "scans": 2, "min_broadcasts": 1},
     # suggest: measured 8 OR 9 with identical code (an AQE

@@ -855,20 +855,48 @@ def _setsim_stage(
     ub = F.least("a.pos", "b.pos") + F.least(
         F.col("a.pn") - F.col("a.pos"), F.col("b.pn") - F.col("b.pos")
     )
+    # prefix-length gate (r11 verdict): at τ near 1 on short docs the
+    # computed prefix lengths (n − ⌈τn⌉ + 1) are 1-2 tokens and the
+    # positional bound almost never prunes — measured as a net loss at
+    # sf0.1/sf1 (SOAK_r11 step2: position has no traction when every
+    # shared prefix token sits at pos ≤ 2). Rows where BOTH docs'
+    # prefixes are that short contribute NO bound (NULL, ignored by
+    # min); a pair with no bound rows survives on the length filter
+    # alone. STILL LOSSLESS: every ub(t) is individually a valid upper
+    # bound, so taking the min over any SUBSET of them is a looser —
+    # never wrong — prune; dropping short-prefix pairs' bounds only
+    # forgoes prunes the measurement showed weren't paying for their
+    # aggregation. Prefix lengths come from pn alone (no extra carried
+    # column): plen = pn − ⌈τ·pn⌉ + 1.
+    def _plen(pn):
+        return (
+            F.col(pn)
+            - F.floor(
+                (F.lit(num) * F.col(pn) + F.lit(den - 1)) / F.lit(den)
+            )
+            + F.lit(1)
+        )
+
+    ub_gated = F.when(
+        F.greatest(_plen("a.pn"), _plen("b.pn")) > 2, ub
+    )
     cand = (
         joined.select(
             F.col("a.pid").alias("id_a"),
             F.col("b.pid").alias("id_b"),
-            ub.alias("__ub"),
+            ub_gated.alias("__ub"),
             (F.col("a.pn") + F.col("b.pn")).alias("__sn"),
         )
         .groupBy("id_a", "id_b")
         .agg(F.min("__ub").alias("__min_ub"), F.min("__sn").alias("__sn"))
         .filter(
-            F.col("__min_ub")
-            >= F.floor(
-                (F.lit(num) * F.col("__sn") + F.lit(num + den - 1))
-                / F.lit(num + den)
+            F.col("__min_ub").isNull()
+            | (
+                F.col("__min_ub")
+                >= F.floor(
+                    (F.lit(num) * F.col("__sn") + F.lit(num + den - 1))
+                    / F.lit(num + den)
+                )
             )
         )
         .select("id_a", "id_b")

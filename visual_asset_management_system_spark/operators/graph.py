@@ -436,7 +436,12 @@ def descendants(
             frontier = nxt.filter(F.col("depth") == depth + batch)
             depth += batch
             rounds += 1
-            if depth < max_depth and frontier.isEmpty():
+            # the emptiness probe is only cheap when nxt was just
+            # checkpointed — un-checkpointed it RE-EXECUTES the whole
+            # round's chained-join lineage (which grows with the
+            # geometric batch), costing more than the empty round it
+            # would save
+            if use_checkpoint and depth < max_depth and frontier.isEmpty():
                 break
     finally:
         edges.unpersist()

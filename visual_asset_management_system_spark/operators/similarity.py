@@ -575,6 +575,15 @@ def _ann_meta(
                 "create it with ann_index_update (first batch) before "
                 "reading or compacting"
             )
+        if centroids.ndim != 2 or centroids.shape[0] == 0:
+            # an EMPTY first batch sampled a shape-(0,) matrix — indexing
+            # shape[1] below would be an IndexError far from the cause
+            raise ValueError(
+                f"ann store {op}: {centroids.shape[0] if centroids.ndim else 0} "
+                f"centroids sampled/provided (first batch empty or all-NULL?) "
+                f"— the frozen matrix needs at least one row. Seed the store "
+                f"with a non-empty batch or pass trained centroids."
+            )
         if dim is not None and int(centroids.shape[1]) != int(dim):
             raise ValueError(
                 f"ann store {op}: declared dim={dim} but the centroid "
@@ -681,6 +690,110 @@ def ann_index_update(
         .repartition("_list")
     )
     assigned.write.mode("append").partitionBy("_list").parquet(vecs)
+    _merge_ann_keys(spark, store_dir, meta, id_col)
+
+
+def _ann_keys_dir(store_dir: str) -> str:
+    import os
+
+    return os.path.join(store_dir, "keys")
+
+
+def _ann_set_keys_seq(store_dir: str, keys_seq: int) -> None:
+    """Persist how far the live-key relation covers the store — ONLY
+    after its two-rename swap completed, so a crash mid-merge leaves
+    the sidecar claiming the old (true) coverage."""
+    import json
+    import os
+
+    path = os.path.join(store_dir, "ann_meta.json")
+    with open(path) as f:
+        meta = json.load(f)
+    meta["keys_seq"] = int(keys_seq)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def _merge_ann_keys(spark, store_dir, meta: dict, id_col: str) -> None:
+    """Maintain the BOUNDED live-key relation: one row per live id —
+    (id, _seq, _rh, _list), the store's global winners — merged per
+    batch exactly like the search-table CDC artifacts (read current,
+    union the thin delta, keep winners, two-rename swap). This is what
+    keeps probes O(live ids) instead of O(ever-appended rows): without
+    it every probe re-derived winners from the store-wide thin
+    projection between compactions (the r11 shape).
+
+    Crash-safe by catch-up, not by atomicity with the append: the
+    delta is read back from the STORE (rows with _seq > keys_seq),
+    not from the caller's batch, so a crash between a vector append
+    and this merge just leaves keys_seq behind — the next merge (or
+    any read, via :func:`_ann_live_keys`) folds the missed rows in.
+    Keys are partitioned by ``_list`` so probes prune their key scan
+    to the probed lists, same as the vector fetch."""
+    import os
+    import shutil
+
+    kdir = _ann_keys_dir(store_dir)
+    _recover_ann_store(kdir)
+    keys_seq = int(meta.get("keys_seq", 0))
+    seq = int(meta["seq"])
+    if keys_seq >= seq and os.path.isdir(kdir):
+        return
+    thin = [id_col, "_seq", "_rh", "_list"]
+    delta = spark.read.parquet(_ann_dirs(store_dir)).select(*thin)
+    if os.path.isdir(kdir):
+        # only rows appended after the last merge; keys hold the rest.
+        # Without keys (a pre-keys store) take the full thin projection —
+        # legacy compactions wrote _seq=0, which a >0 filter would drop.
+        delta = (
+            spark.read.parquet(kdir)
+            .select(*thin)
+            .unionByName(delta.filter(F.col("_seq") > keys_seq))
+        )
+    merged = _ann_winners(delta, id_col).repartition("_list")
+    tmp = kdir + ".merge-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("_list").parquet(tmp)
+    aside = kdir + ".old"
+    shutil.rmtree(aside, ignore_errors=True)
+    if os.path.isdir(kdir):
+        os.replace(kdir, aside)
+    os.replace(tmp, kdir)
+    shutil.rmtree(aside, ignore_errors=True)
+    _ann_set_keys_seq(store_dir, seq)
+
+
+def _ann_live_keys(
+    spark, store_dir: str, meta: dict, id_col: str
+) -> DataFrame:
+    """The live-key relation as a read: (id, _seq, _rh, _list), one row
+    per live id, GLOBAL winners (a re-embedded id's live row may sit in
+    any list — see :func:`ann_store_topk`). Common case: the maintained
+    keys/ artifact covers the sidecar seq and is returned as-is —
+    bounded, list-partitioned, no store scan. If keys/ is behind
+    (crash between append and merge) or absent (a pre-keys store), the
+    thin delta is folded in read-only; the next update persists it."""
+    import os
+
+    kdir = _ann_keys_dir(store_dir)
+    _recover_ann_store(kdir)
+    keys_seq = int(meta.get("keys_seq", 0))
+    have = os.path.isdir(kdir)
+    if have and keys_seq >= int(meta["seq"]):
+        return spark.read.parquet(kdir)
+    thin_cols = [id_col, "_seq", "_rh", "_list"]
+    vecs = _ann_dirs(store_dir)
+    _recover_ann_store(vecs)
+    delta = spark.read.parquet(vecs).select(*thin_cols)
+    if have:
+        delta = (
+            spark.read.parquet(kdir)
+            .select(*thin_cols)
+            .unionByName(delta.filter(F.col("_seq") > keys_seq))
+        )
+    return _ann_winners(delta, id_col)
 
 
 def _ann_winners(rows: DataFrame, id_col: str) -> DataFrame:
@@ -736,13 +849,18 @@ def ann_store_topk(
     deduping only within the probed partitions would resurrect the
     superseded vector whenever the live row moved elsewhere (and
     compaction, which dedups globally, would then silently change
-    probe results). The global pass runs on the THIN
-    (id, _seq, _rh, _list) projection — integer columns, no vector
-    bytes (parquet column pruning; at 100 TB the projection is a few
-    percent of store bytes) — and the VECTOR fetch stays restricted to
-    the probed list directories (PartitionFilters, plan-asserted): an
-    id whose live row sits in a probed list joins back to its vector
-    there; one whose live row moved out is excluded entirely."""
+    probe results). Global winners come from the MAINTAINED live-key
+    relation (:func:`_merge_ann_keys` — one row per live id, merged
+    per update batch), so between compactions a probe costs O(live
+    ids in the probed lists), not O(ever-appended rows): both the key
+    scan and the vector fetch carry the probed-list IN filter as
+    PartitionFilters (plan-asserted). An id whose live row sits in a
+    probed list joins back to its vector there; one whose live row
+    moved out has its key row in another list partition and is
+    excluded entirely. ``dropDuplicates`` on the fetched frame keeps
+    an id appended twice byte-identically within one update from
+    occupying two of the k slots (the rows are identical, so the
+    kept one is value-deterministic)."""
     meta = _ann_meta(store_dir, "read")
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     q = np.asarray(query_vector, dtype=np.float64)
@@ -756,11 +874,18 @@ def ann_store_topk(
     vecs = _ann_dirs(store_dir)
     _recover_ann_store(vecs)
     rows = spark.read.parquet(vecs)
-    live_keys = _ann_winners(
-        rows.select(id_col, "_seq", "_rh", "_list"), id_col
-    ).filter(F.col("_list").isin(*probe)).select(id_col, "_seq", "_rh")
-    fetched = rows.filter(F.col("_list").isin(*probe)).join(
-        live_keys, [id_col, "_seq", "_rh"], "left_semi"
+    live_keys = (
+        _ann_live_keys(spark, store_dir, meta, id_col)
+        .filter(F.col("_list").isin(*probe))
+        .select(id_col, "_seq", "_rh")
+    )
+    fetched = (
+        rows.filter(F.col("_list").isin(*probe))
+        # no broadcast HINT: probed-list keys are usually tiny (AQE
+        # broadcasts them), but at 10^9 live ids forcing it would OOM
+        # the driver — the shuffle semi-join is the safe fallback
+        .join(live_keys, [id_col, "_seq", "_rh"], "left_semi")
+        .dropDuplicates([id_col])
     )
     return cosine_topk(fetched, query_vector, k, id_col, vec_col)
 
@@ -821,12 +946,16 @@ def compact_ann_store(
     """Re-bound reader work to one row per live id: keep each id's
     winning row (same :func:`_ann_winners` rule as every read),
     rewrite partitioned, two-rename swap with the shared recovery
-    healing the crash window. Probe results are UNCHANGED by
-    compaction — the probe's winner selection is already global.
-    Replays after compaction re-add rows under later seqs the reader
-    dedup absorbs. Returns the post-compaction row count.
-    Single-writer maintenance job (the shared store-rewrite
-    assumption)."""
+    healing the crash window. Winning rows KEEP their original
+    ``_seq``/``_rh`` — the live-key relation (keys/) references rows
+    by those columns, so preserving them means compaction never has
+    to rewrite keys/ and there is no crash window where the two
+    artifacts disagree (a reset-to-zero would need both swaps to be
+    atomic together). Probe results are UNCHANGED by compaction — the
+    winner set is identical. Replays after compaction re-add rows
+    under later seqs the reader dedup absorbs. Returns the
+    post-compaction row count. Single-writer maintenance job (the
+    shared store-rewrite assumption)."""
     import os
     import shutil
 
@@ -837,7 +966,6 @@ def compact_ann_store(
         return 0
     compacted = (
         _ann_winners(spark.read.parquet(vecs), id_col)
-        .withColumn("_seq", F.lit(0))
         .withColumn("batch_key", F.lit("compacted"))
         .repartition("_list")
     )
@@ -851,3 +979,157 @@ def compact_ann_store(
     os.replace(tmp, vecs)
     shutil.rmtree(aside, ignore_errors=True)
     return n
+
+
+def ann_store_stats(
+    spark,
+    store_dir: str,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-list health of the maintained index — the observable behind
+    SCALE.md's documented trade ("frozen centroids; monitor per-list
+    sizes, rebuild on skew"): one row per inverted list with its LIVE
+    row count (from the bounded key relation, not the raw store) and
+    its RAW appended row count (live/raw ratio << 1 means compaction
+    is due; a live count far above rows/n_lists means the frozen
+    centroids no longer fit the data and the store wants a rebuild).
+    Lists every configured list, including empty ones — a silent
+    all-zero list is itself a skew signal."""
+    import os
+
+    meta = _ann_meta(store_dir, "read")
+    lists = spark.range(int(meta["n_lists"])).select(
+        F.col("id").cast("int").alias("list_id")
+    )
+    live = (
+        _ann_live_keys(spark, store_dir, meta, id_col)
+        .groupBy(F.col("_list").cast("int").alias("list_id"))
+        .agg(F.count(F.lit(1)).alias("live_rows"))
+    )
+    vecs = _ann_dirs(store_dir)
+    _recover_ann_store(vecs)
+    raw = (
+        spark.read.parquet(vecs)
+        .groupBy(F.col("_list").cast("int").alias("list_id"))
+        .agg(F.count(F.lit(1)).alias("raw_rows"))
+    )
+    return (
+        lists.join(live, "list_id", "left")
+        .join(raw, "list_id", "left")
+        .select(
+            "list_id",
+            F.coalesce("live_rows", F.lit(0)).alias("live_rows"),
+            F.coalesce("raw_rows", F.lit(0)).alias("raw_rows"),
+        )
+        .orderBy("list_id")
+    )
+
+
+def ann_store_knn_join(
+    spark,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batched probes over the MAINTAINED index: for every row of
+    ``queries``, the ``k`` nearest LIVE vectors by cosine among its
+    ``nprobe`` nearest lists — (query_id, vec_id, cosine_sim, rank).
+
+    The deployment form a re-embedding pipeline needs: thousands of
+    query vectors per batch, where per-vector :func:`ann_store_topk`
+    calls would pay a driver round-trip and a Spark job each. List
+    assignment happens JVM-SIDE — the frozen centroid matrix ships as
+    literal arrays (the :func:`lsh_topk` pattern) and each query row
+    sorts its (squared-distance, list) pairs with ``array_sort`` over
+    structs, which orders exactly like the numpy stable argsort the
+    single-vector probe uses (distance asc, list asc on ties). The
+    union of probed lists across the batch is collected — BOUNDED at
+    n_lists integers, the centroid-seed collect class — and applied
+    to the vector fetch and the key scan as a static IN filter
+    (PartitionFilters, plan-asserted). Queries are the broadcast side
+    (the :func:`knn_join` discipline: retrieval batches are <=1e5
+    rows even at 100 TB corpus scale); per-query top-k is a
+    rank-filtered window (WindowGroupLimit), never a global sort.
+    Norms are per-row: corpus norms computed once before the join,
+    query norms once before the explode."""
+    from .checkpointing import maybe_checkpoint
+    from pyspark.sql import Window
+
+    meta = _ann_meta(store_dir, "read")
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # (squared distance, list) per centroid — same accumulation shape
+    # as _nearest_list, kept as an array so array_sort ranks all lists
+    entries = []
+    for i, c in enumerate(cents):
+        cl = F.array(*[F.lit(float(v)) for v in c])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), cl, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        entries.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    qx = maybe_checkpoint(
+        queries.filter(
+            F.col(query_id_col).isNotNull() & F.col(vec_col).isNotNull()
+        )
+        .select(F.col(query_id_col).alias("query_id"), qv.alias("qv"))
+        .withColumn("qn", l2_norm(F.col("qv")))
+        .withColumn(
+            "_list",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(F.array(*entries)), 1, nprobe),
+                    lambda s: s["i"],
+                )
+            ),
+        )
+    )
+    # bounded driver read: DISTINCT probed lists <= n_lists integers.
+    # A static IN list reaches both scans as PartitionFilters — dynamic
+    # partition pruning can't see through the live-key semi-join.
+    probe = sorted(r["_list"] for r in qx.select("_list").distinct().collect())
+    flt = F.col("_list").isin(*probe) if probe else F.lit(False)
+    vecs = _ann_dirs(store_dir)
+    _recover_ann_store(vecs)
+    live_keys = (
+        _ann_live_keys(spark, store_dir, meta, id_col)
+        .filter(flt)
+        .select(id_col, "_seq", "_rh")
+    )
+    fetched = (
+        spark.read.parquet(vecs)
+        .filter(flt)
+        .join(live_keys, [id_col, "_seq", "_rh"], "left_semi")
+        .dropDuplicates([id_col])
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("_list"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "cv"
+            ),
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        fetched.join(F.broadcast(qx), "_list")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+                round_digits,
+            ).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )

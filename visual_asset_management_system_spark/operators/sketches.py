@@ -1054,9 +1054,24 @@ def _bottomk_meta(
     meta: dict | None = None
     try:
         with open(path) as f:
-            meta = _json.load(f)
-    except (OSError, ValueError):
+            raw = f.read()
+    except FileNotFoundError:
+        # absent = legitimately uninitialized (or pre-sidecar) store
         meta = None
+    else:
+        # present but unreadable/corrupt must RAISE, not validate
+        # nothing: a silent None here would let the next record=True
+        # append overwrite the sidecar with min_k=k, erasing a
+        # historically smaller bound — a later larger-k read then
+        # under-fills with no error anywhere (the _ann_meta contract)
+        try:
+            meta = _json.loads(raw)
+        except ValueError as exc:
+            raise ValueError(
+                f"bottomk store {op}: corrupt sidecar {path} — refusing "
+                f"to treat it as absent ({exc}); restore it or rebuild "
+                f"the store."
+            ) from None
     if meta is not None:
         if list(meta.get("group_cols", [])) != list(group_cols):
             raise ValueError(

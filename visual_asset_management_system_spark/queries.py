@@ -2997,6 +2997,112 @@ def q_ann_store_topk(spark, sf_dir):
     )
 
 
+def _ann_knn_oracle() -> str:
+    """Generated oracle for the BATCHED maintained-store probe: the
+    assignment CTE is q_ivf_ann's (same frozen first-16 centroids);
+    each of the 4 query vectors gets its probe lists computed at
+    generation time with the same numpy argsort the single-vector
+    probe uses, shipped as a VALUES mapping. Deliberately standalone
+    from _ivf_oracle (sharing its helpers would fold this generator
+    into q_ivf_ann's fingerprint and re-stale a settled green)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(_ORACLE_SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 16)],
+    ).sort_by("vec_id")
+    cents = np.asarray(
+        [[float(x) for x in row] for row in tbl.column("embedding").to_pylist()]
+    )
+    pairs = []
+    for qid in range(4):
+        q = np.asarray(_query_vector(_ORACLE_SF_DIR, qid), dtype=np.float64)
+        d2 = ((cents - q) ** 2).sum(axis=1)
+        for lst in np.argsort(d2, kind="stable")[:4]:
+            pairs.append(f"({qid}, {int(lst)})")
+    probes = ", ".join(pairs)
+
+    def cent_lit(i: int) -> str:
+        vals = ", ".join(repr(float(v)) for v in cents[i])
+        return f"([{vals}]::DOUBLE[])"
+
+    def sqdist(i: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {_EMB_DIM + 1}), "
+            f"j -> (embedding[j]::DOUBLE - {cent_lit(i)}[j]) "
+            f"* (embedding[j]::DOUBLE - {cent_lit(i)}[j])))"
+        )
+
+    dists = ", ".join(f"{sqdist(i)} AS d{i}" for i in range(16))
+    least = "LEAST(" + ", ".join(f"d{i}" for i in range(16)) + ")"
+    argmin = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(16))
+        + " END"
+    )
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT vec_id, embedding, {dists} FROM embeddings
+    ), assigned AS MATERIALIZED (
+        SELECT vec_id, embedding, {argmin} AS list_id
+        FROM (SELECT *, {least} AS m FROM d)
+    ), probes AS (
+        SELECT * FROM (VALUES {probes}) v(query_id, list_id)
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < 4
+    ), scored AS (
+        SELECT q.query_id, a.vec_id,
+               ROUND({_o_cosine('a.embedding', 'q.qv')}, 6) AS cosine_sim
+        FROM q
+        JOIN probes p ON p.query_id = q.query_id
+        JOIN assigned a ON a.list_id = p.list_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cosine_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, vec_id
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM ranked
+    WHERE rank <= 10 ORDER BY query_id, rank
+    """
+
+
+_ANN_KNN_ORACLE_SQL = (
+    _ann_knn_oracle() if os.path.isdir(_ORACLE_SF_DIR) else None
+)
+
+
+@query("q_ann_store_knn_join", _ANN_KNN_ORACLE_SQL)
+def q_ann_store_knn_join(spark, sf_dir):
+    """Batched query-table probes over the MAINTAINED IVF index
+    (operators/similarity.py ann_store_knn_join) — the re-embedding
+    pipeline shape: a 4-row query table is assigned to its nprobe
+    lists JVM-SIDE (frozen centroids as literal arrays; array_sort
+    over (distance, list) structs ranks exactly like the numpy stable
+    argsort the single-vector probe uses), the union of probed lists
+    lands on the vector fetch AND the live-key scan as a static IN
+    filter (PartitionFilters), and per-query top-k is a rank-filtered
+    window (WindowGroupLimit) over one scan — no per-vector driver
+    round-trips, no global sort. With the store's frozen first-16
+    centroids the result provably equals per-list exact cosine, so
+    the oracle is generated the same way q_ivf_ann's is, extended to
+    a per-query probe mapping."""
+    from .operators.similarity import ann_store_knn_join
+
+    store = _ann_event_store(spark, sf_dir)
+    queries_df = tables(spark, sf_dir)["embeddings"].filter(
+        F.col("vec_id") < 4
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann_store_knn_join(
+        spark, store, queries_df, k=10, nprobe=4,
+        query_id_col="query_id", id_col="vec_id", vec_col="embedding",
+    )
+
+
 # -- no-oracle entries (non-SQL-expressible; driver records rows-only) ------
 
 @query(
