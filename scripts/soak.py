@@ -842,7 +842,7 @@ def main() -> None:
         "sampling": "adaptive best-of-N (two warm samples within 25%)",
         "step2": step2,
     }
-    with open(os.path.join(REPO, "SOAK_r11.json"), "w") as f:
+    with open(os.path.join(REPO, "SOAK_r12.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     print("wrote SOAK_r12.json")

@@ -3090,6 +3090,51 @@ def test_ann_store_duplicate_id_in_batch_occupies_one_slot(
     assert sorted(after) == [0, 1, 2]
 
 
+def test_ann_store_casts_appends_to_frozen_vector_type(spark, tmp_path):
+    """The vector ELEMENT type is index format: an append whose
+    expression produced array<double> into a float-seeded store used
+    to write parquet files physically incompatible with the dataset —
+    every later read of the touched partitions failed with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH (found by the r12 soak's
+    probe-flatness section re-embedding via a double-typed transform).
+    Updates must CAST to the sidecar's frozen vec_type, keeping the
+    store readable and _rh hashed over the stored representation."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_read,
+        ann_store_topk,
+    )
+
+    store, rows, schema = _mk_ann_store(spark, tmp_path, with_upsert=False)
+    # re-embed ids 0-9 through a DOUBLE-typed expression (the natural
+    # shape of any arithmetic transform on the embedding column)
+    reemb = (
+        spark.createDataFrame(rows[:10], schema)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") * F.lit(1.5)
+            ).alias("embedding"),
+        )
+    )
+    assert dict(reemb.dtypes)["embedding"] == "array<double>"
+    ann_index_update(spark, store, reemb, 8, n_lists=4, batch_key="up")
+    live = {
+        r["vec_id"]: list(r["embedding"])
+        for r in ann_store_read(spark, store).collect()
+    }
+    assert len(live) == 40  # store fully readable, one row per id
+    import numpy as _np
+
+    want0 = [float(_np.float32(x * 1.5)) for x in rows[0][1]]
+    assert [round(v, 4) for v in live[0]] == [round(v, 4) for v in want0]
+    # probe unaffected
+    assert len(ann_store_topk(spark, store, rows[1][1], k=5, nprobe=4)
+               .collect()) == 5
+
+
 def test_ann_store_empty_first_batch_refuses(spark, tmp_path):
     """An empty (or all-NULL-id) first batch samples a shape-(0,)
     centroid matrix — creation must refuse with a clear error instead

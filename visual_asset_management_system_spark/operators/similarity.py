@@ -529,6 +529,7 @@ def _ann_meta(
     n_lists: int | None = None,
     centroids: "np.ndarray | None" = None,
     bump_seq: bool = False,
+    vec_type: str | None = None,
 ) -> dict:
     """Load / validate / initialize the sidecar holding the index
     FORMAT: frozen centroids, dim, n_lists, and the monotone update
@@ -602,6 +603,16 @@ def _ann_meta(
             "n_lists": int(centroids.shape[0]),
             "centroids": [[float(v) for v in c] for c in centroids],
             "seq": 0,
+            # the vector column's ELEMENT type is index format too: a
+            # later append with a different element type (float batch
+            # into a double-seeded store or vice versa) writes parquet
+            # files whose physical type disagrees with the dataset's —
+            # every subsequent read of the touched partitions fails
+            # with PARQUET_COLUMN_DATA_TYPE_MISMATCH. Freeze the first
+            # batch's type; updates CAST to it (found by the r12 soak's
+            # probe-flatness section re-embedding with a double-typed
+            # expression).
+            "vec_type": vec_type or "array<float>",
         }
     else:
         if dim is not None and int(meta["dim"]) != int(dim):
@@ -628,6 +639,10 @@ def _ann_meta(
                 f"use the stored centroids, or rebuild."
             )
     if bump_seq:
+        # legacy (pre-r12) sidecars carry no vec_type: adopt float —
+        # what every r11-era store holds — and persist it with the
+        # sequence bump
+        meta.setdefault("vec_type", "array<float>")
         meta["seq"] = int(meta.get("seq", 0)) + 1
         os.makedirs(store_dir, exist_ok=True)
         tmp = path + ".tmp"
@@ -675,11 +690,21 @@ def ann_index_update(
             vec_col,
         )
     meta = _ann_meta(
-        store_dir, "update", dim, n_lists, centroids, bump_seq=True
+        store_dir, "update", dim, n_lists, centroids, bump_seq=True,
+        vec_type=new_embeddings.schema[vec_col].dataType.simpleString(),
     )
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     assigned = (
-        new_embeddings.select(F.col(id_col), F.col(vec_col))
+        new_embeddings.select(
+            F.col(id_col),
+            # cast to the store's FROZEN element type before anything
+            # derives from the vector: a type-drifting append would
+            # otherwise write parquet files physically incompatible
+            # with the dataset (unreadable store), and _rh must hash
+            # the STORED representation so replays of the same logical
+            # vector dedup
+            F.col(vec_col).cast(meta["vec_type"]).alias(vec_col),
+        )
         .filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
         .withColumn("_list", _nearest_list(F.col(vec_col), cents))
         .withColumn("_seq", F.lit(int(meta["seq"])))
