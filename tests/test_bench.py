@@ -84,3 +84,105 @@ def test_compact_line_totals_roundtrip_detail():
     assert out["calib_spark_sec"] == 2.0
     assert out["value_normalized_spark"] == 5.25
     assert "errors" not in out
+
+
+def _load_soak():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "soak.py",
+    )
+    spec = importlib.util.spec_from_file_location("soak_module", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_soak_bestofn_agreement_rule():
+    """The r12 soak sampling contract (bench.py's publication rule):
+    two agreeing warm samples publish immediately; a stalled first
+    sample forces more until two agree; a host that never settles
+    caps at four samples and publishes the min."""
+    soak = _load_soak()
+
+    import time as _t
+
+    class FakeTime:
+        """Stand-in for soak's `time` module: each sample's duration is
+        the next value of `durations` (time.time() is called exactly
+        twice per sample — before and after fn)."""
+
+        def __init__(self, durations):
+            self.now = 0.0
+            self.durs = list(durations)
+            self.i = 0
+            self.pending = None
+
+        def time(self):
+            if self.pending is None:
+                self.pending = self.durs[self.i] if self.i < len(
+                    self.durs
+                ) else 0.0
+                self.i += 1
+                return self.now
+            self.now += self.pending
+            self.pending = None
+            return self.now
+
+    def run(durations, fn=lambda: None):
+        soak.time = FakeTime(durations)
+        try:
+            return soak._bestofn(fn)
+        finally:
+            soak.time = _t
+
+    calls = []
+    assert run([1.0, 1.0], lambda: calls.append(1)) == 1.0
+    assert len(calls) == 2  # agreement -> stop at 2
+
+    # stall-suspect: 10.0 then 1.0 disagree (>25%), third at 1.1 agrees
+    assert run([10.0, 1.0, 1.1]) == 1.0
+
+    # never settles: 4 wildly different samples -> best of 4
+    n = []
+    assert run([10.0, 5.0, 2.5, 1.0], lambda: n.append(1)) == 1.0
+    assert len(n) == 4
+
+
+def test_soak_bestofn_stateful_restores_between_samples(tmp_path):
+    """Stateful sampling must (a) hand every sample the PRISTINE store
+    state — re-sampling a store update must never double-apply the
+    mutation — and (b) leave the FINAL state post-fn, because the
+    compaction section consumes the update section's stores. Dirs the
+    fn CREATES are removed again before a re-run."""
+    import os
+
+    soak = _load_soak()
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    with open(os.path.join(d, "state"), "w") as f:
+        f.write("pristine")
+    fresh = str(tmp_path / "created")
+    seen = []
+
+    def mutate():
+        with open(os.path.join(d, "state")) as f:
+            seen.append(f.read())
+        with open(os.path.join(d, "state"), "w") as f:
+            f.write("mutated")
+        assert not os.path.isdir(fresh), "created dir must be reset"
+        os.makedirs(fresh)
+        with open(os.path.join(fresh, "x"), "w") as f:
+            f.write("y")
+
+    soak._bestofn_stateful([d, fresh], mutate, max_samples=2)
+    # every sample saw the pristine input, never the mutated one
+    assert seen == ["pristine", "pristine"]
+    # final state is post-fn: mutation applied, created dir present
+    with open(os.path.join(d, "state")) as f:
+        assert f.read() == "mutated"
+    assert os.path.isfile(os.path.join(fresh, "x"))
+    # snapshots cleaned up
+    assert not os.path.isdir(d + ".soaksnap")

@@ -3207,6 +3207,28 @@ def test_ann_store_knn_join_matches_per_vector_probes(spark, tmp_path):
     ]
 
 
+def test_ann_store_knn_join_edge_inputs(spark, tmp_path):
+    """Edges of the batched probe: NULL query ids/vectors are dropped
+    (the update path's shared guard), nprobe beyond n_lists degrades
+    to probing every list (slice past the array end), and k larger
+    than the live corpus returns every live row ranked."""
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_store_knn_join,
+    )
+
+    store, rows, schema = _mk_ann_store(spark, tmp_path, with_upsert=False)
+    qdf = spark.createDataFrame(
+        [(100, rows[0][1]), (None, rows[1][1]), (101, None)],
+        "query_id long, embedding array<float>",
+    )
+    res = ann_store_knn_join(spark, store, qdf, k=1000, nprobe=99)
+    got = res.collect()
+    qids = {r["query_id"] for r in got}
+    assert qids == {100}  # NULL rows contributed nothing
+    assert len(got) == 40  # nprobe>=n_lists + huge k -> all live rows
+    assert {r["rank"] for r in got} == set(range(1, 41))
+
+
 def test_ann_store_stats_observes_skew_and_compaction_debt(
     spark, tmp_path
 ):
