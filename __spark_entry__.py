@@ -58,16 +58,9 @@ _RECHECK_OVERRIDES: list[str] = [
     # driver-green in CORRECTNESS_r11; the hash-drift class covers any
     # further edits to them.)
     #
-    # r12: ALGORITHMIC engine edits this round whose class-2 rows
-    # would otherwise sort behind the ~95-name helper-drift backfill
-    # and out of the window (the documented legitimate pin):
-    # q_ann_store_topk's probe was rewritten onto the maintained
-    # live-key relation (similarity.py keys/ artifact, verdict r11
-    # task 2); q_doc_setsim_join's positional filter gained the
-    # prefix-length gate (dedup.py, verdict r11 task 6). Remove after
-    # the r12 gate lands.
-    "q_ann_store_topk",
-    "q_doc_setsim_join",
+    # (r12 pins q_ann_store_topk / q_doc_setsim_join pruned: both
+    # driver-green in CORRECTNESS_r12; any r13 edits to their engine
+    # paths are caught by the hash-drift class.)
 ]
 
 #: the driver's oracle gate checks this many leading queries() entries
