@@ -693,6 +693,71 @@ def test_pairwise_cosine_bucket_cap_defuses_pair_bomb(spark):
     assert rows == {(100, 101)}
 
 
+def test_zero_norm_vectors_score_null_not_error(spark):
+    """Spark 4's ANSI mode raises DIVIDE_BY_ZERO on a plain ``/`` the
+    moment a zero-L2-norm embedding (failed encode, padding row)
+    reaches a cosine path; the engine must instead score it NULL — the
+    DuckDB-oracle semantics — and NULL must sort LAST so zero vectors
+    never displace real neighbors from a top-k. Covers every batch
+    probe path: cosine_topk (zero stored row AND zero query vector),
+    knn_join (zero corpus row and zero query row), and
+    pairwise/semdedup (zero vectors form no pairs, stay kept)."""
+    from visual_asset_management_system_spark.operators.similarity import (
+        knn_join,
+        pairwise_cosine_within_buckets,
+        semdedup,
+    )
+
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # planted zero vector
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # zero STORED row: NULL score, sorts after every real score
+    got = cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=4).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 3, 2]
+    assert got[-1]["cosine_sim"] is None
+    assert all(r["cosine_sim"] is not None for r in got[:3])
+
+    # zero QUERY vector: every score NULL, ties broken by id ascending
+    got = cosine_topk(emb, [0.0] * dim, k=4).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 2, 3]
+    assert all(r["cosine_sim"] is None for r in got)
+
+    # knn_join: zero corpus row ranks LAST for a real query; a zero
+    # query row still returns k rows, all NULL-scored, id-ordered
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0] * dim)],
+        "query_id long, embedding array<double>",
+    )
+    by_q: dict = {}
+    for r in knn_join(q, emb, k=4).collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    real = sorted(by_q[100], key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in real] == [0, 1, 3, 2]
+    assert real[-1]["cosine_sim"] is None
+    zeroq = sorted(by_q[101], key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in zeroq] == [0, 1, 2, 3]
+    assert all(r["cosine_sim"] is None for r in zeroq)
+
+    # pair surface: NULL >= min_cosine is NULL -> zero vectors form no
+    # pairs (never near-dups), and semdedup keeps them
+    many_zero = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [1.0] * dim), (2, [0.0] * dim),
+         (3, [0.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = pairwise_cosine_within_buckets(many_zero, dim=dim, min_cosine=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(0, 1)}
+    kept = {r["vec_id"]: r["is_kept"] for r in
+            semdedup(many_zero, dim=dim, min_cosine=0.9).collect()}
+    assert kept == {0: True, 1: False, 2: True, 3: True}
+
+
 def test_lsh_ann_bucketed_probe_is_partition_pruned(spark, tmp_path):
     """The materialized-bucket ANN path must prune the scan to the probed
     partition directories (PartitionFilters on `bucket`) — never a full

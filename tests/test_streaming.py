@@ -3259,6 +3259,99 @@ def test_ann_store_stats_observes_skew_and_compaction_debt(
     assert sum(lv for lv, _ in after.values()) == 40
 
 
+def test_ann_store_zero_norm_vectors_probe_null_not_error(
+    spark, tmp_path
+):
+    """Zero-L2-norm embeddings in the MAINTAINED store: under ANSI
+    mode the old plain-``/`` cosine raised DIVIDE_BY_ZERO the moment a
+    zero vector entered any probed list; it must instead score NULL
+    and rank LAST (the DuckDB-oracle ordering), in both the
+    single-vector probe and the batched knn join — including a
+    zero-norm QUERY vector, which list-assigns fine (L2 distance has
+    no division) and returns k NULL-scored, id-ordered rows."""
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_knn_join,
+        ann_store_topk,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    store = str(tmp_path / "ann_zero")
+    import numpy as _np
+
+    cents = _np.asarray([[1.0, 0.0], [-1.0, 0.0]])
+    ann_index_update(
+        spark, store,
+        spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+             (3, [0.8, 0.2])],
+            schema,
+        ),
+        2, n_lists=2, centroids=cents, batch_key="b0",
+    )
+    # the zero vector list-assigned to list 0 (nearest [1,0] by L2
+    # from the origin is a tie broken by stable argsort) — probe it
+    got = ann_store_topk(spark, store, [1.0, 0.0], k=10, nprobe=1).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 3, 2]
+    assert got[-1]["cosine_sim"] is None
+    assert all(r["cosine_sim"] is not None for r in got[:3])
+
+    qdf = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 0.0])],
+        "query_id long, embedding array<float>",
+    )
+    by_q: dict = {}
+    for r in ann_store_knn_join(spark, store, qdf, k=10, nprobe=1).collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    real = sorted(by_q[100], key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in real] == [0, 1, 3, 2]
+    assert real[-1]["cosine_sim"] is None
+    zeroq = sorted(by_q[101], key=lambda r: r["rank"])
+    assert all(r["cosine_sim"] is None for r in zeroq)
+    assert [r["vec_id"] for r in zeroq] == sorted(r["vec_id"] for r in zeroq)
+
+
+def test_ann_store_empty_first_batch_with_centroids_backfills(
+    spark, tmp_path
+):
+    """Create-then-backfill (the r12 advisory): seeding a brand-new
+    store with EXPLICIT trained centroids and an empty (or all-NULL)
+    first batch writes zero part-files — the key merge must treat
+    that as a silent no-op instead of failing on a schema-less
+    parquet read, and the subsequent real append must leave a fully
+    probed store."""
+    import numpy as _np
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_topk,
+    )
+
+    schema = "vec_id long, embedding array<float>"
+    cents = _np.asarray([[1.0, 0.0], [-1.0, 0.0]])
+    store = str(tmp_path / "ann_backfill")
+    ann_index_update(
+        spark, store, spark.createDataFrame([], schema),
+        2, n_lists=2, centroids=cents, batch_key="create",
+    )
+    # all-NULL batch is the same shape: every row guard-filtered
+    ann_index_update(
+        spark, store,
+        spark.createDataFrame([(None, None)], schema),
+        2, n_lists=2, batch_key="nulls",
+    )
+    ann_index_update(
+        spark, store,
+        spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [-0.9, 0.1])], schema
+        ),
+        2, n_lists=2, batch_key="backfill",
+    )
+    got = {r["vec_id"] for r in
+           ann_store_topk(spark, store, [1.0, 0.0], k=5, nprobe=1).collect()}
+    assert got == {0}
+
+
 def test_bottomk_store_split_replay_and_compaction_equivalence(
     spark, tmp_path
 ):

@@ -52,7 +52,20 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an error) when either vector has zero L2 norm.
+
+    Spark 4 runs ANSI mode by default, where a plain ``/`` raises
+    DIVIDE_BY_ZERO the moment a zero vector (failed encode, padding
+    row) reaches any cosine path; DuckDB — and the oracle SQL built on
+    its ``/`` — returns NULL instead. ``try_divide`` yields NULL on a
+    zero divisor under BOTH ANSI settings (verified empirically), and
+    for a non-zero divisor is the same IEEE double division, so scores
+    stay bit-identical with the pre-guard expression. NULL scores sort
+    LAST under ``desc`` in both engines, so zero-norm rows never
+    displace real neighbors from a top-k. Reference analog:
+    OpenSearch kNN (VAMS's search backend) degrades zero-norm vectors
+    instead of failing the whole query."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _py_l2_norm(vec: list[float]) -> float:
@@ -90,8 +103,12 @@ def cosine_topk(
     return (
         embeddings.select(
             F.col(id_col),
+            # try_divide: NULL (sorts last, like the DuckDB oracles)
+            # instead of ANSI DIVIDE_BY_ZERO when either the stored
+            # vector or the probe has zero norm — see cosine()
             F.round(
-                dot(vec_d, q) / (l2_norm(vec_d) * q_norm), round_digits
+                F.try_divide(dot(vec_d, q), l2_norm(vec_d) * q_norm),
+                round_digits,
             ).alias("cosine_sim"),
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
@@ -365,9 +382,14 @@ def pairwise_cosine_within_buckets(
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
+            # try_divide: a zero-norm side yields NULL, and
+            # NULL >= min_cosine is NULL → the pair drops in both
+            # engines (zero vectors are never near-dups)
             F.round(
-                dot(F.col("l.v"), F.col("r.v"))
-                / (F.col("l.nrm") * F.col("r.nrm")),
+                F.try_divide(
+                    dot(F.col("l.v"), F.col("r.v")),
+                    F.col("l.nrm") * F.col("r.nrm"),
+                ),
                 6,
             ).alias("cosine_sim"),
         )
@@ -417,9 +439,13 @@ def knn_join(
             "query_id",
             "vec_id",
             # per-row norms precomputed (qn broadcast with the query
-            # set, cn before the join) — one dot per pair
+            # set, cn before the join) — one dot per pair; try_divide
+            # so zero-norm rows score NULL (rank last) — see cosine()
             F.round(
-                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+                F.try_divide(
+                    dot(F.col("cv"), F.col("qv")),
+                    F.col("cn") * F.col("qn"),
+                ),
                 round_digits,
             ).alias("cosine_sim"),
         )
@@ -741,6 +767,19 @@ def _ann_set_keys_seq(store_dir: str, keys_seq: int) -> None:
     os.replace(tmp, path)
 
 
+def _has_parquet_files(path: str) -> bool:
+    """True when the dataset directory holds at least one parquet data
+    file (an empty partitioned write leaves only _SUCCESS markers, and
+    ``spark.read.parquet`` on such a directory raises
+    unable-to-infer-schema)."""
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _merge_ann_keys(spark, store_dir, meta: dict, id_col: str) -> None:
     """Maintain the BOUNDED live-key relation: one row per live id —
     (id, _seq, _rh, _list), the store's global winners — merged per
@@ -765,6 +804,13 @@ def _merge_ann_keys(spark, store_dir, meta: dict, id_col: str) -> None:
     keys_seq = int(meta.get("keys_seq", 0))
     seq = int(meta["seq"])
     if keys_seq >= seq and os.path.isdir(kdir):
+        return
+    if not _has_parquet_files(_ann_dirs(store_dir)):
+        # a brand-new store seeded with explicit centroids and an
+        # empty (or all-NULL) first batch wrote zero part-files —
+        # there is nothing to merge, and reading the fileless dataset
+        # would raise unable-to-infer-schema (create-then-backfill
+        # must stay a silent no-op, as pre-keys appends were)
         return
     thin = [id_col, "_seq", "_rh", "_list"]
     delta = spark.read.parquet(_ann_dirs(store_dir)).select(*thin)
@@ -1149,8 +1195,13 @@ def ann_store_knn_join(
         .select(
             "query_id",
             "vec_id",
+            # try_divide: zero-norm stored/query vectors score NULL
+            # (rank last) instead of ANSI DIVIDE_BY_ZERO — see cosine()
             F.round(
-                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+                F.try_divide(
+                    dot(F.col("cv"), F.col("qv")),
+                    F.col("cn") * F.col("qn"),
+                ),
                 round_digits,
             ).alias("cosine_sim"),
         )
