@@ -142,6 +142,10 @@ def compact_line(detail: dict, errors: dict[str, str]) -> dict:
         "calib_sec": detail["calib_sec"],
         "calib_mc_sec": detail["calib_mc_sec"],
         "calib_spark_sec": detail.get("calib_spark_sec"),
+        # probe spread across the run's segments — the contention
+        # tell: >15% means the host moved under the run and raw wall
+        # totals are not comparable round-over-round
+        "calib_spark_spread_pct": detail.get("calib_spark_spread_pct"),
         # spark-normalized FIRST: the engine-shaped calibration is the
         # round-over-round authority since r12 (r11 established its
         # baseline: calib_spark_sec 0.789, value_normalized_spark 80.6);
@@ -154,6 +158,13 @@ def compact_line(detail: dict, errors: dict[str, str]) -> dict:
         # names only — full messages are in the detail file
         out["errors"] = sorted(errors)[:10]
     return out
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    mid = n // 2
+    return round(s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0, 3)
 
 
 def _calibrate() -> float:
@@ -201,19 +212,25 @@ def _calibrate_mc(n_threads: int = 8) -> float:
     return round(time.time() - t0, 3)
 
 
-def _calibrate_spark(spark) -> float:
+def _calibrate_spark(spark, runs: int = 2) -> float:
     """Engine-shaped calibration: one FIXED synthetic shuffle+agg+join
     micro-query (no fixture input, size independent of SF_DIR), best
-    of 2 warm runs. The numpy loops calibrate the HOST (single-core /
-    parallel arithmetic throughput) but round 10 showed they track
-    Spark workloads imperfectly: calib_mc_sec moved 0.399 -> 0.373
-    while every plan-identical query drifted +11% normalized — JVM
-    scheduler latency, shuffle I/O, and codegen pressure are not numpy
-    arithmetic (VERDICT r10 watch item #3). This pins a reference that
-    exercises exactly those paths: a 4M-row range -> hash-shuffle
-    groupBy (64k keys) -> top-k sort -> broadcast-sized join back ->
-    final agg. Deterministic by construction (range + modulo, no
-    randomness, no data files)."""
+    of ``runs`` warm runs. The numpy loops calibrate the HOST
+    (single-core / parallel arithmetic throughput) but round 10 showed
+    they track Spark workloads imperfectly: calib_mc_sec moved
+    0.399 -> 0.373 while every plan-identical query drifted +11%
+    normalized — JVM scheduler latency, shuffle I/O, and codegen
+    pressure are not numpy arithmetic (VERDICT r10 watch item #3).
+    This pins a reference that exercises exactly those paths: a
+    4M-row range -> hash-shuffle groupBy (64k keys) -> top-k sort ->
+    broadcast-sized join back -> final agg. Deterministic by
+    construction (range + modulo, no randomness, no data files).
+
+    Round 12 proved ONE sample at startup is blind to contention that
+    develops over the run (calib_mc doubled, every plan-identical
+    query drifted +20-300%, calib_spark moved +3%): the probe is now
+    ALSO re-run between query segments — see ``_SEGMENT_LEN`` — and
+    normalization is per-segment."""
     from pyspark.sql import functions as F
 
     def run() -> None:
@@ -228,11 +245,42 @@ def _calibrate_spark(spark) -> float:
         ).collect()
 
     ts = []
-    for _ in range(2):
+    for _ in range(max(1, runs)):
         t0 = time.time()
         run()
         ts.append(time.time() - t0)
     return round(min(ts), 3)
+
+
+#: queries per calibration segment: a probe runs before the first
+#: segment and after EVERY segment (best-of-2 each, matching the
+#: query methodology — published query numbers are min-of-samples, so
+#: the divisor must shed single-sample stalls the same way), and each
+#: query is normalized by the mean of the two probes bracketing its
+#: segment. ~6 extra probes on the 57-query headline run (~10s of a
+#: 60-90s run) buys a normalization that tracks contention developing
+#: mid-run — the exact blind spot that poisoned BENCH_r12.
+_SEGMENT_LEN = 10
+
+
+def spark_normalized_per_segment(
+    timings: dict[str, float],
+    segment_of: dict[str, int],
+    probes: list[float],
+) -> dict[str, float]:
+    """Per-query seconds divided by the calibration of the SEGMENT the
+    query ran in (mean of the probes bracketing it). Empty when
+    calibration failed — never fabricate a normal."""
+    if len(probes) < 2 or any(p <= 0 for p in probes):
+        return {}
+    out: dict[str, float] = {}
+    for name, sec in timings.items():
+        seg = segment_of.get(name)
+        if seg is None or seg + 1 >= len(probes):
+            return {}
+        calib = (probes[seg] + probes[seg + 1]) / 2.0
+        out[name] = round(sec / calib, 3)
+    return out
 
 
 def main() -> None:
@@ -283,14 +331,19 @@ def main() -> None:
     # warm-up: JVM/codegen/file-listing costs paid once, not billed to q1
     _safe("_warmup", lambda: QUERIES["q01_pricing_summary"](spark, SF_DIR).collect())
     # engine-shaped calibration AFTER warm-up (JVM hot, like the
-    # queries it normalizes) — fenced like everything else
-    calib_spark = 0.0
+    # queries it normalizes) — fenced like everything else. The probe
+    # shape is JIT-warmed with THREE unmeasured runs first: repeated
+    # probes otherwise keep speeding up through the run (r13 observed
+    # a monotonic 0.70 -> 0.49 decline over 7 probes on a quiet host)
+    # and that drift would masquerade as contention in the spread and
+    # bias the median low vs the r11 single-shot baseline.
+    spark_probes: list[float] = []
 
-    def _spark_calib():
-        nonlocal calib_spark
-        calib_spark = _calibrate_spark(spark)
+    def _spark_probe(runs: int) -> None:
+        spark_probes.append(_calibrate_spark(spark, runs=runs))
 
-    _safe("_calibrate_spark", _spark_calib)
+    _safe("_warm_calibrate_spark", lambda: _calibrate_spark(spark, runs=3))
+    _safe("_calibrate_spark", lambda: _spark_probe(2))
     # materialize the persisted search tables up front: they are
     # MAINTAINED state in the architecture (CDC keeps them current —
     # streaming/cdc.py), so search queries bench against the index the
@@ -337,7 +390,8 @@ def main() -> None:
     # backed by two mutually-consistent warm measurements (or the best
     # of four, if the host never settles).
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    segment_of: dict[str, int] = {}
+    for idx, name in enumerate(BENCH_QUERIES):
         samples: list[float] = []
 
         def _one_run() -> bool:
@@ -359,6 +413,17 @@ def main() -> None:
             ok = _one_run()
         if ok and samples:
             timings[name] = round(min(samples), 3)
+        segment_of[name] = idx // _SEGMENT_LEN
+        # close the segment with a fresh probe: queries in it are
+        # normalized by the mean of the probes bracketing them, so
+        # contention that develops mid-run moves the divisor with the
+        # numerator instead of poisoning the round-over-round figure
+        # (BENCH_r12's failure mode). Best-of-2, matching the query
+        # methodology (published numbers are min-of-samples): a
+        # single-sample divisor would carry stall noise the query
+        # numbers deliberately shed, biasing normalized values low.
+        if (idx + 1) % _SEGMENT_LEN == 0 or idx + 1 == len(BENCH_QUERIES):
+            _safe("_calibrate_spark_seg", lambda: _spark_probe(2))
 
     sf = None
     tail = os.path.basename(SF_DIR.rstrip("/"))
@@ -369,6 +434,22 @@ def main() -> None:
             pass
 
     norm = normalized(timings, calib_mc)
+    # probe alignment guard: exactly one pre-run probe plus one per
+    # closed segment — a failed probe anywhere would shift every later
+    # segment onto the wrong divisor, so misalignment voids the
+    # spark-normalized figures rather than silently skewing them
+    n_segments = (len(BENCH_QUERIES) + _SEGMENT_LEN - 1) // _SEGMENT_LEN
+    if len(spark_probes) != n_segments + 1:
+        spark_probes = []
+    norm_spark = spark_normalized_per_segment(
+        timings, segment_of, spark_probes
+    )
+    calib_spark = _median(spark_probes) if spark_probes else 0.0
+    spread_pct = (
+        round(100.0 * (max(spark_probes) - min(spark_probes)) / calib_spark, 1)
+        if calib_spark > 0
+        else None
+    )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -377,18 +458,25 @@ def main() -> None:
         "sf": sf,
         "calib_sec": calib,
         "calib_mc_sec": calib_mc,
+        # the headline scalar is the MEDIAN of the interleaved probes
+        # (comparable to the pre-r13 once-at-startup figure on a quiet
+        # host); the full probe series + spread are published so a
+        # contended run is visible as data, not divined from drift
         "calib_spark_sec": calib_spark,
+        "calib_spark_probes": spark_probes,
+        "calib_spark_spread_pct": spread_pct,
         # round-over-round comparable (sec / calib_mc_sec); raw seconds
         # above remain the ground truth for the ≤29s baseline envelope
         "queries_normalized": norm,
         "value_normalized": round(sum(norm.values()), 3),
-        # engine-shaped normalization (sec / calib_spark_sec): tracks
-        # JVM/shuffle/codegen pressure, not just host arithmetic —
-        # compare BOTH round-over-round before calling a regression
+        # engine-shaped normalization, PER-SEGMENT since r13: each
+        # query's divisor is the mean of the probes bracketing its
+        # segment, so contention that develops over the run moves the
+        # divisor with it (BENCH_r12's once-at-startup calibration
+        # provably missed a 2x mid-run slowdown)
+        "queries_normalized_spark": norm_spark,
         "value_normalized_spark": (
-            round(sum(timings.values()) / calib_spark, 3)
-            if calib_spark > 0
-            else None
+            round(sum(norm_spark.values()), 3) if norm_spark else None
         ),
         # which normalization is the round-over-round AUTHORITY (r11
         # verdict task 7): the Spark-shaped one, now that r11 minted

@@ -25,6 +25,33 @@ def test_normalized_empty_on_failed_calibration():
     assert bench.normalized({"q": 1.0}, -1.0) == {}
 
 
+def test_spark_normalized_per_segment_uses_bracketing_probes():
+    """Each query divides by the MEAN of the probes bracketing its
+    segment — contention in a later segment must move that segment's
+    divisor, not the whole run's (the BENCH_r12 failure mode)."""
+    timings = {"a": 1.0, "b": 2.0, "c": 3.0}
+    segment_of = {"a": 0, "b": 0, "c": 1}
+    probes = [1.0, 1.0, 3.0]  # segment 0 calm, segment 1 contended
+    out = bench.spark_normalized_per_segment(timings, segment_of, probes)
+    assert out == {"a": 1.0, "b": 2.0, "c": 1.5}  # c / ((1+3)/2)
+
+
+def test_spark_normalized_per_segment_voids_on_bad_probes():
+    """Missing, misaligned, or failed probes void the figure (never
+    fabricate a normal): a query whose segment has no closing probe,
+    a probe list shorter than 2, or a non-positive probe."""
+    t, seg = {"a": 1.0}, {"a": 0}
+    assert bench.spark_normalized_per_segment(t, seg, []) == {}
+    assert bench.spark_normalized_per_segment(t, seg, [1.0]) == {}
+    assert bench.spark_normalized_per_segment(t, seg, [1.0, 0.0]) == {}
+    assert bench.spark_normalized_per_segment({"a": 1.0}, {"a": 5}, [1.0, 1.0]) == {}
+
+
+def test_median_even_and_odd():
+    assert bench._median([3.0, 1.0, 2.0]) == 2.0
+    assert bench._median([4.0, 1.0, 2.0, 3.0]) == 2.5
+
+
 def test_bench_queries_are_registered():
     from visual_asset_management_system_spark.queries import QUERIES
 
