@@ -2352,7 +2352,9 @@ def test_setsim_positional_filter_prunes_losslessly(spark):
 
     pruned = {
         (r["id_a"], r["id_b"])
-        for r in setsim_candidates(docs, 0.9).collect()
+        for r in setsim_candidates(
+            docs, 0.9, positional_filter=True
+        ).collect()
     }
     unpruned = {
         (r["id_a"], r["id_b"])
@@ -2364,10 +2366,14 @@ def test_setsim_positional_filter_prunes_losslessly(spark):
     assert (0, 1) in unpruned and (0, 1) not in pruned  # the planted prune
 
     sets = {did: set(text.split()) for did, text in rows}
-    for threshold in (0.5, 0.9):
+    # verified output exact under BOTH settings (the filter is
+    # lossless; default has been False since r13)
+    for threshold, pos in ((0.5, False), (0.9, True)):
         got = {
             (r["id_a"], r["id_b"], r["overlap"])
-            for r in setsim_join(docs, threshold).collect()
+            for r in setsim_join(
+                docs, threshold, positional_filter=pos
+            ).collect()
         }
         want = {
             (a, b, len(sets[a] & sets[b]))
@@ -2407,14 +2413,16 @@ def test_setsim_positional_filter_short_prefix_gate(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     pruned = {
         (r["id_a"], r["id_b"])
-        for r in setsim_candidates(docs, 0.9).collect()
+        for r in setsim_candidates(
+            docs, 0.9, positional_filter=True
+        ).collect()
     }
     assert (0, 1) in pruned  # gate active: short-prefix bound forgone
 
     sets = {did: set(text.split()) for did, text in rows}
     got = {
         (r["id_a"], r["id_b"], r["overlap"])
-        for r in setsim_join(docs, 0.9).collect()
+        for r in setsim_join(docs, 0.9, positional_filter=True).collect()
     }
     want = {
         (a, b, len(sets[a] & sets[b]))

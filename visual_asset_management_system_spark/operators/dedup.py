@@ -910,14 +910,15 @@ def setsim_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     items_col: str | None = None,
-    positional_filter: bool = True,
+    positional_filter: bool = False,
     max_df_ratio: float | None = None,
 ) -> DataFrame:
     """The candidate (id_a, id_b) pair set of :func:`setsim_join`
     BEFORE exact verification — the measurement seam for the filters'
     pruning power (the soak harness and the losslessness tests count
     candidates with ``positional_filter`` on vs off; the verified
-    output is identical either way because the filter is lossless)."""
+    output is identical either way because the filter is lossless).
+    Default off since r13 — see :func:`setsim_join` for the regime."""
     return _setsim_stage(
         docs,
         threshold,
@@ -936,6 +937,7 @@ def setsim_join(
     id_col: str = "doc_id",
     items_col: str | None = None,
     max_df_ratio: float | None = None,
+    positional_filter: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard self-join over distinct-token sets via prefix
     filtering (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
@@ -962,11 +964,23 @@ def setsim_join(
     prefix positions, and an array-expression verification on
     candidate pairs (no re-join of token relations). Two candidate
     prunes run before verification, both LOSSLESS: the length filter
-    τ·|x| ≤ |y| ≤ |x|/τ, and the PPJoin POSITIONAL filter (see
-    :func:`_setsim_stage` for the bound) — the pair dedup aggregation
-    doubles as the per-pair min over position bounds, so the filter
-    costs no extra shuffle while typically cutting verified candidates
-    2-5× (Xiao et al.). At a 100 TB corpus the prefix join is the
+    τ·|x| ≤ |y| ≤ |x|/τ, and (OPT-IN) the PPJoin POSITIONAL filter
+    (see :func:`_setsim_stage` for the bound) — the pair dedup
+    aggregation doubles as the per-pair min over position bounds, so
+    the filter costs no extra shuffle, but it widens every pre-dedup
+    shuffle row by the bound columns and turns the distinct into a
+    min-aggregation. ``positional_filter`` defaults to FALSE since
+    r13: on short-document/high-τ corpora (this engine's shingled
+    workloads: τ=0.9, n≈30 ⇒ prefix length 4) three independent soak
+    rounds measured the bound's ~17% candidate cut NOT paying for its
+    aggregation at the larger scale (SOAK_r11/r12 + the r13 re-measure:
+    sf3 with 4.96s vs without 4.50s even after the r12 short-prefix
+    gate). Opt in for the regime Xiao et al. designed it for — LONG
+    documents and/or LOWER τ, where prefixes are tens of tokens and
+    the bound cuts candidates 2-5× — by passing
+    ``positional_filter=True``. Verified output is identical either
+    way (the filter is lossless; the oracle pins it). At a 100 TB
+    corpus the prefix join is the
     dominant shuffle and is exactly as skewed as the τ-significant
     tail of the vocabulary — bounded, unlike a raw token join. When
     the vocabulary SATURATES (a closed item space where per-token df
@@ -985,7 +999,7 @@ def setsim_join(
         id_col,
         items_col,
         max_df_ratio,
-        positional_filter=True,
+        positional_filter=positional_filter,
     )
     arrays = toks.groupBy(id_col).agg(
         F.sort_array(F.collect_set("tok")).alias("arr"),
