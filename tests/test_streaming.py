@@ -3660,6 +3660,68 @@ def test_ann_index_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_ann_knn_join_stream_matches_batch(spark, tmp_path):
+    """Streaming form of the batched probe (r12 verdict task 5): query
+    vectors arriving as two micro-batches through
+    start_ann_knn_join_stream land per-batch result partitions whose
+    union equals one batch ann_store_knn_join over all queries — and a
+    replayed micro-batch overwrites its own partition with identical
+    rows (the probe is read-only; idempotent without crash ordering)."""
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_store_knn_join,
+        start_ann_knn_join_stream,
+    )
+
+    store, rows, schema = _mk_ann_store(spark, tmp_path)
+    qdir = str(tmp_path / "knn_q_in")
+    os.makedirs(qdir)
+    results = str(tmp_path / "knn_results")
+    ckpt = str(tmp_path / "knn_ckpt")
+    qrows = [(100 + i, rows[i][1]) for i in range(8)]
+
+    def write_batch(name, rs):
+        with open(os.path.join(qdir, name), "w") as f:
+            for i, v in rs:
+                f.write(json.dumps({"query_id": i, "embedding": v}) + "\n")
+
+    write_batch("q1.json", qrows[:5])
+    start_ann_knn_join_stream(
+        spark, qdir, store, results, ckpt, k=5, nprobe=2,
+    ).awaitTermination(120)
+    write_batch("q2.json", qrows[5:])
+    start_ann_knn_join_stream(
+        spark, qdir, store, results, ckpt, k=5, nprobe=2,
+    ).awaitTermination(120)
+
+    def read_results():
+        return {
+            (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+            for r in spark.read.parquet(results).collect()
+        }
+
+    got = read_results()
+    want = {
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in ann_store_knn_join(
+            spark, store,
+            spark.createDataFrame(qrows, "query_id long, embedding array<float>"),
+            k=5, nprobe=2,
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 8 * 5
+
+    # at-least-once replay: wipe the checkpoint so the same files
+    # re-deliver; partitions are overwritten with identical rows
+    import shutil
+
+    shutil.rmtree(ckpt)
+    start_ann_knn_join_stream(
+        spark, qdir, store, results, ckpt, k=5, nprobe=2,
+    ).awaitTermination(120)
+    assert read_results() == want
+
+
 def test_cms_store_split_replay_compaction_equivalence(spark, tmp_path):
     """Maintained count-min store: additive state with the gram-store
     replay discipline — any batch split plus an at-least-once replay

@@ -1209,3 +1209,65 @@ def ann_store_knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", "rank")
     )
+
+
+def start_ann_knn_join_stream(
+    spark,
+    queries_dir: str,
+    store_dir: str,
+    results_dir: str,
+    checkpoint_dir: str,
+    queries_schema: str = "query_id bigint, embedding array<float>",
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_once: bool = True,
+):
+    """Structured Streaming wrapper for the batched probe: a
+    file-source stream of QUERY vectors runs one
+    :func:`ann_store_knn_join` per micro-batch against the maintained
+    index, each batch's (query_id, vec_id, cosine_sim, rank) results
+    landing in a ``batch=<id>`` partition of ``results_dir`` — the
+    re-embedding-pipeline kappa form (queries arrive continuously,
+    neighbors attach per micro-batch).
+
+    Idempotent under at-least-once redelivery WITHOUT the
+    setsim-stream crash ordering, because the probe never mutates the
+    store: a replayed batch recomputes against the store and
+    overwrites its own partition. If index UPDATES interleave with the
+    replay the recomputed neighbors reflect the store AS OF the replay
+    — the at-least-once norm for any read-only enrichment join (the
+    batch form's oracle pins the per-state semantics)."""
+    import os
+
+    stream = (
+        spark.readStream.schema(queries_schema)
+        .format("json")
+        .load(queries_dir)
+    )
+
+    def handle(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        res = ann_store_knn_join(
+            spark,
+            store_dir,
+            batch,
+            k=k,
+            nprobe=nprobe,
+            query_id_col=query_id_col,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        res.write.mode("overwrite").parquet(
+            os.path.join(results_dir, f"batch=b{batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
