@@ -134,14 +134,28 @@ def _bestofn_stateful(dirs: list[str], fn, max_samples: int = 4) -> float:
         fn()
         ts.append(time.time() - t0)
 
-    one()
-    one()
-    while len(ts) < max_samples and sum(
-        1 for s in ts if s <= min(ts) * 1.25
-    ) < 2:
+    try:
         one()
-    for _, s in snaps:
-        shutil.rmtree(s, ignore_errors=True)
+        one()
+        while len(ts) < max_samples and sum(
+            1 for s in ts if s <= min(ts) * 1.25
+        ) < 2:
+            one()
+    except BaseException:
+        # a failed sample may leave the store half-mutated; put the
+        # pristine state back before re-raising so downstream sections
+        # (compaction consumes the update section's stores) see a
+        # consistent store, and repeated soak runs don't accumulate
+        # stale .soaksnap dirs
+        for d, s in snaps:
+            shutil.rmtree(d, ignore_errors=True)
+            shutil.copytree(s, d)
+        for d in fresh:
+            shutil.rmtree(d, ignore_errors=True)
+        raise
+    finally:
+        for _, s in snaps:
+            shutil.rmtree(s, ignore_errors=True)
     return round(min(ts), 3)
 
 

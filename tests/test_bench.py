@@ -213,3 +213,37 @@ def test_soak_bestofn_stateful_restores_between_samples(tmp_path):
     assert os.path.isfile(os.path.join(fresh, "x"))
     # snapshots cleaned up
     assert not os.path.isdir(d + ".soaksnap")
+
+
+def test_soak_bestofn_stateful_restores_on_exception(tmp_path):
+    """A sample that raises mid-loop must not strand the harness:
+    snapshots are removed, the store is restored to the PRISTINE
+    pre-section state (downstream sections would otherwise consume a
+    half-mutated store), created dirs are removed, and the exception
+    still propagates."""
+    import os
+
+    import pytest
+
+    soak = _load_soak()
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    with open(os.path.join(d, "state"), "w") as f:
+        f.write("pristine")
+    fresh = str(tmp_path / "created")
+    calls = []
+
+    def mutate_then_fail():
+        calls.append(1)
+        with open(os.path.join(d, "state"), "w") as f:
+            f.write("half-mutated")
+        os.makedirs(fresh, exist_ok=True)
+        if len(calls) == 2:
+            raise RuntimeError("host fell over")
+
+    with pytest.raises(RuntimeError, match="host fell over"):
+        soak._bestofn_stateful([d, fresh], mutate_then_fail, max_samples=2)
+    with open(os.path.join(d, "state")) as f:
+        assert f.read() == "pristine"
+    assert not os.path.isdir(fresh)
+    assert not os.path.isdir(d + ".soaksnap")

@@ -88,6 +88,18 @@ def test_descendants_frontier_batching_equivalence(spark):
                 ).collect()
             }
             assert got == base, (trial, batch, got ^ base)
+        # the non-checkpoint path takes the same early exits (both
+        # folded into the per-round 1-row aggregate since r13 — the
+        # deepest-layer break used to be checkpoint-gated) and must
+        # return the identical set even when max_depth far overshoots
+        got_nc = {
+            (r["asset_id"], r["depth"])
+            for r in descendants(
+                links, "db", "a0", max_depth=20,
+                use_checkpoint=False, levels_per_round=2,
+            ).collect()
+        }
+        assert got_nc == base, (trial, got_nc ^ base)
 
 
 def test_one_hop_classification(spark):

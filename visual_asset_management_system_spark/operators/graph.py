@@ -422,26 +422,31 @@ def descendants(
             )
             if use_checkpoint:
                 nxt = nxt.transform(maybe_checkpoint)
-            if nxt.isEmpty():
+            # ONE bounded action decides BOTH exits: total new nodes
+            # (loop done) and the round's deepest new depth. Only the
+            # round's DEEPEST layer can still have unexplored
+            # neighbors (shallower new nodes were expanded in-round) —
+            # when it produced nothing, break NOW rather than let the
+            # next round discover it: with geometric batching the
+            # wasted round would be the largest one (2× this round's
+            # levels of empty joins). Folding the max into the same
+            # 1-row aggregate makes the early exit FREE in the
+            # non-checkpoint path too — the old separate
+            # frontier.isEmpty() probe re-executed the round's whole
+            # chained-join lineage there, which cost more than the
+            # empty round it saved (so it used to be checkpoint-gated,
+            # and the non-checkpoint path paid the full extra round).
+            stats = nxt.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("depth").alias("deepest"),
+            ).collect()[0]
+            if stats["n"] == 0:
                 break
             visited = visited.unionByName(nxt)
-            # only the round's DEEPEST layer can still have unexplored
-            # neighbors (shallower new nodes were expanded in-round) —
-            # when it is empty, break NOW rather than let the next
-            # round discover it: with geometric batching the wasted
-            # round would be the largest one (2× this round's levels
-            # of empty joins, whose Catalyst analysis alone is
-            # driver-side milliseconds per level), and this emptiness
-            # check is a tiny job over the just-checkpointed rows
             frontier = nxt.filter(F.col("depth") == depth + batch)
             depth += batch
             rounds += 1
-            # the emptiness probe is only cheap when nxt was just
-            # checkpointed — un-checkpointed it RE-EXECUTES the whole
-            # round's chained-join lineage (which grows with the
-            # geometric batch), costing more than the empty round it
-            # would save
-            if use_checkpoint and depth < max_depth and frontier.isEmpty():
+            if depth < max_depth and stats["deepest"] < depth:
                 break
     finally:
         edges.unpersist()
