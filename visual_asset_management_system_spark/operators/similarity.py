@@ -534,6 +534,24 @@ def semdedup(
 # PartitionFilter.
 
 
+def _sqdist_fold(cents: "np.ndarray", q: list[float]) -> list[float]:
+    """Driver-side squared L2 distances to each centroid, accumulating
+    left-to-right like the JVM folds (:func:`_nearest_list` and the
+    batched probe's list assignment) — bit-identical IEEE doubles, so
+    a driver-chosen and a JVM-chosen probe list can never diverge on
+    near-tied centroid distances (numpy's pairwise-summed ``.sum()``
+    can differ from a sequential fold at the ULP level, which would be
+    enough to pick a different list)."""
+    out = []
+    for c in cents:
+        acc = 0.0
+        for x, y in zip(q, c):
+            d = float(x) - float(y)
+            acc = acc + d * d
+        out.append(acc)
+    return out
+
+
 def _ann_dirs(store_dir: str) -> str:
     import os
 
@@ -940,7 +958,10 @@ def ann_store_topk(
             f"ann store read: query dim {q.shape[0]} != index dim "
             f"{meta['dim']}"
         )
-    d2 = ((cents - q) ** 2).sum(axis=1)
+    # sequential fold, not numpy .sum: bit-identical to the JVM list
+    # assignment, so this probe and the batched form agree on
+    # near-tied centroids — see _sqdist_fold
+    d2 = _sqdist_fold(cents, [float(x) for x in q])
     probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
     vecs = _ann_dirs(store_dir)
     _recover_ann_store(vecs)

@@ -3015,10 +3015,18 @@ def _ann_knn_oracle() -> str:
     cents = np.asarray(
         [[float(x) for x in row] for row in tbl.column("embedding").to_pylist()]
     )
+    # probe lists via the SAME sequential left fold the engine uses
+    # (JVM zip_with/aggregate in ann_store_knn_join and the driver-side
+    # _sqdist_fold in ann_store_topk) — numpy's pairwise .sum can
+    # differ at the ULP on near-tied centroid distances, which would
+    # be enough to ship a different probe mapping than the engine
+    # derives (r12 advisory)
+    from .operators.similarity import _sqdist_fold
+
     pairs = []
     for qid in range(4):
-        q = np.asarray(_query_vector(_ORACLE_SF_DIR, qid), dtype=np.float64)
-        d2 = ((cents - q) ** 2).sum(axis=1)
+        q = [float(x) for x in _query_vector(_ORACLE_SF_DIR, qid)]
+        d2 = _sqdist_fold(cents, q)
         for lst in np.argsort(d2, kind="stable")[:4]:
             pairs.append(f"({qid}, {int(lst)})")
     probes = ", ".join(pairs)
