@@ -512,6 +512,88 @@ def _ann_probe_flatness(spark, sf_dir: str) -> dict:
     return out
 
 
+def _ann_sustained_upserts(spark, sf_dir: str, n_batches: int = 12) -> dict:
+    """The r13 evidence item (VERDICT r12 task 6): the live-key MERGE
+    under sustained re-embedding — the adversarial shape for keys/,
+    where every batch moves live rows ACROSS lists (so the key
+    relation churns instead of only appending). Protocol: seed the
+    store with the whole corpus, then apply ``n_batches`` update
+    batches; each batch takes a 1/8 id slice, re-embeds HALF of it
+    with negated+scaled vectors (negation flips the nearest-centroid
+    region, forcing cross-list moves) and replays the other half
+    byte-identically (the at-least-once shape). Live ids stay
+    constant throughout. UPDATE wall (append + key merge — the merge
+    reads keys/ + the seq-filtered delta, so its cost is O(live ids),
+    not O(ever-appended rows)) and PROBE wall are both sampled at the
+    first, middle, and last batch; sublinear means the last/first
+    ratios stay near 1 while raw appended rows grow ~2.5x."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_topk,
+    )
+    from visual_asset_management_system_spark.queries import tables
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    store = tempfile.mkdtemp(prefix="soak_ann_upsert_") + "/store"
+    ann_index_update(spark, store, emb, 64, n_lists=16, batch_key="seed")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    slice_len = max(n // 8, 2)
+
+    def batch_df(i: int):
+        lo = (i * slice_len) % max(n - slice_len, 1)
+        sl = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + slice_len)
+        )
+        scale = -(1.0 + (i + 1) / 100.0)  # differs per batch, flips region
+        moved = sl.filter(F.col("vec_id") % 2 == 0).select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") * F.lit(scale)
+            ).alias("embedding"),
+        )
+        replay = sl.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        return moved.unionByName(replay)
+
+    def probe():
+        return ann_store_topk(spark, store, q, k=10, nprobe=4).collect()
+
+    out: dict = {"live_ids": n, "n_batches": n_batches}
+    measure_at = {0: "first", n_batches // 2: "mid", n_batches - 1: "last"}
+    for i in range(n_batches):
+        df = batch_df(i)
+        if i in measure_at:
+            tag = measure_at[i]
+            out[f"update_{tag}_sec"] = _bestofn_stateful(
+                [store],
+                lambda df=df, i=i: ann_index_update(
+                    spark, store, df, 64, n_lists=16, batch_key=f"up{i}"
+                ),
+            )
+            out[f"probe_{tag}_sec"] = _bestofn(probe)
+        else:
+            ann_index_update(
+                spark, store, df, 64, n_lists=16, batch_key=f"up{i}"
+            )
+    out["raw_rows_final"] = spark.read.parquet(store + "/vectors").count()
+    out["live_ids_final"] = (
+        spark.read.parquet(store + "/keys").count()
+    )
+    for kind in ("update", "probe"):
+        first, last = out[f"{kind}_first_sec"], out[f"{kind}_last_sec"]
+        out[f"{kind}_last_over_first"] = (
+            round(last / first, 3) if first > 0 else None
+        )
+    return out
+
+
 def _suggest_percolate(spark, sf_dir: str, n_docs: int) -> dict:
     """One NON-DEGENERATE micro-batch through the suggest and percolate
     handler bodies at soak scale, with the plan-structure ceilings of
@@ -790,6 +872,20 @@ def main() -> None:
             }
         print(f"  ann probe {sf_name}: {ann_probe[sf_name]}", flush=True)
 
+    # ANN live-key merge under sustained cross-list upserts (r13)
+    ann_upserts = {}
+    for sf_name, sf_dir in (("sf0.1", sf01_dir), ("sf1", sf1_dir)):
+        try:
+            ann_upserts[sf_name] = _ann_sustained_upserts(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            ann_upserts[sf_name] = {
+                "error": f"{type(exc).__name__}: {exc}"[:300]
+            }
+        print(
+            f"  ann sustained upserts {sf_name}: {ann_upserts[sf_name]}",
+            flush=True,
+        )
+
     # step2: the sf1->sf3 curvature check (r10 found setsim at 1.68
     # BEFORE the positional filter; re-measure with it, and record the
     # candidate surface the filter removes)
@@ -853,13 +949,14 @@ def main() -> None:
         "bloom_prefilter": bloom,
         "suggest_percolate_sf1": suggest_percolate,
         "ann_probe_flatness": ann_probe,
+        "ann_sustained_upserts": ann_upserts,
         "sampling": "adaptive best-of-N (two warm samples within 25%)",
         "step2": step2,
     }
-    with open(os.path.join(REPO, "SOAK_r12.json"), "w") as f:
+    with open(os.path.join(REPO, "SOAK_r13.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
-    print("wrote SOAK_r12.json")
+    print("wrote SOAK_r13.json")
     spark.stop()
 
 
