@@ -107,10 +107,20 @@ def test_fingerprint_drift_is_flagged_stale():
         f"{len(missing)} drifted green names invisible to the recheck "
         f"machinery: {missing[:5]}"
     )
-    # capacity permitting, drift must actually reach the gate window
+    # capacity permitting, drift must actually reach the gate window.
+    # Capacity includes the manual _RECHECK_OVERRIDES: pins are
+    # deliberate recheck names with documented precedence (this-round
+    # algorithmic edits whose class-2 rows would sort behind the
+    # backfill), so a pin legitimately displaces a fingerprint-drifted
+    # backfill name when the window is full — what must never happen
+    # is drift invisible to the machinery (asserted above).
     order = e._driver_order(list(QUERIES))
     never = [n for n in QUERIES if n not in green]
-    if len(never) + len(drifted) <= e._GATE_WINDOW:
+    pinned_extra = [
+        n for n in e._RECHECK_OVERRIDES
+        if n in green and n not in drifted and n not in never
+    ]
+    if len(never) + len(drifted) + len(pinned_extra) <= e._GATE_WINDOW:
         window = set(order[: e._GATE_WINDOW])
         out = [n for n in drifted if n not in window]
         assert not out, f"drifted names pushed out of the window: {out[:5]}"
