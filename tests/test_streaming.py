@@ -3660,6 +3660,55 @@ def test_ann_index_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_ann_probe_list_fold_driver_jvm_bit_equality(spark):
+    """The r13 fold alignment's claim, pinned on random vectors: the
+    driver-side _sqdist_fold accumulates bit-identically to the JVM
+    zip_with/aggregate fold (_nearest_list's expression), so the
+    single-vector probe's driver-chosen lists and the batched probe's
+    JVM-chosen lists can never diverge — even on centroids constructed
+    to have near-tied distances."""
+    import random as _random
+
+    import numpy as _np
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        _nearest_list,
+        _sqdist_fold,
+    )
+
+    rng = _random.Random(41)
+    dim, n_cents, n_vecs = 16, 8, 60
+    cents = _np.asarray(
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_cents)]
+    )
+    # half random, half near-tied: vectors sitting ~midway between two
+    # centroids, where a ULP of accumulation difference flips argmin
+    vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_vecs // 2)]
+    for i in range(n_vecs // 2):
+        a, b = cents[i % n_cents], cents[(i + 1) % n_cents]
+        vecs.append(
+            [
+                (float(x) + float(y)) / 2.0 + rng.gauss(0, 1e-13)
+                for x, y in zip(a, b)
+            ]
+        )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    jvm = {
+        r["vec_id"]: r["l"]
+        for r in df.select(
+            "vec_id", _nearest_list(F.col("embedding"), cents).alias("l")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        d2 = _sqdist_fold(cents, v)
+        drv = min(range(n_cents), key=lambda j: (d2[j], j))
+        assert drv == jvm[i], (i, d2)
+
+
 def test_ann_knn_join_stream_matches_batch(spark, tmp_path):
     """Streaming form of the batched probe (r12 verdict task 5): query
     vectors arriving as two micro-batches through
