@@ -56,6 +56,14 @@ _BASELINE = {
     # back to the store-wide thin winner pass (stale keys path) —
     # that path is for crash healing only, never the steady state.
     "ann_read": {"exchanges": 1, "scans": 2, "min_broadcasts": 1},
+    # ann_knn_join (the streaming wrapper's batch body): the same TWO
+    # pruned scans as ann_read, the broadcast QUERY side (the knn_join
+    # discipline) plus the broadcast key semi-join, and exactly two
+    # shuffles — the byte-dup dropDuplicates and the per-query
+    # WindowGroupLimit partitionBy(query_id). A third scan means the
+    # live-key fallback ran; a third exchange means the top-k fell
+    # into a global sort or the query side lost its broadcast.
+    "ann_knn_join": {"exchanges": 2, "scans": 2, "min_broadcasts": 2},
     "setsim_update": {"exchanges": 8, "scans": 2, "min_broadcasts": 1},
     # suggest: measured 8 OR 9 with identical code (an AQE
     # broadcast<->shuffle seam that flips with session state); the
@@ -174,6 +182,30 @@ def _build_ann_read(spark, tmp):
         n_lists=4, batch_key="b1",
     )
     return ann_store_topk(spark, st, rows[0][1], k=5, nprobe=2)
+
+
+def _build_ann_knn_join(spark, tmp):
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_knn_join,
+    )
+
+    st = os.path.join(tmp, "annkj")
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(40)]
+    schema = "vec_id long, embedding array<float>"
+    ann_index_update(
+        spark, st, spark.createDataFrame(rows[:20], schema), 8,
+        n_lists=4, batch_key="b0",
+    )
+    ann_index_update(
+        spark, st, spark.createDataFrame(rows[20:], schema), 8,
+        n_lists=4, batch_key="b1",
+    )
+    qdf = spark.createDataFrame(
+        [(100 + i, rows[i][1]) for i in range(3)],
+        "query_id long, embedding array<float>",
+    )
+    return ann_store_knn_join(spark, st, qdf, k=5, nprobe=2)
 
 
 def _build_bottomk_read(spark, tmp):
@@ -330,6 +362,7 @@ _BUILDERS = {
     "bloom_read": _build_bloom_read,
     "bottomk_read": _build_bottomk_read,
     "ann_read": _build_ann_read,
+    "ann_knn_join": _build_ann_knn_join,
     "setsim_update": _build_setsim_update,
     "suggest_update": _build_suggest_update,
     "percolate": _build_percolate,
