@@ -756,6 +756,22 @@ def test_zero_norm_vectors_score_null_not_error(spark):
     assert [r["vec_id"] for r in zeroq] == [0, 1, 2, 3]
     assert all(r["cosine_sim"] is None for r in zeroq)
 
+    # approximate tiers: a zero QUERY vector bucket-assigns fine (all
+    # hyperplane dots are 0 -> bucket 0; L2 list assignment needs no
+    # division) and returns NULL-scored candidates instead of raising
+    from visual_asset_management_system_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+        sample_centroids,
+    )
+
+    lsh_got = lsh_topk(emb, [0.0] * dim, k=4, n_planes=4).collect()
+    assert all(r["cosine_sim"] is None for r in lsh_got)
+    cents = sample_centroids(emb.filter(F.col("vec_id") != 2), 2)
+    ivf_got = ivf_topk(emb, [0.0] * dim, cents, k=4, nprobe=2).collect()
+    assert all(r["cosine_sim"] is None for r in ivf_got)
+    assert len(ivf_got) == 4
+
     # pair surface: NULL >= min_cosine is NULL -> zero vectors form no
     # pairs (never near-dups), and semdedup keeps them
     many_zero = spark.createDataFrame(

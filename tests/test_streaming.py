@@ -3770,6 +3770,42 @@ def test_ann_knn_join_stream_matches_batch(spark, tmp_path):
     ).awaitTermination(120)
     assert read_results() == want
 
+    # index updates interleaving with query batches: a later
+    # micro-batch probes the store AS OF its execution (the documented
+    # read-only-enrichment semantics) — re-embed id 0 far away, then
+    # stream one more query batch and expect the batch-form result
+    # against the UPDATED store
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+    )
+
+    ann_index_update(
+        spark, store,
+        spark.createDataFrame([(0, [99.0] * 8)], schema),
+        8, n_lists=4, batch_key="mid-stream",
+    )
+    write_batch("q3.json", [(200, rows[1][1])])
+    start_ann_knn_join_stream(
+        spark, qdir, store, results, ckpt, k=5, nprobe=2,
+    ).awaitTermination(120)
+    got3 = {
+        (r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in spark.read.parquet(results).filter(
+            F.col("query_id") == 200
+        ).collect()
+    }
+    want3 = {
+        (r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in ann_store_knn_join(
+            spark, store,
+            spark.createDataFrame(
+                [(200, rows[1][1])], "query_id long, embedding array<float>"
+            ),
+            k=5, nprobe=2,
+        ).collect()
+    }
+    assert got3 == want3
+
 
 def test_cms_store_split_replay_compaction_equivalence(spark, tmp_path):
     """Maintained count-min store: additive state with the gram-store
