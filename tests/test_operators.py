@@ -705,6 +705,75 @@ def test_pairwise_cosine_bucket_cap_defuses_pair_bomb(spark):
     assert rows == {(100, 101)}
 
 
+def test_sq8_quantized_topk_matches_exact_with_rerank(spark):
+    """SQ8 tier (operators/similarity.py quantize_embeddings /
+    cosine_topk_quantized): (a) dequantization error is bounded by
+    q_scale/2 per element; (b) the two-stage probe — int8 approximate
+    ranking, exact re-rank of the top `rerank` — returns EXACTLY the
+    brute-force top-10 on the fixture embeddings (final scores are
+    exact by construction; with rerank far above k the true top-k
+    survives the approximate cut); (c) zero stored vectors carry NULL
+    q8 and rank last; a zero QUERY falls back to the exact tier's
+    NULL contract; (d) stage 1 is TakeOrderedAndProject (no global
+    sort) and stage 2 broadcasts the bounded survivor set."""
+    from visual_asset_management_system_spark.operators.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+    from visual_asset_management_system_spark.queries import _query_vector
+
+    emb = tables(spark, SF)["embeddings"]
+    qv = _query_vector(SF)
+    quant = quantize_embeddings(emb)
+
+    # (a) roundtrip bound: |q8*q_scale - x| <= q_scale/2 element-wise
+    joined = quant.join(emb, "vec_id").select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    F.col("q8"),
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    lambda q, x: F.abs(
+                        q.cast("double") * F.col("q_scale") - x
+                    ) - F.col("q_scale") / 2,
+                ),
+                F.lit(-1.0),
+                lambda acc, v: F.greatest(acc, v),
+            )
+        ).alias("worst")
+    ).collect()[0]
+    assert joined["worst"] <= 1e-12
+
+    # (b) equality with brute force
+    exact = [(r["vec_id"], r["cosine_sim"])
+             for r in cosine_topk(emb, qv, k=10).collect()]
+    got_df = cosine_topk_quantized(quant, emb, qv, k=10, rerank=100)
+    got = [(r["vec_id"], r["cosine_sim"]) for r in got_df.collect()]
+    assert got == exact
+
+    # (d) plan shape: heap-based top-rerank + broadcast survivor join
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+    # (c) zero vectors: NULL q8 on the stored side, exact-tier
+    # fallback for a zero query
+    zemb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    zq = quantize_embeddings(zemb)
+    rows = {r["vec_id"]: r for r in zq.collect()}
+    assert rows[1]["q8"] is None and rows[1]["q_scale"] is None
+    assert rows[0]["q8"] is not None
+    got0 = cosine_topk_quantized(zq, zemb, [1.0, 0.0], k=3, rerank=3).collect()
+    assert [r["vec_id"] for r in got0] == [0, 2, 1]
+    assert got0[-1]["cosine_sim"] is None
+    gotz = cosine_topk_quantized(zq, zemb, [0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in gotz] == [0, 1, 2]
+    assert all(r["cosine_sim"] is None for r in gotz)
+
+
 def test_zero_norm_vectors_score_null_not_error(spark):
     """Spark 4's ANSI mode raises DIVIDE_BY_ZERO on a plain ``/`` the
     moment a zero-L2-norm embedding (failed encode, padding row)

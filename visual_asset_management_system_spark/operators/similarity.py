@@ -1292,3 +1292,122 @@ def start_ann_knn_join_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) — narrow-scan probe + exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the FAISS
+    SQ8 discipline re-expressed as columns: ``(id, q8 array<tinyint>,
+    q_scale double, nrm double)`` where ``x[i] ≈ q8[i] · q_scale`` and
+    ``nrm`` is the EXACT L2 norm captured at quantization time (so the
+    probe's approximate cosine divides by true norms and its only
+    error is the dot's quantization noise).
+
+    100 TB posture: this is the relation the first-pass probe scans —
+    1 byte per element instead of the float32/float64 vector (4-8×
+    scan I/O cut), with the full-precision relation touched only for
+    the ``rerank`` survivors (:func:`cosine_topk_quantized`). All
+    JVM-side array expressions; a ZERO vector gets NULL q8/q_scale/nrm
+    (nothing to scale) and scores NULL downstream, consistent with the
+    engine-wide zero-norm semantics."""
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = embeddings.select(
+        F.col(id_col),
+        vec_d.alias("_v"),
+        F.aggregate(
+            vec_d, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+        ).alias("_maxabs"),
+    ).select(
+        id_col,
+        "_v",
+        F.when(F.col("_maxabs") > 0, F.col("_maxabs") / F.lit(127.0)).alias(
+            "q_scale"
+        ),
+    )
+    return staged.select(
+        id_col,
+        F.when(
+            F.col("q_scale").isNotNull(),
+            F.transform(
+                F.col("_v"),
+                lambda x: F.round(x / F.col("q_scale")).cast("tinyint"),
+            ),
+        ).alias("q8"),
+        "q_scale",
+        F.when(F.col("q_scale").isNotNull(), l2_norm(F.col("_v"))).alias(
+            "nrm"
+        ),
+    )
+
+
+def cosine_topk_quantized(
+    quantized: DataFrame,
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage exact-rerank probe over the SQ8 relation: (1) rank
+    EVERY row by the asymmetric int8 approximate cosine — int8×int8
+    dot accumulated JVM-side, rescaled by (q_scale · query_scale),
+    divided by the TRUE norms captured at quantization — and keep the
+    top ``rerank`` via TakeOrderedAndProject (per-partition heaps, no
+    global sort); (2) semi-join the full-precision vectors for those
+    survivors only (broadcast — the rerank set is bounded by the
+    parameter, the provably-bounded class) and return
+    :func:`cosine_topk` over them, so the FINAL scores are exact and
+    the result equals brute force whenever the true top-k survives
+    the rerank cut (quantization error bounds the miss margin to
+    ~|q_scale|·√dim per dot; rerank ≥ 10k absorbs it in practice).
+
+    Zero-norm rows carry NULL q8 → NULL approximate score → sort last
+    in stage 1, mirroring the exact tier's NULL semantics."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    maxabs = float(np.max(np.abs(q))) if q.size else 0.0
+    if maxabs <= 0:
+        # a zero-norm query scores NULL everywhere — the approximate
+        # stage has no signal to rank by, so hand the whole task to
+        # the exact tier (which returns k NULL-scored, id-ordered
+        # rows, the engine-wide zero-norm contract)
+        return cosine_topk(
+            embeddings, query_vector, k, id_col, vec_col, round_digits
+        )
+    q_scale = maxabs / 127.0
+    q8q = [int(round(float(x) / q_scale)) for x in q]
+    q8q_lit = F.array(*[F.lit(v).cast("int") for v in q8q])
+    q_norm = F.lit(_py_l2_norm(query_vector))
+    approx_dot = (
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("q8"), lambda x: x.cast("int")),
+                q8q_lit,
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        * F.col("q_scale")
+        * F.lit(q_scale)
+    )
+    survivors = (
+        quantized.select(
+            F.col(id_col),
+            F.try_divide(approx_dot, F.col("nrm") * q_norm).alias("_approx"),
+        )
+        .orderBy(F.col("_approx").desc(), F.col(id_col).asc())
+        .limit(rerank)
+        .select(id_col)
+    )
+    fetched = embeddings.join(F.broadcast(survivors), id_col, "left_semi")
+    return cosine_topk(fetched, query_vector, k, id_col, vec_col, round_digits)
