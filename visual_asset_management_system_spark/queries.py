@@ -2733,6 +2733,44 @@ def q_knn_cosine(spark, sf_dir):
     return cosine_topk(t["embeddings"], _query_vector(sf_dir), k=10)
 
 
+@query(
+    "q_knn_sq8_rerank",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_o_cosine('e.embedding', 'q.qv')}, 6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_knn_sq8_rerank(spark, sf_dir):
+    """SQ8 quantized top-k with exact re-rank (operators/similarity.py
+    quantize_embeddings + cosine_topk_quantized): stage 1 ranks by the
+    asymmetric int8 approximate cosine over the NARROW (q8, q_scale,
+    nrm) relation — 1 byte/element instead of 4, the 100 TB scan-I/O
+    cut (measured 3.2x smaller on parquet, SOAK_r13 sq8_probe) — via
+    TakeOrderedAndProject; stage 2 fetches full vectors for only the
+    bounded `rerank` survivors (broadcast semi-join) and scores them
+    EXACTLY. The oracle is the exact cosine top-10 (the q_lsh_ann
+    discipline for approximate tiers): final scores are exact by
+    construction, and with rerank=100 >> k=10 the true top-k survives
+    the approximate cut — the pinned fixture test asserts strict
+    equality, so a hash mismatch here means the quantization or
+    rescale drifted."""
+    from .operators.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"]
+    return cosine_topk_quantized(
+        quantize_embeddings(emb), emb, _query_vector(sf_dir),
+        k=10, rerank=100,
+    )
+
+
 def _lsh_oracle() -> str:
     """Generated oracle for the LSH ANN query: inlines the deterministic
     hyperplanes and the probe-bucket list computed from the correctness-SF
