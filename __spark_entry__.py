@@ -62,25 +62,16 @@ _RECHECK_OVERRIDES: list[str] = [
     # driver-green in CORRECTNESS_r12; any r13 edits to their engine
     # paths are caught by the hash-drift class.)
     #
-    # r13: ALGORITHMIC engine edits this round whose class-2 rows
-    # would otherwise sort behind the backfill remainder and out of
-    # the window (the documented legitimate pin): every cosine path
-    # moved to try_divide for zero-norm NULL semantics and the ANN
-    # probe-list fold was aligned driver/JVM (similarity.py — the 8
-    # similarity names), q_doc_setsim_join's positional filter
-    # defaulted off (dedup.py), and descendants' loop exits folded
-    # into one aggregate probe (graph.py). Remove after the r13 gate
-    # lands.
-    "q_knn_cosine",
-    "q_knn_join",
-    "q_lsh_ann",
-    "q_ivf_ann",
-    "q_ivf_ann_kmeans",
-    "q_ann_store_topk",
-    "q_ann_store_knn_join",
-    "q_doc_setsim_join",
-    "q_vams_descendants",
-    "q_vams_related_components",
+    # (r13 pins — the 8 similarity names + q_doc_setsim_join +
+    # q_vams_descendants/q_vams_related_components — pruned: all ten
+    # driver-green in CORRECTNESS_r13; hash-drift covers further edits.)
+    #
+    # r14: the round's one sanctioned algorithmic edit —
+    # q_embedding_quantize's zero-scale divide NULL-guarded (the last
+    # realistic ANSI divide site, queries.py) with oracle NULL
+    # mirroring. Pin it so the edited query re-greens this window.
+    # Remove after the r14 gate lands.
+    "q_embedding_quantize",
 ]
 
 #: the driver's oracle gate checks this many leading queries() entries

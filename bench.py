@@ -422,8 +422,14 @@ def main() -> None:
         # methodology (published numbers are min-of-samples): a
         # single-sample divisor would carry stall noise the query
         # numbers deliberately shed, biasing normalized values low.
+        # segment index in the error key: any one failed probe voids
+        # all spark-normalized figures, so the artifact must show WHICH
+        # probe failed rather than last-failure-wins under one key
         if (idx + 1) % _SEGMENT_LEN == 0 or idx + 1 == len(BENCH_QUERIES):
-            _safe("_calibrate_spark_seg", lambda: _spark_probe(2))
+            _safe(
+                f"_calibrate_spark_seg{idx // _SEGMENT_LEN}",
+                lambda: _spark_probe(2),
+            )
 
     sf = None
     tail = os.path.basename(SF_DIR.rstrip("/"))

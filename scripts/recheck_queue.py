@@ -38,9 +38,12 @@ def main() -> None:
     window = names[: e._GATE_WINDOW]
     wset = set(window)
 
+    # skip non-numeric suffixes (e.g. a stray CORRECTNESS_rtest.json)
+    # instead of AttributeError-ing the round-start ritual
     rounds = sorted(
-        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        int(m.group(1))
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"r(\d+)", os.path.basename(p)))
     )
     last_round = rounds[-1] if rounds else None
     # a pin is SPENT when its latest row is green in the newest gate

@@ -3,6 +3,8 @@ normalization functions, workflow runner, keyset pagination."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -853,6 +855,71 @@ def test_zero_norm_vectors_score_null_not_error(spark):
     kept = {r["vec_id"]: r["is_kept"] for r in
             semdedup(many_zero, dim=dim, min_cosine=0.9).collect()}
     assert kept == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_embedding_quantize_zero_vector_is_null_not_error(spark, tmp_path):
+    """q_embedding_quantize's scale = max|x|/127 is 0 for a zero
+    vector; before the r14 guard the code lambda's plain ``/`` raised
+    DIVIDE_BY_ZERO under ANSI mode — the last unguarded realistic
+    divide site in the engine (r13 closed every cosine path). The
+    query must instead yield NULL scale_r6/q_sum/q_l1 for the zero
+    row, mirroring the DuckDB oracle (x/0 → NULL; CASE-guarded sums)
+    and `quantize_embeddings`' NULL q8/q_scale/nrm contract. Planted
+    zero vector → both engines, full differential compare."""
+    import duckdb
+
+    from visual_asset_management_system_spark.queries import (
+        ORACLES,
+        QUERIES,
+    )
+
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0], 0),
+        (1, [0.0, 0.0, 0.0, 0.0], 0),  # planted zero vector
+        (2, [-0.125, 2.0, 1.5, -0.75], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path / "sf_zero")
+    os.makedirs(sf_dir)
+    # tables() loads the full catalog eagerly — symlink the other
+    # tables from the smallest fixture and override only embeddings
+    for p in os.listdir(SF):
+        if p.endswith(".parquet") and p != "embeddings.parquet":
+            os.symlink(os.path.join(SF, p), os.path.join(sf_dir, p))
+    emb.coalesce(1).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: (r["scale_r6"], r["q_sum"], r["q_l1"])
+        for r in QUERIES["q_embedding_quantize"](spark, sf_dir).collect()
+    }
+    assert got[1] == (None, None, None)  # the zero row: NULL as a unit
+    assert got[0][0] is not None and got[0][1] is not None
+    assert got[2][0] is not None and got[2][2] is not None
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'embeddings.parquet')}/*.parquet'"
+    )
+    duck = {
+        r[0]: (
+            float(r[1]) if r[1] is not None else None,
+            r[2],
+            r[3],
+        )
+        for r in con.sql(ORACLES["q_embedding_quantize"]).fetchall()
+    }
+    assert set(duck) == set(got)
+    for vid in got:
+        s_scale, s_sum, s_l1 = got[vid]
+        d_scale, d_sum, d_l1 = duck[vid]
+        if s_scale is None:
+            assert d_scale is None
+        else:
+            assert abs(s_scale - d_scale) < 1e-12
+        assert s_sum == d_sum and s_l1 == d_l1
 
 
 def test_lsh_ann_bucketed_probe_is_partition_pruned(spark, tmp_path):

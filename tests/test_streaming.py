@@ -3319,12 +3319,18 @@ def test_ann_store_empty_first_batch_with_centroids_backfills(
     first batch writes zero part-files — the key merge must treat
     that as a silent no-op instead of failing on a schema-less
     parquet read, and the subsequent real append must leave a fully
-    probed store."""
+    probed store. READS between the create and the first real append
+    (the r13 advisory's other half) must return empty/zero results —
+    every probe surface (topk, knn-join, read, compaction) over the
+    fileless store, not unable-to-infer-schema."""
     import numpy as _np
 
     from visual_asset_management_system_spark.operators.similarity import (
         ann_index_update,
+        ann_store_knn_join,
+        ann_store_read,
         ann_store_topk,
+        compact_ann_store,
     )
 
     schema = "vec_id long, embedding array<float>"
@@ -3340,6 +3346,17 @@ def test_ann_store_empty_first_batch_with_centroids_backfills(
         spark.createDataFrame([(None, None)], schema),
         2, n_lists=2, batch_key="nulls",
     )
+    # probing the row-less store: empty typed results, never a
+    # schema-inference crash
+    assert ann_store_topk(
+        spark, store, [1.0, 0.0], k=5, nprobe=1
+    ).collect() == []
+    assert ann_store_read(spark, store).collect() == []
+    qdf = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    assert ann_store_knn_join(spark, store, qdf, k=3).collect() == []
+    assert compact_ann_store(spark, store) == 0
     ann_index_update(
         spark, store,
         spark.createDataFrame(

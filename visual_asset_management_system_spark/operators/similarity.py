@@ -574,6 +574,8 @@ def _ann_meta(
     centroids: "np.ndarray | None" = None,
     bump_seq: bool = False,
     vec_type: str | None = None,
+    id_type: str | None = None,
+    vec_name: str | None = None,
 ) -> dict:
     """Load / validate / initialize the sidecar holding the index
     FORMAT: frozen centroids, dim, n_lists, and the monotone update
@@ -657,6 +659,12 @@ def _ann_meta(
             # probe-flatness section re-embedding with a double-typed
             # expression).
             "vec_type": vec_type or "array<float>",
+            # the id column's type and vector column's name are format
+            # too — needed to type the EMPTY vectors relation when a
+            # created-but-unbackfilled store (centroids seeded, zero
+            # part files) is probed
+            "id_type": id_type or "bigint",
+            "vec_name": vec_name or "embedding",
         }
     else:
         if dim is not None and int(meta["dim"]) != int(dim):
@@ -685,8 +693,10 @@ def _ann_meta(
     if bump_seq:
         # legacy (pre-r12) sidecars carry no vec_type: adopt float —
         # what every r11-era store holds — and persist it with the
-        # sequence bump
+        # sequence bump (likewise id_type, pre-r14)
         meta.setdefault("vec_type", "array<float>")
+        meta.setdefault("id_type", id_type or "bigint")
+        meta.setdefault("vec_name", vec_name or "embedding")
         meta["seq"] = int(meta.get("seq", 0)) + 1
         os.makedirs(store_dir, exist_ok=True)
         tmp = path + ".tmp"
@@ -736,6 +746,8 @@ def ann_index_update(
     meta = _ann_meta(
         store_dir, "update", dim, n_lists, centroids, bump_seq=True,
         vec_type=new_embeddings.schema[vec_col].dataType.simpleString(),
+        id_type=new_embeddings.schema[id_col].dataType.simpleString(),
+        vec_name=vec_col,
     )
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     assigned = (
@@ -796,6 +808,25 @@ def _has_parquet_files(path: str) -> bool:
         if any(f.endswith(".parquet") for f in files):
             return True
     return False
+
+
+def _ann_empty_vectors(spark, meta: dict, id_col: str, vec_col: str):
+    """Typed EMPTY vectors relation for a created-but-unbackfilled
+    store (centroids seeded, zero part files): the append schema from
+    the sidecar's frozen types, so probing between create and the
+    first real append returns an empty result instead of
+    unable-to-infer-schema — the read-side twin of the
+    create-then-backfill no-op guard in :func:`_merge_ann_keys`.
+    Legacy sidecars without id_type default to bigint (every fixture
+    store's id); a fileless legacy store is the only case where that
+    default could matter and none can exist (pre-r13 creates always
+    wrote rows)."""
+    return spark.createDataFrame(
+        [],
+        f"{id_col} {meta.get('id_type', 'bigint')}, "
+        f"{vec_col} {meta.get('vec_type', 'array<float>')}, "
+        "_seq bigint, _rh bigint, batch_key string, _list int",
+    )
 
 
 def _merge_ann_keys(spark, store_dir, meta: dict, id_col: str) -> None:
@@ -875,6 +906,12 @@ def _ann_live_keys(
     thin_cols = [id_col, "_seq", "_rh", "_list"]
     vecs = _ann_dirs(store_dir)
     _recover_ann_store(vecs)
+    if not _has_parquet_files(vecs):
+        # created-but-unbackfilled store: no rows ⇒ no live keys
+        # (keys/ cannot exist yet — its merge no-ops on the same guard)
+        return _ann_empty_vectors(
+            spark, meta, id_col, meta.get("vec_name", "embedding")
+        ).select(*thin_cols)
     delta = spark.read.parquet(vecs).select(*thin_cols)
     if have:
         delta = (
@@ -913,10 +950,15 @@ def ann_store_read(
     under a higher seq, so the winner's VALUES are unchanged —
     replays are free. Reader-side work grows with appended batches
     until :func:`compact_ann_store` re-bounds it."""
-    _ann_meta(store_dir, "read")
+    meta = _ann_meta(store_dir, "read")
     vecs = _ann_dirs(store_dir)
     _recover_ann_store(vecs)
-    rows = spark.read.parquet(vecs)
+    if not _has_parquet_files(vecs):
+        rows = _ann_empty_vectors(
+            spark, meta, id_col, meta.get("vec_name", "embedding")
+        )
+    else:
+        rows = spark.read.parquet(vecs)
     return _ann_winners(rows, id_col).drop("_seq", "_rh", "batch_key")
 
 
@@ -965,7 +1007,12 @@ def ann_store_topk(
     probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
     vecs = _ann_dirs(store_dir)
     _recover_ann_store(vecs)
-    rows = spark.read.parquet(vecs)
+    if _has_parquet_files(vecs):
+        rows = spark.read.parquet(vecs)
+    else:
+        # created-but-unbackfilled store: probe an empty typed relation
+        # (0-row result) instead of unable-to-infer-schema
+        rows = _ann_empty_vectors(spark, meta, id_col, vec_col)
     live_keys = (
         _ann_live_keys(spark, store_dir, meta, id_col)
         .filter(F.col("_list").isin(*probe))
@@ -1054,7 +1101,9 @@ def compact_ann_store(
     _ann_meta(store_dir, "compaction")
     vecs = _ann_dirs(store_dir)
     _recover_ann_store(vecs)
-    if not os.path.isdir(vecs):
+    if not os.path.isdir(vecs) or not _has_parquet_files(vecs):
+        # absent OR created-but-unbackfilled (zero part files): nothing
+        # to re-bound, and reading the fileless dataset would raise
         return 0
     compacted = (
         _ann_winners(spark.read.parquet(vecs), id_col)
@@ -1194,8 +1243,15 @@ def ann_store_knn_join(
         .filter(flt)
         .select(id_col, "_seq", "_rh")
     )
-    fetched = (
+    raw = (
         spark.read.parquet(vecs)
+        if _has_parquet_files(vecs)
+        # created-but-unbackfilled store: empty typed relation, 0-row
+        # result per query instead of unable-to-infer-schema
+        else _ann_empty_vectors(spark, meta, id_col, vec_col)
+    )
+    fetched = (
+        raw
         .filter(flt)
         .join(live_keys, [id_col, "_seq", "_rh"], "left_semi")
         .dropDuplicates([id_col])
@@ -1368,8 +1424,17 @@ def cosine_topk_quantized(
     parameter, the provably-bounded class) and return
     :func:`cosine_topk` over them, so the FINAL scores are exact and
     the result equals brute force whenever the true top-k survives
-    the rerank cut (quantization error bounds the miss margin to
-    ~|q_scale|·√dim per dot; rerank ≥ 10k absorbs it in practice).
+    the rerank cut. Quantization error bounds the per-dot miss margin
+    to ~|q_scale|·√dim, so the safe rerank is CORPUS-SHAPED, not a
+    constant: the gated `q_knn_sq8_rerank` ships rerank=100 and its
+    oracle pins exact equality on the fixture embeddings (top-10
+    equal at sf0.01, sf0.1, and sf1 — the approximate ranking's
+    worst observed displacement there is far inside 100); a corpus
+    with adversarially-tight cosine margins (many neighbors within
+    the quantization noise of the k-th score) needs a larger rerank —
+    size it so the noise margin times the local neighbor density
+    stays under the cut, and validate like the fixture does (compare
+    against :func:`cosine_topk` on a sample) before trusting hashes.
 
     Zero-norm rows carry NULL q8 → NULL approximate score → sort last
     in stage 1, mirroring the exact tier's NULL semantics."""

@@ -6761,20 +6761,28 @@ def q_fuzzy_name_match(spark, sf_dir):
 @query(
     "q_embedding_quantize",
     """
+    WITH sc AS (
+        SELECT vec_id, embedding,
+               CASE WHEN list_max(list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE)))) > 0
+                    THEN list_max(list_transform(embedding,
+                             x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               END AS scale
+        FROM embeddings
+    )
     SELECT vec_id,
-           ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-                 / 127.0, 6) AS scale_r6,
-           CAST(list_sum(list_transform(embedding,
-                x -> CAST(FLOOR(CAST(x AS DOUBLE)
-                          / (list_max(list_transform(embedding,
-                                 y -> abs(CAST(y AS DOUBLE)))) / 127.0)
-                          + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
-           CAST(list_sum(list_transform(embedding,
-                x -> abs(CAST(FLOOR(CAST(x AS DOUBLE)
-                          / (list_max(list_transform(embedding,
-                                 y -> abs(CAST(y AS DOUBLE)))) / 127.0)
-                          + 0.5) AS BIGINT)))) AS BIGINT) AS q_l1
-    FROM embeddings
+           ROUND(scale, 6) AS scale_r6,
+           CASE WHEN scale IS NOT NULL THEN
+               CAST(list_sum(list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5)
+                         AS BIGINT))) AS BIGINT)
+           END AS q_sum,
+           CASE WHEN scale IS NOT NULL THEN
+               CAST(list_sum(list_transform(embedding,
+                    x -> abs(CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5)
+                             AS BIGINT)))) AS BIGINT)
+           END AS q_l1
+    FROM sc
     ORDER BY vec_id
     LIMIT 500
     """,
@@ -6786,7 +6794,11 @@ def q_embedding_quantize(spark, sf_dir):
     floor(x/scale + 0.5) (explicit half-up on exact doubles, so both
     engines produce bit-identical integer codes — verified via the exact
     integer checksums q_sum/q_l1 rather than a float reconstruction
-    error that would only test rounding). Pure array expressions over
+    error that would only test rounding). A ZERO vector has nothing to
+    scale: scale/q_sum/q_l1 are NULL, matching the engine-wide zero-norm
+    contract (`quantize_embeddings` in operators/similarity.py) and the
+    DuckDB oracle's x/0 → NULL semantics — this was the engine's last
+    unguarded realistic ANSI divide site. Pure array expressions over
     the vector column: no shuffle, no UDF, linear scan — the shape that
     streams through 100 TB of vectors at NIC speed."""
     t = tables(spark, sf_dir)
@@ -6795,26 +6807,36 @@ def q_embedding_quantize(spark, sf_dir):
     # higher-order-function lambda it would be re-evaluated (an O(d)
     # reduction) once per ELEMENT — O(d²)/row — because Spark's
     # subexpression elimination does not hoist loop-invariant subtrees
-    # out of lambda bodies
+    # out of lambda bodies. The NULL guard (rather than try_divide
+    # inside the lambda) keeps the zero-vector row's q_sum/q_l1 NULL
+    # as a unit instead of summing over a NULL-element array.
+    maxabs = F.array_max(F.transform("embedding", absd))
     scaled = t["embeddings"].withColumn(
-        "_scale", F.array_max(F.transform("embedding", absd)) / F.lit(127.0)
+        "_scale", F.when(maxabs > 0, maxabs / F.lit(127.0))
     )
     code = lambda x: F.floor(  # noqa: E731
         x.cast("double") / F.col("_scale") + F.lit(0.5)
     ).cast("bigint")
     codes = F.transform("embedding", code)
+    guarded = lambda c: F.when(  # noqa: E731
+        F.col("_scale").isNotNull(), c
+    )
     return (
         scaled.withColumn("_codes", codes)
         .select(
             "vec_id",
             F.round(F.col("_scale"), 6).alias("scale_r6"),
-            F.aggregate(
-                "_codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            guarded(
+                F.aggregate(
+                    "_codes", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+                )
             ).alias("q_sum"),
-            F.aggregate(
-                "_codes",
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + F.abs(x),
+            guarded(
+                F.aggregate(
+                    "_codes",
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.abs(x),
+                )
             ).alias("q_l1"),
         )
         .orderBy("vec_id")
