@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "q_ann_store_topk",
     # round-12: batched query-table probes over the maintained index
     "q_ann_store_knn_join",
+    # round-13: SQ8 int8 first pass + exact re-rank — tracked so the
+    # tier's two-job latency floor is visible round-over-round
+    "q_knn_sq8_rerank",
 ]
 
 

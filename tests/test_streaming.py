@@ -3259,6 +3259,129 @@ def test_ann_store_stats_observes_skew_and_compaction_debt(
     assert sum(lv for lv, _ in after.values()) == 40
 
 
+def test_ann_store_sq8_sidecar_parity_plan_replay_compaction(
+    spark, tmp_path
+):
+    """r14 (verdict task 4): the maintained store's SQ8 sidecar. The
+    quantized probe must (a) equal the exact probe whenever the true
+    top-k survives the rerank cut — pinned here with rerank covering
+    every live row, so equality is unconditional; (b) scan THREE
+    pruned parquet datasets (keys, the narrow q8/ sidecar, vectors)
+    with the rerank survivors broadcast into the float fetch;
+    (c) survive replay (identical rows under higher seqs); (d) keep
+    parity across compaction, which re-bounds q8/ to one row per live
+    id; (e) HEAL a pre-sidecar store (q8/ absent, no q8_seq): parity
+    read-only via vector-store catch-up, then the next update/compact
+    persists the sidecar and restores the narrow-scan plan."""
+    import json
+    import re
+    import shutil
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_topk,
+        ann_store_topk_quantized,
+        compact_ann_store,
+    )
+
+    store, rows, schema = _mk_ann_store(spark, tmp_path)
+    q = rows[1][1]
+
+    def exact(k=8):
+        return [
+            (r["vec_id"], r["cosine_sim"])
+            for r in ann_store_topk(
+                spark, store, q, k=k, nprobe=2
+            ).collect()
+        ]
+
+    def quant(k=8, rerank=100):
+        return [
+            (r["vec_id"], r["cosine_sim"])
+            for r in ann_store_topk_quantized(
+                spark, store, q, k=k, nprobe=2, rerank=rerank
+            ).collect()
+        ]
+
+    def plan():
+        return (
+            ann_store_topk_quantized(spark, store, q, k=8, nprobe=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    assert quant() == exact()
+
+    p = plan()
+    scans = re.findall(r"FileScan parquet", p)
+    assert len(scans) == 3, f"keys + q8 + vectors only: {p}"
+    pfs = re.findall(r"PartitionFilters: \[[^\]]*_list[^\]]*IN[^\]]*\]", p)
+    assert len(pfs) == 3, f"all three scans must prune to probed lists: {p}"
+    # the first pass reads the 1-byte codes, not the float vectors
+    assert "q8:array<tinyint>" in p, f"narrow sidecar scan missing: {p}"
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p), p
+
+    # (c) replay: the second half re-delivered verbatim
+    ann_index_update(
+        spark, store, spark.createDataFrame(rows[20:], schema), 8,
+        n_lists=4, batch_key="b1-replay",
+    )
+    assert quant() == exact()
+
+    # (d) compaction re-bounds BOTH datasets to one row per live id
+    nrows = compact_ann_store(spark, store)
+    assert nrows == 40
+    assert spark.read.parquet(os.path.join(store, "q8")).count() == 40
+    assert quant() == exact()
+
+    # (e) pre-sidecar store: q8/ gone, watermark gone — parity must
+    # hold read-only (catch-up quantizes the missed rows from the
+    # vector store), and the next update persists the sidecar
+    shutil.rmtree(os.path.join(store, "q8"))
+    mpath = os.path.join(store, "ann_meta.json")
+    with open(mpath) as f:
+        meta = json.load(f)
+    meta.pop("q8_seq")
+    with open(mpath, "w") as f:
+        json.dump(meta, f)
+    assert quant() == exact()
+    ann_index_update(
+        spark, store, spark.createDataFrame([(99, [9.0] * 8)], schema), 8,
+        n_lists=4, batch_key="b3",
+    )
+    with open(mpath) as f:
+        healed = json.load(f)
+    assert healed["q8_seq"] == healed["seq"]
+    assert quant() == exact()
+    p2 = plan()
+    assert len(re.findall(r"FileScan parquet", p2)) == 3, p2
+
+    # zero-norm rows rank last as NULL through BOTH tiers; a zero
+    # query delegates to the exact tier
+    ann_index_update(
+        spark, store, spark.createDataFrame([(100, [0.0] * 8)], schema),
+        8, n_lists=4, batch_key="b4",
+    )
+    we = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_store_topk(spark, store, q, k=50, nprobe=4).collect()
+    ]
+    wq = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_store_topk_quantized(
+            spark, store, q, k=50, nprobe=4, rerank=200
+        ).collect()
+    ]
+    assert wq == we
+    assert (100, None) in wq and wq[-1][1] is None
+    zq = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_store_topk_quantized(
+            spark, store, [0.0] * 8, k=5, nprobe=2
+        ).collect()
+    ]
+    assert all(s is None for _, s in zq) and len(zq) == 5
+
+
 def test_ann_store_zero_norm_vectors_probe_null_not_error(
     spark, tmp_path
 ):
@@ -3330,6 +3453,7 @@ def test_ann_store_empty_first_batch_with_centroids_backfills(
         ann_store_knn_join,
         ann_store_read,
         ann_store_topk,
+        ann_store_topk_quantized,
         compact_ann_store,
     )
 
@@ -3349,6 +3473,9 @@ def test_ann_store_empty_first_batch_with_centroids_backfills(
     # probing the row-less store: empty typed results, never a
     # schema-inference crash
     assert ann_store_topk(
+        spark, store, [1.0, 0.0], k=5, nprobe=1
+    ).collect() == []
+    assert ann_store_topk_quantized(
         spark, store, [1.0, 0.0], k=5, nprobe=1
     ).collect() == []
     assert ann_store_read(spark, store).collect() == []
@@ -3626,6 +3753,7 @@ def test_ann_index_stream_matches_batch(spark, tmp_path):
 
     from visual_asset_management_system_spark.operators.similarity import (
         ann_store_topk,
+        ann_store_topk_quantized,
         ivf_topk,
         start_ann_index_stream,
     )
@@ -3675,6 +3803,15 @@ def test_ann_index_stream_matches_batch(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+    # the stream path maintains the SQ8 sidecar too (ann_index_update
+    # per micro-batch): quantized probe ≡ exact probe ≡ batch form
+    quant = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_store_topk_quantized(
+            spark, store, rows[0][1], k=8, nprobe=2, rerank=100
+        ).collect()
+    ]
+    assert quant == want
 
 
 def test_ann_probe_list_fold_driver_jvm_bit_equality(spark):

@@ -772,6 +772,7 @@ def ann_index_update(
     )
     assigned.write.mode("append").partitionBy("_list").parquet(vecs)
     _merge_ann_keys(spark, store_dir, meta, id_col)
+    _merge_ann_q8(spark, store_dir, meta, id_col, vec_col, batch=assigned)
 
 
 def _ann_keys_dir(store_dir: str) -> str:
@@ -780,21 +781,25 @@ def _ann_keys_dir(store_dir: str) -> str:
     return os.path.join(store_dir, "keys")
 
 
-def _ann_set_keys_seq(store_dir: str, keys_seq: int) -> None:
-    """Persist how far the live-key relation covers the store — ONLY
-    after its two-rename swap completed, so a crash mid-merge leaves
-    the sidecar claiming the old (true) coverage."""
+def _ann_set_meta_field(store_dir: str, field: str, value: int) -> None:
+    """Persist a coverage watermark (``keys_seq`` / ``q8_seq``) — ONLY
+    after the artifact it describes is durably in place, so a crash
+    mid-merge leaves the sidecar claiming the old (true) coverage."""
     import json
     import os
 
     path = os.path.join(store_dir, "ann_meta.json")
     with open(path) as f:
         meta = json.load(f)
-    meta["keys_seq"] = int(keys_seq)
+    meta[field] = int(value)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, path)
+
+
+def _ann_set_keys_seq(store_dir: str, keys_seq: int) -> None:
+    _ann_set_meta_field(store_dir, "keys_seq", keys_seq)
 
 
 def _has_parquet_files(path: str) -> bool:
@@ -883,6 +888,111 @@ def _merge_ann_keys(spark, store_dir, meta: dict, id_col: str) -> None:
     os.replace(tmp, kdir)
     shutil.rmtree(aside, ignore_errors=True)
     _ann_set_keys_seq(store_dir, seq)
+
+
+def _ann_q8_dir(store_dir: str) -> str:
+    import os
+
+    return os.path.join(store_dir, "q8")
+
+
+def _ann_empty_q8(spark, meta: dict, id_col: str) -> DataFrame:
+    """Typed EMPTY sidecar relation (the :func:`_ann_empty_vectors`
+    twin): probing a created-but-unbackfilled store through the
+    quantized tier returns 0 rows, never unable-to-infer-schema."""
+    return spark.createDataFrame(
+        [],
+        f"{id_col} {meta.get('id_type', 'bigint')}, "
+        "q8 array<tinyint>, q_scale double, nrm double, "
+        "_seq bigint, _rh bigint, _list int",
+    )
+
+
+def _merge_ann_q8(
+    spark,
+    store_dir: str,
+    meta: dict,
+    id_col: str,
+    vec_col: str,
+    batch: "DataFrame | None" = None,
+) -> None:
+    """Maintain the SQ8 sidecar (q8/): the NARROW first-pass relation
+    the quantized probe scans — (id, q8 array<tinyint>, q_scale, nrm,
+    _seq, _rh) partitioned by ``_list``, 1 byte per vector element
+    instead of 4-8, derived deterministically from the stored vector
+    (same :func:`quantize_embeddings` math as the batch tier). This is
+    what makes the tier's measured 3.2× scan-byte cut reach the
+    MAINTAINED store: without it only batch-built relations get the
+    narrow first pass while the store's probes scan float vectors.
+
+    Crash-safe by catch-up exactly like keys/ (``q8_seq`` in the
+    sidecar meta, set only AFTER the append): the common case appends
+    the quantization of the update batch just written (``batch`` — no
+    store read at all); if ``q8_seq`` is further behind (a crash
+    between the vector append and this merge, or a pre-sidecar store),
+    the missed rows are read back from the store by ``_seq > q8_seq``
+    — parquet row-group stats on the per-file-constant ``_seq`` skip
+    already-covered files — quantized, and appended. Replays re-add
+    identical rows under higher seqs; winner selection (the live-key
+    semi-join, same rule as every read) absorbs them."""
+    q8_seq = int(meta.get("q8_seq", 0))
+    seq = int(meta["seq"])
+    if q8_seq >= seq:
+        return
+    if not _has_parquet_files(_ann_dirs(store_dir)):
+        # create-then-backfill: zero part files, nothing to quantize
+        return
+    qdir = _ann_q8_dir(store_dir)
+    _recover_ann_store(qdir)
+    keep = ("_list", "_seq", "_rh")
+    if batch is not None and q8_seq == seq - 1:
+        delta = batch
+    else:
+        delta = spark.read.parquet(_ann_dirs(store_dir)).filter(
+            F.col("_seq") > q8_seq
+        )
+    q8 = quantize_embeddings(
+        delta.select(id_col, vec_col, *keep), id_col, vec_col, keep_cols=keep
+    ).repartition("_list")
+    q8.write.mode("append").partitionBy("_list").parquet(qdir)
+    _ann_set_meta_field(store_dir, "q8_seq", seq)
+
+
+def _ann_q8_relation(
+    spark, store_dir: str, meta: dict, id_col: str, vec_col: str
+) -> DataFrame:
+    """The SQ8 sidecar as a read, covering the store's full sequence
+    range: the maintained q8/ dataset when ``q8_seq`` covers the
+    sidecar seq (bounded, list-partitioned, the narrow scan), with any
+    missed rows (crash window, pre-sidecar store) quantized from the
+    vector store read-only — the :func:`_ann_live_keys` catch-up
+    discipline; the next update persists them."""
+    qdir = _ann_q8_dir(store_dir)
+    _recover_ann_store(qdir)
+    q8_seq = int(meta.get("q8_seq", 0))
+    have = _has_parquet_files(qdir)
+    base = (
+        spark.read.parquet(qdir)
+        if have
+        else _ann_empty_q8(spark, meta, id_col)
+    )
+    if q8_seq >= int(meta["seq"]):
+        return base
+    vecs = _ann_dirs(store_dir)
+    _recover_ann_store(vecs)
+    if not _has_parquet_files(vecs):
+        return base
+    keep = ("_list", "_seq", "_rh")
+    vname = meta.get("vec_name", "embedding")
+    delta = quantize_embeddings(
+        spark.read.parquet(vecs)
+        .filter(F.col("_seq") > q8_seq)
+        .select(id_col, vname, *keep),
+        id_col,
+        vname,
+        keep_cols=keep,
+    )
+    return base.unionByName(delta)
 
 
 def _ann_live_keys(
@@ -1094,11 +1204,17 @@ def compact_ann_store(
     winner set is identical. Replays after compaction re-add rows
     under later seqs the reader dedup absorbs. Returns the
     post-compaction row count. Single-writer maintenance job (the
-    shared store-rewrite assumption)."""
+    shared store-rewrite assumption).
+
+    The SQ8 sidecar (q8/) is re-bounded in the same pass: rebuilt from
+    the compacted winners (quantization is a pure function of the
+    stored vector, so rebuild ≡ catch-up), own two-rename swap, and
+    ``q8_seq`` re-pinned to the sidecar seq — which also HEALS a
+    pre-sidecar store into the narrow-scan layout."""
     import os
     import shutil
 
-    _ann_meta(store_dir, "compaction")
+    meta = _ann_meta(store_dir, "compaction")
     vecs = _ann_dirs(store_dir)
     _recover_ann_store(vecs)
     if not os.path.isdir(vecs) or not _has_parquet_files(vecs):
@@ -1119,6 +1235,27 @@ def compact_ann_store(
     os.replace(vecs, aside)
     os.replace(tmp, vecs)
     shutil.rmtree(aside, ignore_errors=True)
+
+    qdir = _ann_q8_dir(store_dir)
+    _recover_ann_store(qdir)
+    keep = ("_list", "_seq", "_rh")
+    vname = meta.get("vec_name", "embedding")
+    q8 = quantize_embeddings(
+        spark.read.parquet(vecs).select(id_col, vname, *keep),
+        id_col,
+        vname,
+        keep_cols=keep,
+    ).repartition("_list")
+    qtmp = qdir + ".compact-tmp"
+    shutil.rmtree(qtmp, ignore_errors=True)
+    q8.write.mode("overwrite").partitionBy("_list").parquet(qtmp)
+    qaside = qdir + ".old"
+    shutil.rmtree(qaside, ignore_errors=True)
+    if os.path.isdir(qdir):
+        os.replace(qdir, qaside)
+    os.replace(qtmp, qdir)
+    shutil.rmtree(qaside, ignore_errors=True)
+    _ann_set_meta_field(store_dir, "q8_seq", int(meta["seq"]))
     return n
 
 
@@ -1359,6 +1496,7 @@ def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Per-vector symmetric int8 scalar quantization — the FAISS
     SQ8 discipline re-expressed as columns: ``(id, q8 array<tinyint>,
@@ -1373,16 +1511,23 @@ def quantize_embeddings(
     the ``rerank`` survivors (:func:`cosine_topk_quantized`). All
     JVM-side array expressions; a ZERO vector gets NULL q8/q_scale/nrm
     (nothing to scale) and scores NULL downstream, consistent with the
-    engine-wide zero-norm semantics."""
+    engine-wide zero-norm semantics.
+
+    ``keep_cols`` pass through untouched — the maintained ANN store's
+    sidecar append uses them to carry (_list, _seq, _rh) alongside the
+    quantized columns without a self-join back to the batch."""
+    extra = list(keep_cols)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     staged = embeddings.select(
         F.col(id_col),
+        *extra,
         vec_d.alias("_v"),
         F.aggregate(
             vec_d, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
         ).alias("_maxabs"),
     ).select(
         id_col,
+        *extra,
         "_v",
         F.when(F.col("_maxabs") > 0, F.col("_maxabs") / F.lit(127.0)).alias(
             "q_scale"
@@ -1401,7 +1546,49 @@ def quantize_embeddings(
         F.when(F.col("q_scale").isNotNull(), l2_norm(F.col("_v"))).alias(
             "nrm"
         ),
+        *extra,
     )
+
+
+def _sq8_query_prep(query_vector: list[float]) -> "tuple[float, list[int]] | None":
+    """Driver-side symmetric quantization of the QUERY vector (k×1,
+    not data-sized): ``(q_scale, q8q)`` with q8q = round(x/q_scale),
+    or None for a zero-norm query — the approximate stage has no
+    signal to rank by and callers hand the task to the exact tier."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    maxabs = float(np.max(np.abs(q))) if q.size else 0.0
+    if maxabs <= 0:
+        return None
+    q_scale = maxabs / 127.0
+    return q_scale, [int(round(float(x) / q_scale)) for x in q]
+
+
+def _sq8_approx_score(
+    q_scale: float, q8q: list[int], query_norm: float
+) -> Column:
+    """The SQ8 asymmetric approximate cosine over sidecar columns
+    ``q8``/``q_scale``/``nrm`` — int8×int8 dot accumulated JVM-side as
+    long, rescaled by (row scale · query scale), divided by the TRUE
+    norms captured at quantization time. One definition shared by the
+    batch tier (:func:`cosine_topk_quantized`) and the maintained
+    store's probe (:func:`ann_store_topk_quantized`) so the two stages
+    can never drift on scoring. NULL q8 (zero vector) → NULL score,
+    ranking last under the descending stage-1 sort."""
+    q8q_lit = F.array(*[F.lit(v).cast("int") for v in q8q])
+    approx_dot = (
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("q8"), lambda x: x.cast("int")),
+                q8q_lit,
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        * F.col("q_scale")
+        * F.lit(q_scale)
+    )
+    return F.try_divide(approx_dot, F.col("nrm") * F.lit(query_norm))
 
 
 def cosine_topk_quantized(
@@ -1438,9 +1625,8 @@ def cosine_topk_quantized(
 
     Zero-norm rows carry NULL q8 → NULL approximate score → sort last
     in stage 1, mirroring the exact tier's NULL semantics."""
-    q = np.asarray(query_vector, dtype=np.float64)
-    maxabs = float(np.max(np.abs(q))) if q.size else 0.0
-    if maxabs <= 0:
+    prep = _sq8_query_prep(query_vector)
+    if prep is None:
         # a zero-norm query scores NULL everywhere — the approximate
         # stage has no signal to rank by, so hand the whole task to
         # the exact tier (which returns k NULL-scored, id-ordered
@@ -1448,31 +1634,112 @@ def cosine_topk_quantized(
         return cosine_topk(
             embeddings, query_vector, k, id_col, vec_col, round_digits
         )
-    q_scale = maxabs / 127.0
-    q8q = [int(round(float(x) / q_scale)) for x in q]
-    q8q_lit = F.array(*[F.lit(v).cast("int") for v in q8q])
-    q_norm = F.lit(_py_l2_norm(query_vector))
-    approx_dot = (
-        F.aggregate(
-            F.zip_with(
-                F.transform(F.col("q8"), lambda x: x.cast("int")),
-                q8q_lit,
-                lambda x, y: x * y,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).cast("double")
-        * F.col("q_scale")
-        * F.lit(q_scale)
-    )
+    q_scale, q8q = prep
     survivors = (
         quantized.select(
             F.col(id_col),
-            F.try_divide(approx_dot, F.col("nrm") * q_norm).alias("_approx"),
+            _sq8_approx_score(
+                q_scale, q8q, _py_l2_norm(query_vector)
+            ).alias("_approx"),
         )
         .orderBy(F.col("_approx").desc(), F.col(id_col).asc())
         .limit(rerank)
         .select(id_col)
     )
     fetched = embeddings.join(F.broadcast(survivors), id_col, "left_semi")
+    return cosine_topk(fetched, query_vector, k, id_col, vec_col, round_digits)
+
+
+def ann_store_topk_quantized(
+    spark,
+    store_dir: str,
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe the maintained IVF index through its SQ8 sidecar: the
+    :func:`ann_store_topk` probe shape (frozen-centroid list choice
+    driver-side via :func:`_sqdist_fold`, live-key global winners,
+    probed-list partition pruning on every scan) with the FIRST pass
+    over the NARROW q8/ relation — 1 byte per element instead of the
+    float vector — and only the top ``rerank`` survivors' full
+    vectors touched for the exact re-rank.
+
+    Plan shape (plan-asserted): three pruned parquet scans — keys,
+    q8, vectors. Stage 1 scores every live row of the probed lists
+    with the shared :func:`_sq8_approx_score` and keeps the top
+    ``rerank`` (id, _seq, _rh) triples via TakeOrderedAndProject;
+    stage 2 fetches EXACTLY those rows from the float partitions by a
+    broadcast semi-join on the full triple — the live-row identity, so
+    no second key scan and no resurrection of a superseded row that
+    shares a survivor's id — and returns :func:`cosine_topk` over
+    them (final scores exact; equals :func:`ann_store_topk` whenever
+    the true top-k survives the cut — rerank sizing is corpus-shaped,
+    see :func:`cosine_topk_quantized`).
+
+    100 TB posture: at 10^9 live vectors per list the first-pass scan
+    is the probe's dominant cost and shrinks by the measured 3.2×
+    byte ratio; the exact fetch is bounded by ``rerank``. A zero-norm
+    query delegates to the exact tier (NULL-scored, id-ordered rows —
+    the engine-wide contract); zero-norm STORED rows carry NULL q8 →
+    NULL approximate score → rank last in stage 1."""
+    meta = _ann_meta(store_dir, "read")
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vector, dtype=np.float64)
+    if q.shape[0] != int(meta["dim"]):
+        raise ValueError(
+            f"ann store read: query dim {q.shape[0]} != index dim "
+            f"{meta['dim']}"
+        )
+    prep = _sq8_query_prep(query_vector)
+    if prep is None:
+        return ann_store_topk(
+            spark, store_dir, query_vector, k, nprobe, id_col, vec_col
+        )
+    q_scale, q8q = prep
+    d2 = _sqdist_fold(cents, [float(x) for x in q])
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    live_keys = (
+        _ann_live_keys(spark, store_dir, meta, id_col)
+        .filter(F.col("_list").isin(*probe))
+        .select(id_col, "_seq", "_rh")
+    )
+    live_q8 = (
+        _ann_q8_relation(spark, store_dir, meta, id_col, vec_col)
+        .filter(F.col("_list").isin(*probe))
+        .join(live_keys, [id_col, "_seq", "_rh"], "left_semi")
+        .dropDuplicates([id_col])
+    )
+    survivors = (
+        live_q8.select(
+            F.col(id_col),
+            F.col("_seq"),
+            F.col("_rh"),
+            _sq8_approx_score(
+                q_scale, q8q, _py_l2_norm(query_vector)
+            ).alias("_approx"),
+        )
+        .orderBy(F.col("_approx").desc(), F.col(id_col).asc())
+        .limit(rerank)
+        .select(id_col, "_seq", "_rh")
+    )
+    vecs = _ann_dirs(store_dir)
+    _recover_ann_store(vecs)
+    rows = (
+        spark.read.parquet(vecs)
+        if _has_parquet_files(vecs)
+        else _ann_empty_vectors(spark, meta, id_col, vec_col)
+    )
+    fetched = (
+        rows.filter(F.col("_list").isin(*probe))
+        # the (id, _seq, _rh) triple IS the live-row identity the
+        # survivors inherited from the key semi-join — broadcast is
+        # bounded by the rerank parameter (the provably-bounded class)
+        .join(F.broadcast(survivors), [id_col, "_seq", "_rh"], "left_semi")
+        .dropDuplicates([id_col])
+    )
     return cosine_topk(fetched, query_vector, k, id_col, vec_col, round_digits)
