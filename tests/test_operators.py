@@ -716,8 +716,11 @@ def test_sq8_quantized_topk_matches_exact_with_rerank(spark):
     exact by construction; with rerank far above k the true top-k
     survives the approximate cut); (c) zero stored vectors carry NULL
     q8 and rank last; a zero QUERY falls back to the exact tier's
-    NULL contract; (d) stage 1 is TakeOrderedAndProject (no global
-    sort) and stage 2 broadcasts the bounded survivor set."""
+    NULL contract; (d) stage 2's float scan carries the collected
+    survivor ids as a PUSHED In filter (row-group skipping — a
+    broadcast semi-join would decode every float byte and void the
+    tier's I/O argument) and its final top-k is TakeOrderedAndProject
+    (no global sort)."""
     from visual_asset_management_system_spark.operators.similarity import (
         cosine_topk_quantized,
         quantize_embeddings,
@@ -753,10 +756,15 @@ def test_sq8_quantized_topk_matches_exact_with_rerank(spark):
     got = [(r["vec_id"], r["cosine_sim"]) for r in got_df.collect()]
     assert got == exact
 
-    # (d) plan shape: heap-based top-rerank + broadcast survivor join
+    # (d) plan shape: the returned (stage-2) plan is the bounded
+    # fetch — survivor ids pushed into the scan, heap-based top-k,
+    # and NO join against the full float relation
+    import re
+
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastExchange" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*In\(vec_id", plan), plan
+    assert "Join" not in plan, plan
 
     # (c) zero vectors: NULL q8 on the stored side, exact-tier
     # fallback for a zero query

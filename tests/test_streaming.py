@@ -3265,9 +3265,13 @@ def test_ann_store_sq8_sidecar_parity_plan_replay_compaction(
     """r14 (verdict task 4): the maintained store's SQ8 sidecar. The
     quantized probe must (a) equal the exact probe whenever the true
     top-k survives the rerank cut — pinned here with rerank covering
-    every live row, so equality is unconditional; (b) scan THREE
-    pruned parquet datasets (keys, the narrow q8/ sidecar, vectors)
-    with the rerank survivors broadcast into the float fetch;
+    every live row, so equality is unconditional; (b) keep its
+    data-sized scans in STAGE 1 only (keys + the narrow q8/ sidecar,
+    both pruned to probed lists), with stage 2 a bounded fetch: the
+    collected survivor ids PUSHED into the float scan (row-group
+    skipping) and the exact (id,_seq,_rh) matched against a LOCAL
+    relation — never a second store scan, never a semi-join that
+    decodes every float byte;
     (c) survive replay (identical rows under higher seqs); (d) keep
     parity across compaction, which re-bounds q8/ to one row per live
     id; (e) HEAL a pre-sidecar store (q8/ absent, no q8_seq): parity
@@ -3303,22 +3307,52 @@ def test_ann_store_sq8_sidecar_parity_plan_replay_compaction(
             ).collect()
         ]
 
-    def plan():
-        return (
+    def plans():
+        """(stage1 plan, final fetch plan) — the probe splits at the
+        bounded survivor collect."""
+        import json as _json
+
+        from visual_asset_management_system_spark.operators.similarity import (  # noqa: E501
+            _ann_sq8_survivors,
+            _sq8_query_prep,
+            _sqdist_fold,
+        )
+        import numpy as _np
+
+        with open(os.path.join(store, "ann_meta.json")) as f:
+            meta = _json.load(f)
+        cents = _np.asarray(meta["centroids"])
+        d2 = _sqdist_fold(cents, [float(x) for x in q])
+        probe = [int(i) for i in _np.argsort(d2, kind="stable")[:2]]
+        s1 = _ann_sq8_survivors(
+            spark, store, meta, probe, _sq8_query_prep(q), q, 100,
+            "vec_id", "embedding",
+        )._jdf.queryExecution().executedPlan().toString()
+        s2 = (
             ann_store_topk_quantized(spark, store, q, k=8, nprobe=2)
             ._jdf.queryExecution().executedPlan().toString()
         )
+        return s1, s2
 
     assert quant() == exact()
 
-    p = plan()
-    scans = re.findall(r"FileScan parquet", p)
-    assert len(scans) == 3, f"keys + q8 + vectors only: {p}"
-    pfs = re.findall(r"PartitionFilters: \[[^\]]*_list[^\]]*IN[^\]]*\]", p)
-    assert len(pfs) == 3, f"all three scans must prune to probed lists: {p}"
-    # the first pass reads the 1-byte codes, not the float vectors
-    assert "q8:array<tinyint>" in p, f"narrow sidecar scan missing: {p}"
-    assert re.search(r"BroadcastHashJoin .*LeftSemi", p), p
+    p1, p2 = plans()
+    # stage 1 holds the probe's only data-sized scans: keys + q8,
+    # both pruned; the narrow scan reads the 1-byte codes, the float
+    # vector column appears in NO stage-1 scan
+    assert len(re.findall(r"FileScan parquet", p1)) == 2, p1
+    pfs = re.findall(r"PartitionFilters: \[[^\]]*_list[^\]]*IN[^\]]*\]", p1)
+    assert len(pfs) == 2, f"both stage-1 scans must prune to probed lists: {p1}"
+    assert "q8:array<tinyint>" in p1, f"narrow sidecar scan missing: {p1}"
+    assert "embedding" not in p1, f"stage 1 must never touch floats: {p1}"
+    assert "TakeOrderedAndProject" in p1, p1
+    # stage 2: ONE float scan, probed-list pruned, survivor ids PUSHED
+    # (row-group skipping), triple matched against a local relation
+    assert len(re.findall(r"FileScan parquet", p2)) == 1, p2
+    assert re.search(r"PartitionFilters: \[[^\]]*_list[^\]]*IN[^\]]*\]", p2), p2
+    assert re.search(r"PushedFilters: \[[^\]]*In\(vec_id", p2), p2
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p2), p2
+    assert "LocalTableScan" in p2 or "BroadcastExchange" in p2, p2
 
     # (c) replay: the second half re-delivered verbatim
     ann_index_update(
@@ -3352,8 +3386,8 @@ def test_ann_store_sq8_sidecar_parity_plan_replay_compaction(
         healed = json.load(f)
     assert healed["q8_seq"] == healed["seq"]
     assert quant() == exact()
-    p2 = plan()
-    assert len(re.findall(r"FileScan parquet", p2)) == 3, p2
+    h1, _h2 = plans()
+    assert len(re.findall(r"FileScan parquet", h1)) == 2, h1
 
     # zero-norm rows rank last as NULL through BOTH tiers; a zero
     # query delegates to the exact tier

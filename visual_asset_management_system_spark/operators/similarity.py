@@ -1606,9 +1606,13 @@ def cosine_topk_quantized(
     dot accumulated JVM-side, rescaled by (q_scale · query_scale),
     divided by the TRUE norms captured at quantization — and keep the
     top ``rerank`` via TakeOrderedAndProject (per-partition heaps, no
-    global sort); (2) semi-join the full-precision vectors for those
-    survivors only (broadcast — the rerank set is bounded by the
-    parameter, the provably-bounded class) and return
+    global sort); (2) fetch the full-precision vectors for those
+    survivors only — their ids collected driver-side (bounded by the
+    ``rerank`` parameter, the probe-list collect class) and pushed
+    into the float scan as a literal IN filter, so parquet row-group
+    stats/dictionaries skip the non-survivor bytes (a broadcast
+    semi-join would instead decode EVERY float byte and void the
+    tier's I/O argument) — and return
     :func:`cosine_topk` over them, so the FINAL scores are exact and
     the result equals brute force whenever the true top-k survives
     the rerank cut. Quantization error bounds the per-dot miss margin
@@ -1635,8 +1639,16 @@ def cosine_topk_quantized(
             embeddings, query_vector, k, id_col, vec_col, round_digits
         )
     q_scale, q8q = prep
-    survivors = (
-        quantized.select(
+    # bounded driver read: <= rerank ids (the probe-list collect class).
+    # A broadcast SEMI-JOIN here would still SCAN every float byte of
+    # the full-precision relation — the join filter applies after
+    # decode — silently voiding the tier's entire I/O argument at
+    # 100 TB. A literal IN list instead reaches the parquet scan as a
+    # PushedFilter, so row-group stats / dictionaries / bloom skip the
+    # non-survivor bytes and stage 2 touches ~rerank rows of I/O.
+    survivors = [
+        r[0]
+        for r in quantized.select(
             F.col(id_col),
             _sq8_approx_score(
                 q_scale, q8q, _py_l2_norm(query_vector)
@@ -1645,8 +1657,11 @@ def cosine_topk_quantized(
         .orderBy(F.col("_approx").desc(), F.col(id_col).asc())
         .limit(rerank)
         .select(id_col)
+        .collect()
+    ]
+    fetched = embeddings.filter(
+        F.col(id_col).isin(survivors) if survivors else F.lit(False)
     )
-    fetched = embeddings.join(F.broadcast(survivors), id_col, "left_semi")
     return cosine_topk(fetched, query_vector, k, id_col, vec_col, round_digits)
 
 
@@ -1669,20 +1684,26 @@ def ann_store_topk_quantized(
     float vector — and only the top ``rerank`` survivors' full
     vectors touched for the exact re-rank.
 
-    Plan shape (plan-asserted): three pruned parquet scans — keys,
-    q8, vectors. Stage 1 scores every live row of the probed lists
-    with the shared :func:`_sq8_approx_score` and keeps the top
-    ``rerank`` (id, _seq, _rh) triples via TakeOrderedAndProject;
-    stage 2 fetches EXACTLY those rows from the float partitions by a
-    broadcast semi-join on the full triple — the live-row identity, so
-    no second key scan and no resurrection of a superseded row that
-    shares a survivor's id — and returns :func:`cosine_topk` over
-    them (final scores exact; equals :func:`ann_store_topk` whenever
-    the true top-k survives the cut — rerank sizing is corpus-shaped,
-    see :func:`cosine_topk_quantized`).
+    Plan shape: stage 1 (:func:`_ann_sq8_survivors`, plan-asserted)
+    holds the probe's only data-sized scans — keys + the narrow q8/
+    sidecar, both pruned to the probed lists — scores every live row
+    with the shared :func:`_sq8_approx_score`, and keeps the top
+    ``rerank`` (id, _seq, _rh) triples via TakeOrderedAndProject.
+    Those triples are collected driver-side (bounded by the ``rerank``
+    parameter, the probe-list collect class) and stage 2 fetches
+    EXACTLY those rows from the float partitions: the id set reaches
+    the vectors scan as a pushed IN filter (row-group stats skip the
+    non-survivor float bytes — a broadcast semi-join would decode
+    every float byte of the probed lists and void the tier's I/O
+    argument), and the full triple is matched against the LOCAL
+    survivor relation, the live-row identity, so no second key scan
+    and no resurrection of a superseded row that shares a survivor's
+    id. Final scores exact via :func:`cosine_topk`; equals
+    :func:`ann_store_topk` whenever the true top-k survives the cut —
+    rerank sizing is corpus-shaped, see :func:`cosine_topk_quantized`.
 
     100 TB posture: at 10^9 live vectors per list the first-pass scan
-    is the probe's dominant cost and shrinks by the measured 3.2×
+    is the probe's dominant cost and shrinks by the measured ~3×
     byte ratio; the exact fetch is bounded by ``rerank``. A zero-norm
     query delegates to the exact tier (NULL-scored, id-ordered rows —
     the engine-wide contract); zero-norm STORED rows carry NULL q8 →
@@ -1700,9 +1721,52 @@ def ann_store_topk_quantized(
         return ann_store_topk(
             spark, store_dir, query_vector, k, nprobe, id_col, vec_col
         )
-    q_scale, q8q = prep
     d2 = _sqdist_fold(cents, [float(x) for x in q])
     probe = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    stage1 = _ann_sq8_survivors(
+        spark, store_dir, meta, probe, prep, query_vector, rerank,
+        id_col, vec_col,
+    )
+    triples = stage1.collect()
+    vecs = _ann_dirs(store_dir)
+    _recover_ann_store(vecs)
+    rows = (
+        spark.read.parquet(vecs)
+        if _has_parquet_files(vecs)
+        else _ann_empty_vectors(spark, meta, id_col, vec_col)
+    )
+    ids = [r[0] for r in triples]
+    local = spark.createDataFrame(triples, stage1.schema)
+    fetched = (
+        rows.filter(F.col("_list").isin(*probe))
+        .filter(F.col(id_col).isin(ids) if ids else F.lit(False))
+        # the (id, _seq, _rh) triple IS the live-row identity the
+        # survivors inherited from the key semi-join; the match is
+        # against a LOCAL bounded relation, not a second store scan
+        .join(F.broadcast(local), [id_col, "_seq", "_rh"], "left_semi")
+        .dropDuplicates([id_col])
+    )
+    return cosine_topk(fetched, query_vector, k, id_col, vec_col, round_digits)
+
+
+def _ann_sq8_survivors(
+    spark,
+    store_dir: str,
+    meta: dict,
+    probe: list[int],
+    prep: "tuple[float, list[int]]",
+    query_vector: list[float],
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Stage 1 of :func:`ann_store_topk_quantized`, factored so its
+    plan is assertable on its own: the live (id, _seq, _rh) triples of
+    the probed lists ranked by the shared approximate score, top
+    ``rerank`` kept via TakeOrderedAndProject. The only data-sized
+    scans of the whole probe live here — keys + q8/, both pruned to
+    the probed lists; the float vectors are never touched."""
+    q_scale, q8q = prep
     live_keys = (
         _ann_live_keys(spark, store_dir, meta, id_col)
         .filter(F.col("_list").isin(*probe))
@@ -1714,7 +1778,7 @@ def ann_store_topk_quantized(
         .join(live_keys, [id_col, "_seq", "_rh"], "left_semi")
         .dropDuplicates([id_col])
     )
-    survivors = (
+    return (
         live_q8.select(
             F.col(id_col),
             F.col("_seq"),
@@ -1727,19 +1791,3 @@ def ann_store_topk_quantized(
         .limit(rerank)
         .select(id_col, "_seq", "_rh")
     )
-    vecs = _ann_dirs(store_dir)
-    _recover_ann_store(vecs)
-    rows = (
-        spark.read.parquet(vecs)
-        if _has_parquet_files(vecs)
-        else _ann_empty_vectors(spark, meta, id_col, vec_col)
-    )
-    fetched = (
-        rows.filter(F.col("_list").isin(*probe))
-        # the (id, _seq, _rh) triple IS the live-row identity the
-        # survivors inherited from the key semi-join — broadcast is
-        # bounded by the rerank parameter (the provably-bounded class)
-        .join(F.broadcast(survivors), [id_col, "_seq", "_rh"], "left_semi")
-        .dropDuplicates([id_col])
-    )
-    return cosine_topk(fetched, query_vector, k, id_col, vec_col, round_digits)

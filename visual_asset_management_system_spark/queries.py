@@ -2751,8 +2751,9 @@ def q_knn_sq8_rerank(spark, sf_dir):
     nrm) relation — 1 byte/element instead of 4, the 100 TB scan-I/O
     cut (measured 3.2x smaller on parquet, SOAK_r13 sq8_probe) — via
     TakeOrderedAndProject; stage 2 fetches full vectors for only the
-    bounded `rerank` survivors (broadcast semi-join) and scores them
-    EXACTLY. The oracle is the exact cosine top-10 (the q_lsh_ann
+    bounded `rerank` survivors — their ids collected driver-side and
+    PUSHED into the float scan as an In filter, so row-group stats
+    skip the non-survivor bytes — and scores them EXACTLY. The oracle is the exact cosine top-10 (the q_lsh_ann
     discipline for approximate tiers): final scores are exact by
     construction, and with rerank=100 >> k=10 the true top-k survives
     the approximate cut — the pinned fixture test asserts strict
