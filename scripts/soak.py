@@ -767,7 +767,183 @@ def _suggest_percolate(spark, sf_dir: str, n_docs: int) -> dict:
     return out
 
 
+def _sq8_crossover(spark, tmp_base: str) -> dict:
+    """r14 (verdict task 5): measure WHERE the SQ8 tier's narrow first
+    pass actually beats the exact scan — both measured r13 scales lost
+    (the two-job latency floor), so the claimed scan-I/O-dominated win
+    regime was an extrapolation. Sweep vector width and row count on
+    synthetic hash-derived embeddings (JVM-generated, no fixture
+    dependency), and measure the MAINTAINED store's probe pair at the
+    largest config — the deployment shape the r14 sidecar exists for.
+    Records per config: relation bytes (full vs quantized), exact vs
+    quantized wall, top-10 equality. The honest outcome stands either
+    way: a measured crossover point, or an explicit negative result."""
+    import math as _math
+    import shutil as _shutil
+    import subprocess
+
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.operators.similarity import (
+        ann_index_update,
+        ann_store_topk,
+        ann_store_topk_quantized,
+        compact_ann_store,
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    def du(path: str) -> int:
+        out = subprocess.run(
+            ["du", "-sb", path], capture_output=True, text=True
+        ).stdout
+        return int(out.split()[0]) if out else 0
+
+    def gen(dim: int, rows: int, dense: bool):
+        # two corpus families, because parquet encoding IS the
+        # variable under test: "lattice" draws from 2001 distinct
+        # values per element — dictionary-encodable, the BEST case for
+        # the float relation and so the WORST case for the tier (real
+        # embeddings are not like this); "dense" draws from ~2M
+        # distinct values — dictionary-defeating, the float32-
+        # incompressible shape real encoder output has, where the int8
+        # codes' inherent 255-value dictionary keeps its full ~4×
+        # byte advantage.
+        mod = 2_000_003 if dense else 2001
+        half = mod // 2
+        return spark.range(rows).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    (F.pmod(F.xxhash64(F.col("id"), j), F.lit(mod)) - half)
+                    / float(half)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+
+    out: dict = {"configs": {}}
+    configs = [
+        (64, 200_000, False),
+        (256, 200_000, False),
+        (512, 200_000, False),
+        (512, 1_000_000, False),
+        (512, 200_000, True),
+        (512, 1_000_000, True),
+        # the store-tier crossover probe: nprobe/n_lists = 1/4 of the
+        # corpus per probe, so ~4M rows puts the probed subset at the
+        # ~1M effective first-pass rows where the batch tier crossed
+        (512, 4_000_000, True),
+    ]
+    for dim, rows, dense in configs:
+        fam = "dense" if dense else "lattice"
+        key = f"{fam}_dim{dim}_rows{rows // 1000}k"
+        base = os.path.join(tmp_base, key)
+        full_dir = os.path.join(base, "full")
+        quant_dir = os.path.join(base, "quant")
+        if not os.path.isdir(full_dir):
+            gen(dim, rows, dense).write.mode("overwrite").parquet(full_dir)
+            quantize_embeddings(spark.read.parquet(full_dir)).write.mode(
+                "overwrite"
+            ).parquet(quant_dir)
+        qv = [round(_math.sin(0.7 * i), 4) for i in range(dim)]
+        full = spark.read.parquet(full_dir)
+        quant = spark.read.parquet(quant_dir)
+        exact_sec = _bestofn(lambda: cosine_topk(full, qv, k=10).collect())
+        quant_sec = _bestofn(
+            lambda: cosine_topk_quantized(
+                quant, full, qv, k=10, rerank=100
+            ).collect()
+        )
+        e = [(r[0], r[1]) for r in cosine_topk(full, qv, k=10).collect()]
+        g = [
+            (r[0], r[1])
+            for r in cosine_topk_quantized(
+                quant, full, qv, k=10, rerank=100
+            ).collect()
+        ]
+        fb, qb = du(full_dir), du(quant_dir)
+        out["configs"][key] = {
+            "dim": dim,
+            "rows": rows,
+            "full_bytes": fb,
+            "quant_bytes": qb,
+            "bytes_ratio": round(qb / fb, 3) if fb else None,
+            "exact_sec": exact_sec,
+            "quantized_sec": quant_sec,
+            "speedup": round(exact_sec / quant_sec, 3) if quant_sec else None,
+            "top10_equal": e == g,
+        }
+        print(f"  sq8 {key}: {out['configs'][key]}", flush=True)
+
+    # the maintained store's probe pair at the largest config — the
+    # sidecar's deployment shape: nprobe of n_lists, so the first pass
+    # is probed-lists-sized on both sides
+    dim, rows, _dense = configs[-1]
+    key = f"dense_dim{dim}_rows{rows // 1000}k"
+    store = os.path.join(tmp_base, f"store_{key}")
+    full_dir = os.path.join(tmp_base, key, "full")
+    if not os.path.isdir(os.path.join(store, "vectors")):
+        _shutil.rmtree(store, ignore_errors=True)
+        src = spark.read.parquet(full_dir)
+        for b in range(4):
+            ann_index_update(
+                spark, store,
+                src.filter(F.pmod(F.col("vec_id"), F.lit(4)) == b),
+                dim, n_lists=16, batch_key=f"b{b}",
+            )
+        compact_ann_store(spark, store)
+    qv = [round(_math.sin(0.7 * i), 4) for i in range(dim)]
+    st_exact = _bestofn(
+        lambda: ann_store_topk(spark, store, qv, k=10, nprobe=4).collect()
+    )
+    st_quant = _bestofn(
+        lambda: ann_store_topk_quantized(
+            spark, store, qv, k=10, nprobe=4, rerank=100
+        ).collect()
+    )
+    e = [
+        (r[0], r[1])
+        for r in ann_store_topk(spark, store, qv, k=10, nprobe=4).collect()
+    ]
+    g = [
+        (r[0], r[1])
+        for r in ann_store_topk_quantized(
+            spark, store, qv, k=10, nprobe=4, rerank=100
+        ).collect()
+    ]
+    out["store"] = {
+        "config": key,
+        "n_lists": 16,
+        "nprobe": 4,
+        "vectors_bytes": du(os.path.join(store, "vectors")),
+        "q8_bytes": du(os.path.join(store, "q8")),
+        "exact_sec": st_exact,
+        "quantized_sec": st_quant,
+        "speedup": round(st_exact / st_quant, 3) if st_quant else None,
+        "top10_equal": e == g,
+    }
+    print(f"  sq8 store {key}: {out['store']}", flush=True)
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--sq8":
+        # standalone crossover run (fast iteration; the full soak also
+        # records this section)
+        from visual_asset_management_system_spark.session import get_spark
+
+        tmp_base = (
+            sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_vams_sq8"
+        )
+        spark = get_spark(app_name="spark-vams-sq8")
+        spark.sparkContext.setLogLevel("ERROR")
+        res = _sq8_crossover(spark, tmp_base)
+        print(json.dumps(res, indent=1, sort_keys=True))
+        spark.stop()
+        return
+
     sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_vams_sf1"
     sf3_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_vams_sf3"
     sf01_dir = "/root/testdata/sf0.1"
@@ -940,9 +1116,16 @@ def main() -> None:
             "setsim_candidate_surface": cand,
         }
 
+    # SQ8 crossover sweep (r14 task 5)
+    try:
+        sq8 = _sq8_crossover(spark, "/tmp/spark_vams_sq8")
+    except Exception as exc:  # noqa: BLE001
+        sq8 = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+
     out = {
         "scale_ratio": 10,
         "calib_mc_sec": calib_mc,
+        "sq8_crossover": sq8,
         "queries": results,
         "store_updates": {**stores, "exponents": store_exp},
         "store_compaction": {**compaction, "exponents": compact_exp},
@@ -953,10 +1136,10 @@ def main() -> None:
         "sampling": "adaptive best-of-N (two warm samples within 25%)",
         "step2": step2,
     }
-    with open(os.path.join(REPO, "SOAK_r13.json"), "w") as f:
+    with open(os.path.join(REPO, "SOAK_r14.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
-    print("wrote SOAK_r13.json")
+    print("wrote SOAK_r14.json")
     spark.stop()
 
 

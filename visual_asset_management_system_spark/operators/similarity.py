@@ -767,8 +767,16 @@ def ann_index_update(
         .withColumn("_rh", F.xxhash64(F.col(vec_col)))
         .withColumn("batch_key", F.lit(batch_key).cast("string"))
         # co-locate each list before the partitioned write (one file
-        # per touched list directory, not shuffle-partitions × lists)
+        # per touched list directory, not shuffle-partitions × lists),
+        # and sort by id WITHIN each list: parquet's page-level column
+        # index then gives every page a tight id range, so the
+        # quantized probe's pushed-In survivor fetch skips the
+        # non-survivor pages instead of decoding the whole list (ids
+        # scattered across pages make every page's min/max span the
+        # full range — no skip, and stage 2 silently re-reads what
+        # stage 1 saved)
         .repartition("_list")
+        .sortWithinPartitions("_list", id_col)
     )
     assigned.write.mode("append").partitionBy("_list").parquet(vecs)
     _merge_ann_keys(spark, store_dir, meta, id_col)
@@ -951,9 +959,16 @@ def _merge_ann_q8(
         delta = spark.read.parquet(_ann_dirs(store_dir)).filter(
             F.col("_seq") > q8_seq
         )
-    q8 = quantize_embeddings(
-        delta.select(id_col, vec_col, *keep), id_col, vec_col, keep_cols=keep
-    ).repartition("_list")
+    q8 = (
+        quantize_embeddings(
+            delta.select(id_col, vec_col, *keep),
+            id_col,
+            vec_col,
+            keep_cols=keep,
+        )
+        .repartition("_list")
+        .sortWithinPartitions("_list", id_col)
+    )
     q8.write.mode("append").partitionBy("_list").parquet(qdir)
     _ann_set_meta_field(store_dir, "q8_seq", seq)
 
@@ -1225,6 +1240,7 @@ def compact_ann_store(
         _ann_winners(spark.read.parquet(vecs), id_col)
         .withColumn("batch_key", F.lit("compacted"))
         .repartition("_list")
+        .sortWithinPartitions("_list", id_col)
     )
     tmp = vecs + ".compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -1240,12 +1256,16 @@ def compact_ann_store(
     _recover_ann_store(qdir)
     keep = ("_list", "_seq", "_rh")
     vname = meta.get("vec_name", "embedding")
-    q8 = quantize_embeddings(
-        spark.read.parquet(vecs).select(id_col, vname, *keep),
-        id_col,
-        vname,
-        keep_cols=keep,
-    ).repartition("_list")
+    q8 = (
+        quantize_embeddings(
+            spark.read.parquet(vecs).select(id_col, vname, *keep),
+            id_col,
+            vname,
+            keep_cols=keep,
+        )
+        .repartition("_list")
+        .sortWithinPartitions("_list", id_col)
+    )
     qtmp = qdir + ".compact-tmp"
     shutil.rmtree(qtmp, ignore_errors=True)
     q8.write.mode("overwrite").partitionBy("_list").parquet(qtmp)
