@@ -953,12 +953,15 @@ def _merge_ann_q8(
     qdir = _ann_q8_dir(store_dir)
     _recover_ann_store(qdir)
     keep = ("_list", "_seq", "_rh")
-    if batch is not None and q8_seq == seq - 1:
+    if batch is not None and q8_seq == seq - 1 and _has_parquet_files(qdir):
         delta = batch
     else:
-        delta = spark.read.parquet(_ann_dirs(store_dir)).filter(
-            F.col("_seq") > q8_seq
-        )
+        delta = spark.read.parquet(_ann_dirs(store_dir))
+        if _has_parquet_files(qdir):
+            delta = delta.filter(F.col("_seq") > q8_seq)
+        # else: first sidecar build over a pre-sidecar store — take the
+        # FULL projection (the _merge_ann_keys discipline: legacy
+        # compactions wrote _seq=0, which a >0 filter would drop)
     q8 = (
         quantize_embeddings(
             delta.select(id_col, vec_col, *keep),
@@ -999,13 +1002,13 @@ def _ann_q8_relation(
         return base
     keep = ("_list", "_seq", "_rh")
     vname = meta.get("vec_name", "embedding")
+    raw = spark.read.parquet(vecs)
+    if have:
+        raw = raw.filter(F.col("_seq") > q8_seq)
+    # else: pre-sidecar store — full projection, no seq filter (legacy
+    # compactions wrote _seq=0; the _merge_ann_keys discipline)
     delta = quantize_embeddings(
-        spark.read.parquet(vecs)
-        .filter(F.col("_seq") > q8_seq)
-        .select(id_col, vname, *keep),
-        id_col,
-        vname,
-        keep_cols=keep,
+        raw.select(id_col, vname, *keep), id_col, vname, keep_cols=keep
     )
     return base.unionByName(delta)
 
