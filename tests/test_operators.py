@@ -2918,3 +2918,67 @@ def test_bottomk_sample_deterministic_mergeable_quantiles(spark):
         lo = ((q - 4 * sigma_rank) * 2000) ** 2
         hi = ((q + 4 * sigma_rank) * 2000) ** 2
         assert lo <= got[col] <= hi, (q, got[col], lo, hi)
+
+
+def test_pagerank_dangling_mass_and_hoisted_denominators(spark):
+    """Pin the r14 loop restructure (loop-invariant edges x outdeg
+    hoist + static has_out dangling flag): ranks on a graph WITH a
+    dangling node and a diamond must equal an independent Python
+    reference of the same recurrence — teleport + d*(inflow +
+    dangling/N) with exact per-edge contributions. Exercises exactly
+    the two rewritten paths: the hoisted contribution denominator and
+    the filter-based dangling-mass aggregate."""
+    from visual_asset_management_system_spark.operators.graph import pagerank
+
+    # a -> b, a -> c, b -> d, c -> d; d dangling (no out-edges)
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    iters, d = 3, 0.85
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            inflow[t] += ranks[s] / outdeg[s]
+        dang = sum(r for v, r in ranks.items() if v not in outdeg)
+        ranks = {
+            v: (1 - d) / n + d * (inflow[v] + dang / n) for v in nodes
+        }
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=iters, damping=d).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == round(ranks[v], 6), (v, got[v], ranks[v])
+    # mass conservation: total rank stays ~1 up to rounding
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+
+
+def test_connected_components_early_exit_change_column(spark):
+    """Pin the r14 in-projection change flag: on an already-clustered
+    tiny graph the loop must stop after the first no-change round
+    (observable as maybe_checkpoint call count staying far below
+    max_iter) and still label every node with its component min."""
+    from visual_asset_management_system_spark.operators import checkpointing
+    from visual_asset_management_system_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "src string, dst string"
+    )
+    before = checkpointing.CALLS
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=20).collect()
+    }
+    rounds = checkpointing.CALLS - before - 1  # minus the label init cut
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+    # 1-round convergence + 1 confirming no-change round; 20 would mean
+    # the early exit regressed
+    assert rounds <= 3, rounds
