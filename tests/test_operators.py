@@ -2959,6 +2959,48 @@ def test_pagerank_dangling_mass_and_hoisted_denominators(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-5
 
 
+def test_descendants_dedup_guard_invariance(spark):
+    """Pin the r14 per-level-dedup removal: on a stacked-diamond graph
+    (path multiplicity doubles per level — the exact geometry the
+    adaptive guard exists for) the result must be identical whether
+    the guard fires immediately (factor below any duplication), at the
+    default threshold, or never (factor above any possible
+    duplication) — same node set, same minimum depths. On this ladder
+    the default-factor run crosses the guard threshold mid-loop, so
+    the dedup-free and dedup-on round paths are BOTH exercised within
+    one call."""
+    k = 12
+    pairs = []
+    for i in range(k):
+        pairs += [
+            (f"d{i}", f"a{i}"), (f"d{i}", f"b{i}"),
+            (f"a{i}", f"d{i+1}"), (f"b{i}", f"d{i+1}"),
+        ]
+    links = spark.createDataFrame(
+        [("db", a, "db", b, "parentChild") for a, b in pairs],
+        "from_database_id string, from_asset_id string, "
+        "to_database_id string, to_asset_id string, "
+        "relationship_type string",
+    )
+    rows = {}
+    for label, factor in [
+        ("always_dedup", 0.0),
+        ("default", 4.0),
+        ("never_dedup", 1e18),
+    ]:
+        rows[label] = sorted(
+            (r["asset_id"], r["depth"])
+            for r in descendants(
+                links, "db", "d0", dedup_guard_factor=factor
+            ).collect()
+        )
+    assert rows["always_dedup"] == rows["default"] == rows["never_dedup"]
+    got = dict(rows["default"])
+    # min-depth semantics through every diamond: d_i at 2i, wings at 2i-1
+    assert got["d6"] == 12 and got["a5"] == 11 and got[f"d{k}"] == 2 * k
+    assert len(got) == 3 * k  # a_i, b_i (k each), d_1..d_k — root excluded
+
+
 def test_connected_components_early_exit_change_column(spark):
     """Pin the r14 in-projection change flag: on an already-clustered
     tiny graph the loop must stop after the first no-change round

@@ -325,6 +325,7 @@ def descendants(
     max_depth: int = 25,
     use_checkpoint: bool = True,
     levels_per_round: int = 3,
+    dedup_guard_factor: float = 4.0,
 ) -> DataFrame:
     """Descendant set over parentChild edges: (database_id, asset_id,
     depth) with shortest-depth semantics and cycle safety.
@@ -355,6 +356,31 @@ def descendants(
     neighbors inside the round only produces more already-visited
     rows for the same anti-join (the randomized equivalence test pins
     batched ≡ unbatched across uneven batch/depth splits).
+
+    ROUND-14: per-level ``dropDuplicates`` removed by default. Each
+    in-round level used to dedup its frontier (a hash-agg Exchange —
+    a stage boundary per LEVEL whose scheduling latency was, per the
+    soak, this query's entire cost); the round's min-depth groupBy is
+    the only dedup now, so a round of b levels pays b broadcast
+    joins + ONE shuffle instead of b of each (planted-geometry A/B:
+    0.62× on the bench fixture, identical rows on chain / diamond /
+    tree / fixture — scripts/probe3_r14.py). The per-level dedup was
+    also the safety bound against in-round PATH-MULTIPLICITY blowup
+    (a node reachable via k in-round paths now produces k rows that
+    keep multiplying through deeper levels — 2^levels on stacked
+    diamonds), so the round's stats action additionally sums per-node
+    in-round path counts: when duplication (paths/nodes) exceeds
+    ``dedup_guard_factor`` the remaining rounds — the geometrically
+    LARGER ones — fall back to per-level dedup. Geometric batching
+    makes the guard cheap and early: diamond density is detected in
+    the small rounds (≤9 levels) before the large rounds could
+    amplify it; the residual exposure is one round (≤
+    ``levels_per_round·2^rounds`` levels) of duplication on a graph
+    whose diamonds first appear past the guarded rounds — bounded by
+    the depth cap, and only ever a cost concern, never correctness
+    (the round's groupBy collapses multiplicity before any row leaves
+    the round; the guard changes WHERE dedup happens, never what the
+    round emits).
     """
     edges = asset_links.filter(
         F.col("relationship_type") == "parentChild"
@@ -374,8 +400,8 @@ def descendants(
     )
     visited = frontier
 
-    def step(f: DataFrame, depth: int) -> DataFrame:
-        return (
+    def step(f: DataFrame, depth: int, dedup: bool) -> DataFrame:
+        out = (
             F.broadcast(f)
             .join(
                 edges,
@@ -387,14 +413,18 @@ def descendants(
                 F.col("dst_id").alias("asset_id"),
                 F.lit(depth).alias("depth"),
             )
-            .dropDuplicates(["database_id", "asset_id"])
-            # the frontier is small by construction — one partition
-            # kills the 32-empty-task overhead each level pays
-            .coalesce(1)
         )
+        if dedup:
+            # guard-triggered only: dedup each level's frontier (the
+            # hash-agg Exchange is the stage boundary the dedup-free
+            # path exists to avoid); the post-shuffle coalesce(1)
+            # kills the 32-empty-task overhead each level would pay
+            out = out.dropDuplicates(["database_id", "asset_id"]).coalesce(1)
+        return out
 
     depth = 0
     rounds = 0
+    per_level_dedup = False
     try:
         while depth < max_depth:
             # geometric growth: round r expands levels_per_round·2^r
@@ -411,11 +441,16 @@ def descendants(
             g = frontier
             acc: DataFrame | None = None
             for i in range(1, batch + 1):
-                g = step(g, depth + i)
+                g = step(g, depth + i, per_level_dedup)
                 acc = g if acc is None else acc.unionByName(g)
             nxt = (
                 acc.groupBy("database_id", "asset_id")
-                .agg(F.min("depth").alias("depth"))
+                .agg(
+                    F.min("depth").alias("depth"),
+                    # in-round path multiplicity, read by the guard in
+                    # the SAME stats action the exits already pay for
+                    F.count(F.lit(1)).alias("_paths"),
+                )
                 .join(
                     visited.select("database_id", "asset_id"),
                     ["database_id", "asset_id"],
@@ -442,9 +477,17 @@ def descendants(
             stats = nxt.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.max("depth").alias("deepest"),
+                F.sum("_paths").alias("paths"),
             ).collect()[0]
             if stats["n"] == 0:
                 break
+            if (
+                not per_level_dedup
+                and stats["paths"] is not None
+                and stats["paths"] > dedup_guard_factor * stats["n"]
+            ):
+                per_level_dedup = True
+            nxt = nxt.select("database_id", "asset_id", "depth")
             visited = visited.unionByName(nxt)
             frontier = nxt.filter(F.col("depth") == depth + batch)
             depth += batch
