@@ -65,11 +65,15 @@ _BASELINE = {
     # into a global sort or the query side lost its broadcast.
     "ann_knn_join": {"exchanges": 2, "scans": 2, "min_broadcasts": 2},
     "setsim_update": {"exchanges": 8, "scans": 2, "min_broadcasts": 1},
-    # suggest: measured 8 OR 9 with identical code (an AQE
-    # broadcast<->shuffle seam that flips with session state); the
-    # ceiling is the band's top — still far under the k-squared
-    # growth class this gate hunts
-    "suggest_update": {"exchanges": 9, "scans": 3, "min_broadcasts": 1},
+    # suggest: r14 measured a stable 5 after candidate selection became
+    # a broadcast semi-join on the 1-char affected-prefix closure
+    # (was 8-or-9 with the full-dictionary distinct + prefix explode);
+    # ceiling keeps the +1 headroom of the old AQE
+    # broadcast<->shuffle seam. Broadcast floor raised to 2: the
+    # affected-prefix set AND its 1-char slice must both broadcast —
+    # either falling to a shuffle means the store-sized side is being
+    # repartitioned per batch
+    "suggest_update": {"exchanges": 6, "scans": 3, "min_broadcasts": 2},
     "percolate": {"exchanges": 2, "scans": 0, "min_broadcasts": 1},
     "trending_rank": {"exchanges": 1, "scans": 1, "min_broadcasts": 0},
 }

@@ -501,21 +501,23 @@ def suggest_index_update(
     updated = store.join(batch_keys, key_cols, "left_anti").unionByName(
         new_rows
     )
-    # candidate tokens = every token sharing an affected prefix — found
-    # on the DISTINCT token dictionary (exploding prefixes before the
-    # freq aggregation would multiply each count by its prefix count)
-    cand_tokens = (
-        updated.select("token")
-        .distinct()
-        .withColumn(
-            "prefix", F.explode(_prefixes(F.col("token"), max_prefix_len))
-        )
-        .join(F.broadcast(affected_prefixes), "prefix", "left_semi")
-        .select("token")
-        .distinct()
-    )
+    # candidate tokens = every token sharing an affected prefix. The
+    # affected-prefix set is CLOSED UNDER TRUNCATION (it holds every
+    # prefix, lengths 1..max, of every affected token), so a token has
+    # any affected prefix iff its FIRST CHARACTER is an affected
+    # 1-char prefix: one broadcast semi-join on a derived substr key,
+    # instead of the r13 form's full-dictionary distinct + prefix
+    # explode + second distinct + token semi-join back (two full store
+    # scans and a dictionary-sized shuffle per batch; r14 A/B at a
+    # 200k-entity store: 0.80x wall, identical sink state —
+    # scripts/probe4_r14.py proves set equality both directions)
+    aff1 = affected_prefixes.filter(F.length("prefix") == 1)
     cand = (
-        updated.join(cand_tokens, "token", "left_semi")
+        updated.join(
+            F.broadcast(aff1),
+            F.substring(F.col("token"), 1, 1) == F.col("prefix"),
+            "left_semi",
+        )
         .groupBy("token")
         .agg(F.sum("cnt").alias("freq"))
     )
