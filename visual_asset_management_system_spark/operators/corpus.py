@@ -518,18 +518,21 @@ def corpus_index_update(
     import os as _os
 
     from .dedup import _append_signatures, _minhash_probe
-    from .text import fingerprint, lang_id, quality_score
+    from .text import fingerprint, lang_id, quality_score, tokens
 
     fp_dir = _os.path.join(state_dir, "fingerprints")
     sig_dir = _os.path.join(state_dir, "signatures")
 
     from .dedup import drop_exact_duplicates
 
+    # shared lowered-token column: one full-text split for lang+quality
+    # (same fusion as the batch pipeline's staged stack, r14 probe5)
     filtered = (
-        new_docs.withColumn("_lang", lang_id(F.col(text_col)))
-        .withColumn("_q", quality_score(F.col(text_col)))
+        new_docs.withColumn("_lt", tokens(F.lower(F.col(text_col))))
+        .withColumn("_lang", lang_id(F.col(text_col), F.col("_lt")))
+        .withColumn("_q", quality_score(F.col(text_col), F.col("_lt")))
         .filter((F.col("_lang") == lang) & (F.col("_q") >= min_quality))
-        .drop("_lang", "_q")
+        .drop("_lang", "_q", "_lt")
         .withColumn("_fp", fingerprint(F.col(text_col)))
     )
     # exact dedup, first-wins by id within the batch (the batch

@@ -22,25 +22,46 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), _TOKEN_SPLIT), lambda t: t != "")
 
 
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once per row and evaluate ``body`` on the bound
+    lambda variable — the single-element ``transform`` let-idiom.
+
+    Interpreted HOF expressions get NO cross-reference subexpression
+    elimination (two references to the same Python ``Column`` inline
+    the subtree twice, and the distinct lambda-variable ids defeat
+    CSE), so any non-cheap array/struct consumed more than once inside
+    ONE Column expression must be bound explicitly. The executed plan
+    for the pre-r14 ``lang_id`` showed its marker-hits filter — and
+    the full-text split under it — EIGHT times per row (4 per-language
+    entries x 2 references to the argmax struct); the let form
+    evaluates each bound value once (probe6: lang_id 0.83x standalone,
+    the staged lang+quality stack 0.6x)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
 def bpe_token_estimate(text: Column) -> Column:
     """BPE-ish token-count estimate: punctuation-aware word count plus a
-    length/4 correction for long words (the classic chars/4 heuristic)."""
+    length/4 correction for long words (the classic chars/4 heuristic).
+
+    ONE aggregate fold computes count + correction together (the
+    separate size(words) + aggregate(words) form inlined the
+    punctuation split twice per row — see :func:`_let`); explicit
+    floor() because Spark truncates double→int casts while other
+    engines round, so the rounding step must be spelled out."""
     words = F.filter(F.split(F.trim(text), _BPE_SPLIT), lambda t: t != "")
-    # explicit floor(): Spark truncates double→int casts while other
-    # engines round, so the rounding step must be spelled out
-    long_extra = F.aggregate(
+    return F.aggregate(
         words,
         F.lit(0).cast("bigint"),
         lambda acc, w: acc
+        + F.lit(1).cast("bigint")
         + F.when(
             F.length(w) > 4, F.floor(F.length(w) / 4).cast("bigint") - 1
         ).otherwise(F.lit(0).cast("bigint")),
-    )
-    return (F.size(words) + long_extra).alias("bpe_tokens")
+    ).alias("bpe_tokens")
 
 
 # stopword list used by the quality score (language-agnostic core English
@@ -51,33 +72,52 @@ STOPWORDS = (
 )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, ltoks: Column | None = None) -> Column:
     """Deterministic document-quality score in [0, 1].
 
     Combines the standard cheap heuristics (length band, alphabetic
     ratio, stopword presence, mean word length band) used by
     web-scale corpus filters. Weights documented here are the spec.
+
+    Internals (value-identical to the spec, oracle-checked): the token
+    array is the LOWERED-text tokenization — lowercasing never creates
+    or destroys whitespace, so token boundaries (hence the count and
+    the mean-word-length denominator) match raw-text tokens exactly,
+    and the stopword filter drops its per-token lower(). The
+    alphabetic count is regexp_count (no stripped-string allocation).
+    ``ltoks`` lets a caller computing several text features pass ONE
+    shared lowered-token column (see q_pipeline_preprocess's staged
+    stack) — sharing must be an explicit column because two
+    separately-built filter() trees carry distinct lambda variables,
+    which defeats cross-expression subexpression elimination.
     """
-    n = F.length(text)
-    toks = tokens(text)
-    n_tok = F.size(toks)
-    alpha_ratio = (
-        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / F.greatest(n, F.lit(1))
-    )
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
-    )
-    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
-    mean_word_len = n / F.greatest(n_tok, F.lit(1))
-    length_ok = F.when((n >= 50) & (n <= 100000), 1.0).otherwise(0.0)
-    word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.0)
-    score = (
-        0.25 * length_ok
-        + 0.25 * alpha_ratio
-        + 0.25 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
-        + 0.25 * word_len_ok
-    )
-    return F.round(score, 4)
+    def from_toks(toks: Column) -> Column:
+        n = F.length(text)
+        n_tok = F.size(toks)
+        alpha_ratio = (
+            F.regexp_count(text, F.lit(r"[A-Za-z]")) / F.greatest(n, F.lit(1))
+        )
+        stop_hits = F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS))
+        )
+        stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
+        mean_word_len = n / F.greatest(n_tok, F.lit(1))
+        length_ok = F.when((n >= 50) & (n <= 100000), 1.0).otherwise(0.0)
+        word_len_ok = F.when(
+            (mean_word_len >= 3) & (mean_word_len <= 12), 1.0
+        ).otherwise(0.0)
+        score = (
+            0.25 * length_ok
+            + 0.25 * alpha_ratio
+            + 0.25 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+            + 0.25 * word_len_ok
+        )
+        return F.round(score, 4)
+
+    if ltoks is not None:
+        # a column reference is cheap to re-reference — no let needed
+        return from_toks(ltoks)
+    return _let(tokens(F.lower(text)), from_toks)
 
 
 #: language marker words — a tiny deterministic n-gram/stopword detector.
@@ -100,7 +140,7 @@ def _marker_filter(markers: tuple[str, ...]):
     return pred
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, ltoks: Column | None = None) -> Column:
     """Marker-word language ID: the language with the most marker hits,
     ties broken by language code order, 'und' when no marker hits.
 
@@ -110,22 +150,39 @@ def lang_id(text: Column) -> Column:
     ``array_max`` over (count, -rank) structs — a cascaded
     ``when(c > best_count)`` chain would nest each count subtree
     inside the next comparison and re-evaluate the array filters up to
-    2^k times per row (measured 1.9x slower at sf0.1)."""
+    2^k times per row (measured 1.9x slower at sf0.1).
+
+    ``ltoks``: optional shared LOWERED-token column (same contract as
+    :func:`quality_score` — pass both functions the same column and
+    the full-text split regex runs once per row instead of twice)."""
     all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
-    hits = F.filter(tokens(F.lower(text)), lambda t: t.isin(*all_markers))
+    src = ltoks if ltoks is not None else tokens(F.lower(text))
     langs = sorted(LANG_MARKERS)  # rank order = the documented tie-break
-    entries = [
-        F.struct(
-            F.size(F.filter(hits, _marker_filter(LANG_MARKERS[lang]))).alias("c"),
-            F.lit(-i).alias("neg_rank"),
-        )
-        for i, lang in enumerate(langs)
-    ]
-    best = F.array_max(F.array(*entries))
     lang_by_rank = F.array(*[F.lit(lang) for lang in langs])
-    return F.when(
-        best["c"] > 0, F.element_at(lang_by_rank, -best["neg_rank"] + 1)
-    ).otherwise(F.lit("und"))
+
+    def from_hits(hits: Column) -> Column:
+        entries = [
+            F.struct(
+                F.size(
+                    F.filter(hits, _marker_filter(LANG_MARKERS[lang]))
+                ).alias("c"),
+                F.lit(-i).alias("neg_rank"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+
+        def from_best(best: Column) -> Column:
+            return F.when(
+                best["c"] > 0,
+                F.element_at(lang_by_rank, -best["neg_rank"] + 1),
+            ).otherwise(F.lit("und"))
+
+        # let-bind the argmax struct: its two references would inline
+        # the whole entries tree (and every hits filter under it) twice
+        return _let(F.array_max(F.array(*entries)), from_best)
+
+    # let-bind the marker hits: referenced by every per-language count
+    return _let(F.filter(src, lambda t: t.isin(*all_markers)), from_hits)
 
 
 def fingerprint(text: Column) -> Column:
