@@ -3024,3 +3024,53 @@ def test_connected_components_early_exit_change_column(spark):
     # 1-round convergence + 1 confirming no-change round; 20 would mean
     # the early exit regressed
     assert rounds <= 3, rounds
+
+
+def test_lang_quality_gate_matches_column_form(spark):
+    """Pin the r14 fused filter gate: lang_quality_gate must select
+    exactly the rows the staged column-form (lang_id == lang AND
+    quality_score >= min_quality) selects, across language, quality
+    and boundary regimes — including empty text and non-default
+    thresholds."""
+    from visual_asset_management_system_spark.operators.text import (
+        lang_id,
+        lang_quality_gate,
+        quality_score,
+        tokens,
+    )
+
+    rows = [
+        # clearly-English, long enough to pass the length term
+        (1, "the cat and the dog sat of the mat and the sun was warm "
+            "over the garden and the day was long"),
+        # German markers dominate
+        (2, "der hund und die katze und der vogel und die sonne und "
+            "der tag war lang und die nacht war kurz"),
+        # English markers but too short for the length term
+        (3, "the and of"),
+        # empty and whitespace-only text
+        (4, ""),
+        (5, "   "),
+        # mixed markers, tie-break territory
+        (6, "the el und le the el und le the el und le the el und le "
+            "the el und le the el und le the el und le"),
+        # no markers at all
+        (7, "zzz qqq www rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff "
+            "ggg hhh jjj kkk lll xxx ccc vvv bbb nnn mmm"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for lang, min_q in [("en", 0.5), ("de", 0.25), ("und", 0.0)]:
+        col_form = (
+            df.withColumn("_lt", tokens(F.lower(F.col("text"))))
+            .withColumn("_lang", lang_id(F.col("text"), F.col("_lt")))
+            .withColumn("_q", quality_score(F.col("text"), F.col("_lt")))
+            .filter((F.col("_lang") == lang) & (F.col("_q") >= min_q))
+            .select("doc_id")
+        )
+        gated = df.filter(
+            lang_quality_gate(F.col("text"), lang=lang, min_quality=min_q)
+        ).select("doc_id")
+        a = sorted(r["doc_id"] for r in col_form.collect())
+        b = sorted(r["doc_id"] for r in gated.collect())
+        assert a == b, (lang, min_q, a, b)
+        assert a, (lang, min_q)  # each regime must select something

@@ -518,23 +518,20 @@ def corpus_index_update(
     import os as _os
 
     from .dedup import _append_signatures, _minhash_probe
-    from .text import fingerprint, lang_id, quality_score, tokens
+    from .text import fingerprint, lang_quality_gate
 
     fp_dir = _os.path.join(state_dir, "fingerprints")
     sig_dir = _os.path.join(state_dir, "signatures")
 
     from .dedup import drop_exact_duplicates
 
-    # shared lowered-token column: one full-text split for lang+quality
-    # (same fusion as the batch pipeline's staged stack, r14 probe5)
-    filtered = (
-        new_docs.withColumn("_lt", tokens(F.lower(F.col(text_col))))
-        .withColumn("_lang", lang_id(F.col(text_col), F.col("_lt")))
-        .withColumn("_q", quality_score(F.col(text_col), F.col("_lt")))
-        .filter((F.col("_lang") == lang) & (F.col("_q") >= min_quality))
-        .drop("_lang", "_q", "_lt")
-        .withColumn("_fp", fingerprint(F.col(text_col)))
-    )
+    # fused single-expression lang+quality gate: one let-bound split
+    # per row at the filter (same fusion as the batch pipeline's
+    # staged stacks, r14 probe7 — column-form features get re-inlined
+    # 5x/row by filter pushdown)
+    filtered = new_docs.filter(
+        lang_quality_gate(F.col(text_col), lang=lang, min_quality=min_quality)
+    ).withColumn("_fp", fingerprint(F.col(text_col)))
     # exact dedup, first-wins by id within the batch (the batch
     # pipeline's lowest-id representative rule, reusing its operator
     # against the precomputed fingerprint column)...

@@ -91,33 +91,37 @@ def quality_score(text: Column, ltoks: Column | None = None) -> Column:
     separately-built filter() trees carry distinct lambda variables,
     which defeats cross-expression subexpression elimination.
     """
-    def from_toks(toks: Column) -> Column:
-        n = F.length(text)
-        n_tok = F.size(toks)
-        alpha_ratio = (
-            F.regexp_count(text, F.lit(r"[A-Za-z]")) / F.greatest(n, F.lit(1))
-        )
-        stop_hits = F.size(
-            F.filter(toks, lambda t: t.isin(*STOPWORDS))
-        )
-        stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
-        mean_word_len = n / F.greatest(n_tok, F.lit(1))
-        length_ok = F.when((n >= 50) & (n <= 100000), 1.0).otherwise(0.0)
-        word_len_ok = F.when(
-            (mean_word_len >= 3) & (mean_word_len <= 12), 1.0
-        ).otherwise(0.0)
-        score = (
-            0.25 * length_ok
-            + 0.25 * alpha_ratio
-            + 0.25 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
-            + 0.25 * word_len_ok
-        )
-        return F.round(score, 4)
-
     if ltoks is not None:
         # a column reference is cheap to re-reference — no let needed
-        return from_toks(ltoks)
-    return _let(tokens(F.lower(text)), from_toks)
+        return _quality_from_ltoks(text, ltoks)
+    return _let(tokens(F.lower(text)), lambda toks: _quality_from_ltoks(text, toks))
+
+
+def _quality_from_ltoks(text: Column, toks: Column) -> Column:
+    """:func:`quality_score` body given an already-bound lowered-token
+    value (a column reference or a let-bound lambda variable — anything
+    cheap to re-reference)."""
+    n = F.length(text)
+    n_tok = F.size(toks)
+    alpha_ratio = (
+        F.regexp_count(text, F.lit(r"[A-Za-z]")) / F.greatest(n, F.lit(1))
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
+    mean_word_len = n / F.greatest(n_tok, F.lit(1))
+    length_ok = F.when((n >= 50) & (n <= 100000), 1.0).otherwise(0.0)
+    word_len_ok = F.when(
+        (mean_word_len >= 3) & (mean_word_len <= 12), 1.0
+    ).otherwise(0.0)
+    score = (
+        0.25 * length_ok
+        + 0.25 * alpha_ratio
+        + 0.25 * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+        + 0.25 * word_len_ok
+    )
+    return F.round(score, 4)
 
 
 #: language marker words — a tiny deterministic n-gram/stopword detector.
@@ -155,8 +159,14 @@ def lang_id(text: Column, ltoks: Column | None = None) -> Column:
     ``ltoks``: optional shared LOWERED-token column (same contract as
     :func:`quality_score` — pass both functions the same column and
     the full-text split regex runs once per row instead of twice)."""
-    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
     src = ltoks if ltoks is not None else tokens(F.lower(text))
+    return _lang_from_ltoks(src)
+
+
+def _lang_from_ltoks(src: Column) -> Column:
+    """:func:`lang_id` body given the lowered-token array expression
+    (evaluated exactly once — it feeds a let binding immediately)."""
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
     langs = sorted(LANG_MARKERS)  # rank order = the documented tie-break
     lang_by_rank = F.array(*[F.lit(lang) for lang in langs])
 
@@ -183,6 +193,31 @@ def lang_id(text: Column, ltoks: Column | None = None) -> Column:
 
     # let-bind the marker hits: referenced by every per-language count
     return _let(F.filter(src, lambda t: t.isin(*all_markers)), from_hits)
+
+
+def lang_quality_gate(
+    text: Column, lang: str = "en", min_quality: float = 0.5
+) -> Column:
+    """The fused corpus-filter predicate
+    ``(lang_id(text) == lang) AND (quality_score(text) >= min_quality)``
+    as ONE boolean expression sharing ONE let-bound lowered tokenization.
+
+    Why it exists: writing the two features as separate columns and
+    filtering on them lets the optimizer push the Filter below the
+    feature Project, substituting each feature's full tree into the
+    pushed condition — the gate then re-evaluates the whitespace split
+    5x per row ON EVERY ROW even when the surviving rows' feature
+    columns share one ``_lt`` column (observed in the r14
+    q_pipeline_preprocess/corpus-build plans). This form is already a
+    single expression, so pushdown can only move it, never duplicate
+    its subtrees: one split per row at the filter, wherever it lands.
+    """
+    def gate(toks: Column) -> Column:
+        return (_lang_from_ltoks(toks) == F.lit(lang)) & (
+            _quality_from_ltoks(text, toks) >= F.lit(min_quality)
+        )
+
+    return _let(tokens(F.lower(text)), gate)
 
 
 def fingerprint(text: Column) -> Column:

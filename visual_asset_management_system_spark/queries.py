@@ -55,6 +55,7 @@ from .operators.text import (
     bpe_token_estimate,
     fingerprint,
     lang_id,
+    lang_quality_gate,
     quality_score,
     token_count,
     tokens,
@@ -3764,15 +3765,16 @@ def q_pipeline_preprocess(spark, sf_dir):
     # shuffle to few partitions, so any CPU-heavy projection placed
     # there would run nearly serially — carry two longs through the
     # window instead
-    # one shared lowered-token column for lang + quality + token count
-    # (token boundaries are case-invariant): one full-text split regex
-    # pass per row instead of three (r14 probe5: 0.81x on this stack)
+    # the lang+quality filter is the fused single-expression gate
+    # (one let-bound split per row at the filter — column-form features
+    # get re-inlined 5x/row by filter pushdown, r14 probe7: 0.74x on
+    # this stack at 10x scale); survivors recompute quality/n_tokens
+    # from one shared lowered-token column
     staged = (
         ensure_min_parallelism(doubled)
+        .filter(lang_quality_gate(F.col("text")))
         .withColumn("_lt", tokens(F.lower(F.col("text"))))
-        .withColumn("lang_pred", lang_id(F.col("text"), F.col("_lt")))
         .withColumn("quality", quality_score(F.col("text"), F.col("_lt")))
-        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
         .withColumn("n_tokens", F.size("_lt").cast("int"))
         .withColumn("bpe_tokens", bpe_token_estimate(F.col("text")))
         .drop("_lt")
@@ -4864,15 +4866,12 @@ def q_corpus_build(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "text")
-    # shared lowered-token column: one full-text split for lang+quality
-    # (r14 probe5; token boundaries are case-invariant)
-    staged = (
-        ensure_min_parallelism(docs)
-        .withColumn("_lt", tokens(F.lower(F.col("text"))))
-        .withColumn("lang_pred", lang_id(F.col("text"), F.col("_lt")))
-        .withColumn("quality", quality_score(F.col("text"), F.col("_lt")))
-        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
-        .drop("_lt")
+    # fused single-expression lang+quality gate: one let-bound split
+    # per row at the filter, and the survivor frame carries no dead
+    # feature columns into the dedup checkpoint (r14 probe7: 0.84x on
+    # this stack at 10x scale)
+    staged = ensure_min_parallelism(docs).filter(
+        lang_quality_gate(F.col("text"))
     )
     # the deduped corpus feeds FOUR consumers (benchmark grams, train
     # grams, the anti-join, packing); eager localCheckpoint materializes
@@ -8840,18 +8839,15 @@ def q_corpus_build_v2(spark, sf_dir):
         "doc_id", F.replace("text", F.lit(" table "), F.lit("\n")).alias("text")
     )
     sig = gopher_repetition_signals(F.col("text"))
-    # shared lowered-token column: one full-text split for lang+quality
-    # (r14 probe5; token boundaries are case-invariant)
+    # fused single-expression lang+quality gate AND'd with the Gopher
+    # line gate: one let-bound split per row at the filter instead of
+    # the pushed column-form condition re-inlining it 5x/row (r14
+    # probe7: 0.84x on the build stack at 10x scale)
     staged = (
         ensure_min_parallelism(docs)
-        .withColumn("_lt", tokens(F.lower(F.col("text"))))
-        .withColumn("lang_pred", lang_id(F.col("text"), F.col("_lt")))
-        .withColumn("quality", quality_score(F.col("text"), F.col("_lt")))
-        .withColumn("dup_line_frac", sig["dup_line_frac"])
         .filter(
-            (F.col("lang_pred") == "en")
-            & (F.col("quality") >= 0.5)
-            & (F.col("dup_line_frac") <= 0.5)
+            lang_quality_gate(F.col("text"))
+            & (sig["dup_line_frac"] <= 0.5)
         )
         .select("doc_id", "text")
     )
