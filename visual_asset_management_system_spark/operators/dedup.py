@@ -731,6 +731,27 @@ def start_minhash_dedup_stream(
 # --------------------------------------------------------------------------
 # exact set-similarity join (prefix filtering)
 # --------------------------------------------------------------------------
+#: Crossover for the int64 dictionary encoding of setsim items
+#: (estimated input plan bytes). Measured both directions in r15
+#: (scripts/probe_r15_setsim2.py, interleaved A/B with asserted
+#: bit-equality on the q_doc_setsim_join input): at the bench scale
+#: (estimate ~0.6 MB) the encode's two extra stages cost ~0.5 s of
+#: pure scheduling latency against KB-grade shuffle savings (0.88×);
+#: at 10× (estimate ~6 MB) the narrowed shuffles win 1.14× (med) /
+#: 1.20× (min) and the margin grows with scale (§2.3 — bytes scale,
+#: stage-latency floor does not). 2 MiB is the measured midpoint.
+_ENCODE_ITEMS_MIN_BYTES = 2 << 20
+
+
+def _plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's optimizedPlan sizeInBytes estimate (free — no job).
+    Returns 0 when unavailable so callers fall back conservatively."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — py4j / analysis edge; never fatal
+        return 0
+
+
 def _setsim_stage(
     docs: DataFrame,
     threshold: float,
@@ -739,12 +760,28 @@ def _setsim_stage(
     items_col: str | None,
     max_df_ratio: float | None,
     positional_filter: bool,
+    encode_items: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, int, int]:
     """Shared tokenize→rank→prefix→candidate stage of the AllPairs
-    join: returns (toks, cand, num, den) where ``toks`` is the
+    join: returns (rel, cand, num, den) where ``rel`` is the
     checkpointed distinct (id, tok) relation the caller's verification
     arrays must be built from (so the corpus-sized relation is
     evaluated once) and ``cand`` is the deduped candidate pair set.
+
+    ``encode_items`` (r15): when True, ``tok`` in every relation past
+    the df count is DICTIONARY-ENCODED to a dense int64 id in global
+    ascending (df, token) order, so the per-doc ranking window, the
+    prefix equi-join, the candidate dedup and the verification arrays
+    all shuffle 8-byte longs instead of item strings (guide §2.3 —
+    shuffle fewer bytes / narrower types). The map is bijective (tok
+    is unique in the vocabulary) and ORDER-PRESERVING (ORDER BY tid ≡
+    ORDER BY (df, tok), a strict total order, so row_number is
+    deterministic): prefix positions, candidates, overlaps and set
+    sizes are bit-identical to the string form. None = auto by the
+    input's estimated plan size vs ``_ENCODE_ITEMS_MIN_BYTES`` — the
+    measured crossover: encoding pays two extra stages (vocabulary
+    rank + encode join folded into the single checkpoint), a fixed
+    latency that only amortizes once shuffle bytes dominate.
     See :func:`setsim_join` for the theorems; the positional filter is
     documented there."""
     from fractions import Fraction
@@ -753,6 +790,8 @@ def _setsim_stage(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    if encode_items is None:
+        encode_items = _plan_size_estimate(docs) >= _ENCODE_ITEMS_MIN_BYTES
     num, den = (
         Fraction(str(threshold)).numerator,
         Fraction(str(threshold)).denominator,
@@ -776,11 +815,14 @@ def _setsim_stage(
     # prefix side vanishes at the df equi-join — so n would disagree
     # between the two relations and inflate jaccard denominators,
     # silently dropping boundary pairs (J exactly τ).
-    toks = maybe_checkpoint(
+    toks = (
         docs.select(F.col(id_col), F.explode(items).alias("tok"))
         .filter(F.col("tok").isNotNull())
         .distinct()
     )
+    if not encode_items:
+        # string path: toks is the multi-consumer staging point
+        toks = maybe_checkpoint(toks)
     tokdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if max_df_ratio is not None:
         # df-cap guard (OPT-IN; changes semantics): tokens present in
@@ -809,12 +851,46 @@ def _setsim_stage(
             )
             .drop("__nd")
         )
-        toks = maybe_checkpoint(toks.join(tokdf.select("tok"), "tok"))
-    w_doc = Window.partitionBy(id_col).orderBy("df", "tok")
-    ranked = (
-        toks.join(tokdf, "tok")
-        .withColumn("pos", F.row_number().over(w_doc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        if not encode_items:
+            # string path: apply the keep-list to the corpus relation
+            # (the encode path gets this for free from its INNER
+            # dictionary join below)
+            toks = maybe_checkpoint(toks.join(tokdf.select("tok"), "tok"))
+    if encode_items:
+        # Dictionary-encode items to dense int64 BEFORE every
+        # corpus-sized shuffle: tid = row_number over the vocabulary in
+        # ascending (df, tok) order (see the docstring for the
+        # bijection/order argument). ONE checkpoint materializes the
+        # encoded relation — the df-count aggregation, the vocabulary
+        # rank and the encode join all fold into that single job (the
+        # r15 probe's v1, a separate toks checkpoint plus this one,
+        # lost at both scales). The single-partition rank window is
+        # VOCABULARY-sized (df-capped under max_df_ratio — the same
+        # saturation regime that needs the cap also bounds this sort),
+        # orders of magnitude below the corpus relations it narrows.
+        vocab = tokdf.select(
+            "tok",
+            F.row_number().over(Window.orderBy("df", "tok")).alias("tid"),
+        )
+        rel = maybe_checkpoint(
+            toks.join(vocab, "tok").select(
+                F.col(id_col), F.col("tid").alias("tok")
+            )
+        )
+        ranked = rel.withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("tok")),
+        )
+    else:
+        rel = toks
+        ranked = rel.join(tokdf, "tok").withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "tok")
+            ),
+        )
+    ranked = ranked.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
     # ⌈τ·n⌉ = (num·n + den − 1) div den, exactly
     need = F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
@@ -835,7 +911,7 @@ def _setsim_stage(
         cand = joined.select(
             F.col("a.pid").alias("id_a"), F.col("b.pid").alias("id_b")
         ).distinct()
-        return toks, cand, num, den
+        return rel, cand, num, den
     # PPJoin positional filter (Xiao et al. 2008): for a shared token t
     # at 1-based positions (pos_a, pos_b) of two docs sorted under the
     # SAME global order, overlap(x,y) ≤ min(pos_a, pos_b) − 1 common
@@ -901,7 +977,7 @@ def _setsim_stage(
         )
         .select("id_a", "id_b")
     )
-    return toks, cand, num, den
+    return rel, cand, num, den
 
 
 def setsim_candidates(
@@ -912,6 +988,7 @@ def setsim_candidates(
     items_col: str | None = None,
     positional_filter: bool = False,
     max_df_ratio: float | None = None,
+    encode_items: bool | None = None,
 ) -> DataFrame:
     """The candidate (id_a, id_b) pair set of :func:`setsim_join`
     BEFORE exact verification — the measurement seam for the filters'
@@ -927,6 +1004,7 @@ def setsim_candidates(
         items_col,
         max_df_ratio,
         positional_filter,
+        encode_items=encode_items,
     )[1]
 
 
@@ -938,6 +1016,7 @@ def setsim_join(
     items_col: str | None = None,
     max_df_ratio: float | None = None,
     positional_filter: bool = False,
+    encode_items: bool | None = None,
 ) -> DataFrame:
     """EXACT Jaccard self-join over distinct-token sets via prefix
     filtering (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
@@ -991,6 +1070,10 @@ def setsim_join(
     over the filtered universe (the BM25 stop-list stance — documented
     semantics change, zero false negatives w.r.t. the filtered sets),
     and every prefix posting list is df-bounded by construction.
+
+    ``encode_items`` (r15): dictionary-encode items to int64 before
+    the shuffling stages — bit-identical output, measured crossover;
+    see :func:`_setsim_stage`. Default None = auto by input size.
     """
     toks, cand, _num, _den = _setsim_stage(
         docs,
@@ -1000,6 +1083,7 @@ def setsim_join(
         items_col,
         max_df_ratio,
         positional_filter=positional_filter,
+        encode_items=encode_items,
     )
     arrays = toks.groupBy(id_col).agg(
         F.sort_array(F.collect_set("tok")).alias("arr"),
