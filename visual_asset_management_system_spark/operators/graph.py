@@ -326,6 +326,8 @@ def descendants(
     use_checkpoint: bool = True,
     levels_per_round: int = 3,
     dedup_guard_factor: float = 4.0,
+    dedup_guard_abs_factor: float = 64.0,
+    _stats_out: dict | None = None,
 ) -> DataFrame:
     """Descendant set over parentChild edges: (database_id, asset_id,
     depth) with shortest-depth semantics and cycle safety.
@@ -381,6 +383,20 @@ def descendants(
     (the round's groupBy collapses multiplicity before any row leaves
     the round; the guard changes WHERE dedup happens, never what the
     round emits).
+
+    ROUND-15 guard hardening (cost-only; row semantics untouched):
+    (1) the guard signal is read BEFORE the visited exclusion — the
+    visited anti-join is now a marker left-join so the same single
+    stats action counts arrivals that reconverge onto already-visited
+    nodes (back-edges), which the r14 form was blind to; (2) an
+    absolute tripwire ``dedup_guard_abs_factor`` also flips the guard
+    when a round's raw arrival count exceeds that multiple of every
+    node discovered so far — a round can multiply paths enormously
+    while keeping arrivals/nodes under ``dedup_guard_factor`` only if
+    its node count is itself huge relative to the known graph, which
+    is exactly the blowup case. Both tripwires stay dormant on
+    benign geometry (root fan-out of k children gives paths = n ≪
+    64·(visited+n)).
     """
     edges = asset_links.filter(
         F.col("relationship_type") == "parentChild"
@@ -425,6 +441,7 @@ def descendants(
     depth = 0
     rounds = 0
     per_level_dedup = False
+    visited_n = 1  # the root; tracked for the absolute guard tripwire
     try:
         while depth < max_depth:
             # geometric growth: round r expands levels_per_round·2^r
@@ -443,7 +460,17 @@ def descendants(
             for i in range(1, batch + 1):
                 g = step(g, depth + i, per_level_dedup)
                 acc = g if acc is None else acc.unionByName(g)
-            nxt = (
+            # LEFT join with a marker instead of left_anti (r15, cost
+            # only — row set unchanged): the guard's duplication signal
+            # must see arrivals that reconverge onto ALREADY-VISITED
+            # nodes (back-edges into earlier levels), which a left_anti
+            # drops before the stats action can count them. Keeping the
+            # marked rows lets ONE action read both the exit stats
+            # (over new nodes) and the guard signal (over every
+            # in-round arrival); ``nxt`` filters the marker afterwards,
+            # which is definitionally the anti-join's row set (visited
+            # is unique per node, so the left join never duplicates).
+            grouped = (
                 acc.groupBy("database_id", "asset_id")
                 .agg(
                     F.min("depth").alias("depth"),
@@ -452,14 +479,16 @@ def descendants(
                     F.count(F.lit(1)).alias("_paths"),
                 )
                 .join(
-                    visited.select("database_id", "asset_id"),
+                    visited.select("database_id", "asset_id").withColumn(
+                        "_seen", F.lit(True)
+                    ),
                     ["database_id", "asset_id"],
-                    "left_anti",
+                    "left",
                 )
                 .coalesce(1)
             )
             if use_checkpoint:
-                nxt = nxt.transform(maybe_checkpoint)
+                grouped = grouped.transform(maybe_checkpoint)
             # ONE bounded action decides BOTH exits: total new nodes
             # (loop done) and the round's deepest new depth. Only the
             # round's DEEPEST layer can still have unexplored
@@ -474,21 +503,36 @@ def descendants(
             # chained-join lineage there, which cost more than the
             # empty round it saved (so it used to be checkpoint-gated,
             # and the non-checkpoint path paid the full extra round).
-            stats = nxt.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max("depth").alias("deepest"),
+            new = F.col("_seen").isNull()
+            stats = grouped.agg(
+                F.count(F.when(new, F.lit(1))).alias("n"),
+                F.max(F.when(new, F.col("depth"))).alias("deepest"),
                 F.sum("_paths").alias("paths"),
+                F.count(F.lit(1)).alias("nodes"),
             ).collect()[0]
             if stats["n"] == 0:
                 break
-            if (
-                not per_level_dedup
-                and stats["paths"] is not None
-                and stats["paths"] > dedup_guard_factor * stats["n"]
-            ):
-                per_level_dedup = True
-            nxt = nxt.select("database_id", "asset_id", "depth")
+            if not per_level_dedup and stats["paths"] is not None:
+                # ratio guard: in-round arrivals per distinct in-round
+                # node — reconvergence onto visited nodes now counts in
+                # BOTH terms, so back-edge floods trip it (r15; the r14
+                # form read only post-anti-join rows and was blind to
+                # them). Absolute tripwire alongside (r15): a round
+                # whose raw arrival count dwarfs everything discovered
+                # so far is a blowup even at a modest per-node ratio —
+                # bounds the dedup-free round's output relative to the
+                # graph actually seen, not just to the round's own
+                # node count.
+                if stats["paths"] > dedup_guard_factor * stats["nodes"] or (
+                    stats["paths"]
+                    > dedup_guard_abs_factor * (visited_n + stats["n"])
+                ):
+                    per_level_dedup = True
+            nxt = grouped.filter(new).select(
+                "database_id", "asset_id", "depth"
+            )
             visited = visited.unionByName(nxt)
+            visited_n += stats["n"]
             frontier = nxt.filter(F.col("depth") == depth + batch)
             depth += batch
             rounds += 1
@@ -496,6 +540,10 @@ def descendants(
                 break
     finally:
         edges.unpersist()
+    if _stats_out is not None:
+        # test/diagnostic plumbing only — never read by query paths
+        _stats_out["rounds"] = rounds
+        _stats_out["guard_tripped"] = per_level_dedup
     # exclude the root itself (the reference returns the subtree below it)
     return visited.filter(F.col("depth") > 0)
 
