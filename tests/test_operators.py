@@ -51,6 +51,7 @@ def test_descendants_depth_cap(spark):
     assert {r["depth"] for r in out} == {1, 2, 3}
 
 
+@pytest.mark.soak  # ~3 min: dozens of 1-level driver rounds by design
 def test_descendants_frontier_batching_equivalence(spark):
     """Batched multi-level expansion must equal the 1-level loop
     exactly — same node set AND same (minimum) depths — on random
@@ -2493,6 +2494,67 @@ def test_setsim_join_matches_quadratic_model_exactly(spark):
         assert (100, 101, 19, 20, 19) in got  # planted pair found
 
 
+def test_setsim_dictionary_encoding_bit_identical(spark):
+    """r15 int64 dictionary encoding: both stage paths (string keys vs
+    dense (df, tok)-ordered int64 ids) must produce the SAME verified
+    pairs AND the same candidate set on a randomized corpus, for every
+    combination with the positional filter and the df stop-list —
+    encoding is bijective and order-preserving, so nothing downstream
+    of the vocabulary may move. Auto mode must also agree (it picks one
+    of the two paths by input size)."""
+    import random as _random
+
+    from visual_asset_management_system_spark.operators.dedup import (
+        setsim_candidates,
+        setsim_join,
+    )
+
+    rng = _random.Random(23)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for did in range(35):
+        n = rng.randrange(3, 22)
+        rows.append((did, " ".join(rng.sample(vocab, n))))
+    rows.append((90, " ".join(vocab[:18])))
+    rows.append((91, " ".join(vocab[:17])))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for kwargs in (
+        {},
+        {"positional_filter": True},
+        {"max_df_ratio": 0.6},
+    ):
+        j_str = sorted(
+            tuple(r)
+            for r in setsim_join(
+                docs, 0.8, encode_items=False, **kwargs
+            ).collect()
+        )
+        j_int = sorted(
+            tuple(r)
+            for r in setsim_join(
+                docs, 0.8, encode_items=True, **kwargs
+            ).collect()
+        )
+        j_auto = sorted(
+            tuple(r) for r in setsim_join(docs, 0.8, **kwargs).collect()
+        )
+        assert j_str == j_int == j_auto, (kwargs, len(j_str), len(j_int))
+        c_str = sorted(
+            tuple(r)
+            for r in setsim_candidates(
+                docs, 0.8, encode_items=False, **kwargs
+            ).collect()
+        )
+        c_int = sorted(
+            tuple(r)
+            for r in setsim_candidates(
+                docs, 0.8, encode_items=True, **kwargs
+            ).collect()
+        )
+        assert c_str == c_int, (kwargs, len(c_str), len(c_int))
+    assert any(a == 90 and b == 91 for a, b, *_ in j_str)
+
+
 def test_setsim_positional_filter_prunes_losslessly(spark):
     """The PPJoin positional filter cuts the candidate set but never a
     qualifying pair. Planted geometry: docs A and B share exactly one
@@ -2954,7 +3016,11 @@ def test_pagerank_dangling_mass_and_hoisted_denominators(spark):
     }
     assert set(got) == set(nodes)
     for v in nodes:
-        assert got[v] == round(ranks[v], 6), (v, got[v], ranks[v])
+        # tolerance, not exact equality (r14 ADVICE): Spark accumulates
+        # in decimal(38,18) and the reference in Python floats — a value
+        # landing on a round-half boundary would differ in the last
+        # rounded digit without being wrong
+        assert abs(got[v] - round(ranks[v], 6)) < 1e-9, (v, got[v], ranks[v])
     # mass conservation: total rank stays ~1 up to rounding
     assert abs(sum(got.values()) - 1.0) < 1e-5
 
@@ -2999,6 +3065,106 @@ def test_descendants_dedup_guard_invariance(spark):
     # min-depth semantics through every diamond: d_i at 2i, wings at 2i-1
     assert got["d6"] == 12 and got["a5"] == 11 and got[f"d{k}"] == 2 * k
     assert len(got) == 3 * k  # a_i, b_i (k each), d_1..d_k — root excluded
+
+
+def _links_df(spark, pairs):
+    return spark.createDataFrame(
+        [("db", a, "db", b, "parentChild") for a, b in pairs],
+        "from_database_id string, from_asset_id string, "
+        "to_database_id string, to_asset_id string, "
+        "relationship_type string",
+    )
+
+
+def test_descendants_late_diamond_guard_trips(spark):
+    """r15 worst-case pin (the r14 verdict's residual exposure): a
+    graph that is a plain chain through the small geometric rounds
+    (levels 1-9, zero duplication — the guard has nothing to see) and
+    only THEN stacks diamonds (levels 10+, multiplicity doubling per
+    diamond). The dedup-free round that first meets the diamonds pays
+    bounded in-round multiplicity, the guard must trip on that round's
+    stats, and the emitted rows must equal the always-dedup variant
+    exactly (the round-end groupBy collapses multiplicity before
+    anything leaves the round)."""
+    pairs = [(f"c{i}", f"c{i+1}") for i in range(9)]  # c0..c9 chain
+    for i in range(6):  # diamonds over levels 10..21
+        top = f"c9" if i == 0 else f"m{i-1}"
+        pairs += [
+            (top, f"p{i}"), (top, f"q{i}"),
+            (f"p{i}", f"m{i}"), (f"q{i}", f"m{i}"),
+        ]
+    links = _links_df(spark, pairs)
+    info: dict = {}
+    got = sorted(
+        (r["asset_id"], r["depth"])
+        for r in descendants(links, "db", "c0", _stats_out=info).collect()
+    )
+    want = sorted(
+        (r["asset_id"], r["depth"])
+        for r in descendants(
+            links, "db", "c0", dedup_guard_factor=0.0
+        ).collect()
+    )
+    assert got == want
+    assert info["guard_tripped"] is True
+    d = dict(got)
+    assert d["c9"] == 9 and d["m5"] == 9 + 12  # min depths intact
+
+
+def test_descendants_backedge_reconvergence_trips_guard(spark):
+    """r15 guard-signal fix (ADVICE r14): duplication that reconverges
+    onto ALREADY-VISITED nodes (back-edges into earlier levels) must
+    count toward the guard. Geometry: chain c0..c9 (visited in the
+    dedup-free early rounds), then c9 fans out to x0..x3, each of
+    which points BACK at c1..c8 plus one shared new child y — the
+    in-round arrival flood lands almost entirely on visited nodes, so
+    the r14 post-anti-join signal stayed under threshold while the
+    frontier kept re-walking the chain dedup-free. The pre-exclusion
+    signal must trip, and rows must equal the always-dedup variant."""
+    pairs = [(f"c{i}", f"c{i+1}") for i in range(9)]
+    for j in range(4):
+        pairs.append(("c9", f"x{j}"))
+        pairs.append((f"x{j}", "y"))
+        pairs += [(f"x{j}", f"c{i}") for i in range(1, 9)]
+    links = _links_df(spark, pairs)
+    info: dict = {}
+    got = sorted(
+        (r["asset_id"], r["depth"])
+        for r in descendants(links, "db", "c0", _stats_out=info).collect()
+    )
+    want = sorted(
+        (r["asset_id"], r["depth"])
+        for r in descendants(
+            links, "db", "c0", dedup_guard_factor=0.0
+        ).collect()
+    )
+    assert got == want
+    assert info["guard_tripped"] is True
+    d = dict(got)
+    assert d["y"] == 11 and d["x0"] == 10 and d["c9"] == 9
+
+
+def test_descendants_guard_dormant_on_benign_tree(spark):
+    """Both r15 tripwires must stay OFF on benign geometry (a branching
+    tree has exactly one path per node), so the bench fixture keeps the
+    dedup-free fast path."""
+    pairs = []
+    nodes = ["r"]
+    nid = 0
+    for _level in range(4):
+        nxt = []
+        for p in nodes:
+            for _ in range(3):
+                c = f"n{nid}"
+                nid += 1
+                pairs.append((p, c))
+                nxt.append(c)
+        nodes = nxt
+    links = _links_df(spark, pairs)
+    info: dict = {}
+    out = descendants(links, "db", "r", _stats_out=info).collect()
+    assert info["guard_tripped"] is False
+    assert len(out) == nid  # 3 + 9 + 27 + 81
 
 
 def test_connected_components_early_exit_change_column(spark):

@@ -51,7 +51,17 @@ def _normalize(cols, rows):
     return [cols[i] for i in order], out
 
 
-ORACLE_QUERIES = sorted(ORACLES)
+# soak tier (r15): the q_dedup_representatives oracle's RECURSIVE
+# reachability closure over the quadratic pair surface costs ~150 s in
+# DuckDB ALONE at sf0.01 (measured; the full test ran 300 s) — frozen
+# oracle SQL, so the cost is structural. The driver's own rotating
+# 50-query correctness gate still covers it independently; run it here
+# with `-m soak` or by name.
+_SOAK_ORACLE = {"q_dedup_representatives"}
+ORACLE_QUERIES = [
+    pytest.param(n, marks=pytest.mark.soak) if n in _SOAK_ORACLE else n
+    for n in sorted(ORACLES)
+]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
