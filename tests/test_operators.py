@@ -311,6 +311,49 @@ def test_dsir_log_weights_match_python_model(spark):
         assert hashed[i][2] == pytest.approx(want_h[i][2], abs=1e-9), i
 
 
+def test_dsir_target_pred_equals_target_frame(spark):
+    """r15 single-scan target path: dsir_log_weights(target_pred=...)
+    must be BIT-EQUAL (every column, including the float log_weight)
+    to the target-frame form in both hashed and unhashed modes — the
+    target dictionary aggregates the same exploded gram instances,
+    just from the shared checkpointed relation. Passing both or
+    neither of target/target_pred must raise."""
+    import pytest as _pytest
+
+    from visual_asset_management_system_spark.operators.sampling import (
+        dsir_log_weights,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (3, "stocks fell as rates rose again"),
+        (4, "rates rose and stocks fell hard"),
+        (5, ""),
+        (6, "single"),
+        (7, "The CAT sat"),
+        (14, "the mat sat on the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") % 7 == 0)
+    for buckets in (None, 10_000):
+        a = sorted(
+            tuple(r)
+            for r in dsir_log_weights(df, target, n_buckets=buckets).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in dsir_log_weights(
+                df, n_buckets=buckets, target_pred=lambda c: c % 7 == 0
+            ).collect()
+        )
+        assert a == b, (buckets, a, b)
+    with _pytest.raises(ValueError):
+        dsir_log_weights(df)
+    with _pytest.raises(ValueError):
+        dsir_log_weights(df, target, target_pred=lambda c: c % 7 == 0)
+
+
 def test_dsir_gumbel_topk_matches_python_model(spark):
     """Gumbel-top-k selection (sampling.dsir_gumbel_topk) against a
     plain-Python model of the hash-derived noise: exact member set AND

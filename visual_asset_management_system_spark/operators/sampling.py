@@ -18,6 +18,8 @@ JVM/vectorized, no UDF.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -147,11 +149,12 @@ def ngram_bag(text: Column, n: int = 2) -> Column:
 
 def dsir_log_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
     n_buckets: int | None = 10_000,
+    target_pred: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Data Selection with Importance Resampling weights (Xie et al.
     2023, "Data Selection for Language Models via Importance
@@ -181,7 +184,22 @@ def dsir_log_weights(
     Shuffles: two dictionary-bounded aggregations + one doc-key
     aggregation for the per-doc sums. The empty/short doc keeps its
     row (explode_outer) with n_grams = 0 and log_weight = 0.0.
+
+    ``target_pred`` (r15, guide §6 — one scan feeds every grain): when
+    the target IS a predicate-defined subset of ``raw`` (the common
+    in-corpus slice case, e.g. a held-out id slice), pass a callable
+    mapping the id Column to a boolean Column instead of a ``target``
+    frame. The target
+    dictionary is then aggregated FROM the already-checkpointed
+    ``doc_grams`` relation, eliminating the separate target scan and
+    its full regex/explode pass: the corpus is read and tokenized
+    exactly once for all three grains (target dict, raw dict, per-doc
+    scores). Counts are identical by construction — the same exploded
+    instances, filtered by the same predicate. Exactly one of
+    ``target`` / ``target_pred`` must be given.
     """
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
     bag = ngram_bag(F.col(text_col), n)
     if n_buckets is not None:
         # guard the hash: xxhash64(NULL) is the SEED (non-null), so an
@@ -195,18 +213,13 @@ def dsir_log_weights(
     else:
         bucket = lambda g: g  # noqa: E731
 
-    t_dict = (
-        target.select(F.explode(bag).alias("g"))
-        .select(bucket(F.col("g")).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
     # checkpoint: the exploded gram relation (full raw scan + regex
     # extraction, the expensive stage) feeds two DIFFERENT exchange
     # shapes — the r_dict pre-aggregation and the scored join probe —
     # which ReuseExchange cannot unify; without the cut the corpus
     # regex pass runs twice (the dedup_substrings two-consumer
-    # discipline)
+    # discipline). In target_pred mode it feeds the target dictionary
+    # too — three grains, one tokenization.
     from .checkpointing import maybe_checkpoint
 
     doc_grams = maybe_checkpoint(
@@ -214,6 +227,20 @@ def dsir_log_weights(
             F.col(id_col).alias("id"), F.explode_outer(bag).alias("g")
         ).select("id", bucket(F.col("g")).alias("b"))
     )
+    if target_pred is not None:
+        t_dict = (
+            doc_grams.filter(target_pred(F.col("id")))
+            .filter(F.col("b").isNotNull())
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+    else:
+        t_dict = (
+            target.select(F.explode(bag).alias("g"))
+            .select(bucket(F.col("g")).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
     r_dict = (
         doc_grams.filter(F.col("b").isNotNull())
         .groupBy("b")

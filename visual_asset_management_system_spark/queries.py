@@ -4173,9 +4173,17 @@ def q_doc_dsir(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "text")
-    target = docs.filter(F.col("doc_id") % 7 == 0)
+    # target is an in-corpus id slice: pass the predicate so the target
+    # dictionary aggregates from the one checkpointed gram relation
+    # instead of re-scanning + re-tokenizing documents (r15, guide §6;
+    # counts provably identical — same exploded instances, same filter)
     return (
-        dsir_log_weights(docs, target, n=2, n_buckets=None)
+        dsir_log_weights(
+            docs,
+            n=2,
+            n_buckets=None,
+            target_pred=lambda c: c % 7 == 0,
+        )
         .select("doc_id", "n_grams", "n_target_leaning")
         .orderBy("doc_id")
     )
@@ -4251,8 +4259,10 @@ def q_doc_dsir_sample(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     docs = t["documents"].select("doc_id", "text")
-    target = docs.filter(F.col("doc_id") % 7 == 0)
-    w = dsir_log_weights(docs, target, n=2, n_buckets=None)
+    # same single-scan target_pred form as q_doc_dsir (r15, guide §6)
+    w = dsir_log_weights(
+        docs, n=2, n_buckets=None, target_pred=lambda c: c % 7 == 0
+    )
     return dsir_gumbel_topk(w, k=40).orderBy("doc_id")
 
 
