@@ -66,12 +66,14 @@ _RECHECK_OVERRIDES: list[str] = [
     # q_vams_descendants/q_vams_related_components — pruned: all ten
     # driver-green in CORRECTNESS_r13; hash-drift covers further edits.)
     #
-    # r14: the round's one sanctioned algorithmic edit —
-    # q_embedding_quantize's zero-scale divide NULL-guarded (the last
-    # realistic ANSI divide site, queries.py) with oracle NULL
-    # mirroring. Pin it so the edited query re-greens this window.
-    # Remove after the r14 gate lands.
-    "q_embedding_quantize",
+    # (r14 pin q_embedding_quantize pruned: driver-green in
+    # CORRECTNESS_r14 — rows/schema/hash all matched; hash-drift
+    # covers further edits.)
+    #
+    # r15 (optimization round 2): no manual pins — the round's edits
+    # (setsim dictionary crossover, DSIR target_pred single-scan,
+    # descendants guard hardening) are all module-level engine changes
+    # the hash-drift / module-staleness classes surface on their own.
 ]
 
 #: the driver's oracle gate checks this many leading queries() entries
