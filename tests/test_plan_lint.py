@@ -137,6 +137,51 @@ def test_funnel_and_retention_single_user_exchange(spark):
         )
 
 
+def test_q21_two_level_aggregation_no_expand(spark):
+    """r15: q21's per-order distinct counts run as a TWO-LEVEL
+    aggregation over one hash(l_orderkey) exchange. Pin both halves of
+    that claim: (a) Catalyst's RewriteDistinctAggregates Expand (3x
+    line replication + a second line-grain shuffle) stays out of the
+    plan, and (b) the two-level form agrees row-for-row, in order,
+    with the distinct-aggregate form it replaced."""
+    from pyspark.sql import functions as F
+
+    from visual_asset_management_system_spark.queries import tables
+
+    df = QUERIES["q21_waiting_supplier"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, (
+        "q21 regressed to the distinct-aggregate Expand form:\n" + plan[:1200]
+    )
+    got = [tuple(r) for r in df.collect()]
+
+    # the replaced distinct-aggregate form, frozen verbatim as reference
+    t = tables(spark, SF)
+    li = t["lineitem"]
+    is_r = F.col("l_returnflag") == "R"
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(is_r, F.col("l_suppkey"))).alias("n_r_supp"),
+        F.min(F.when(is_r, F.col("l_suppkey"))).alias("r_suppkey"),
+        F.count(F.when(is_r, F.lit(1))).alias("n_r_lines"),
+    )
+    ref = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(t["supplier"], F.col("s_suppkey") == F.col("r_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_r_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+    assert got == [tuple(r) for r in ref.collect()], (
+        "two-level aggregation diverged from the distinct-aggregate form"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_output_schema_is_canonicalizable(spark, name):
     """Driver-canonicalizer contract: the correctness gate sorts result
