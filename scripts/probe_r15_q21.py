@@ -7,7 +7,10 @@ every lineitem row 3x before the first shuffle (plan r14: 1.09E6 rows
 shuffled post-partial-agg, then 8.69E5 re-shuffled for the second
 distinct phase). Arms:
 
-  old   — the shipped form (frozen call through Q.QUERIES).
+  old   — the replaced r14 distinct-aggregate form, FROZEN INLINE
+          (not a Q.QUERIES call — after the change ships, the registry
+          resolves to the new form and the A/B would compare the new
+          code against itself).
   two   — two-level aggregation: groupBy(l_orderkey, l_suppkey) first
           (has_r flag + per-supplier R-line count), then
           groupBy(l_orderkey). No Expand; both exchanges carry
@@ -102,7 +105,14 @@ def main():
     li = Q.tables(spark, SF_DIR)["lineitem"]
 
     def arm_old():
-        return Q.QUERIES["q21_waiting_supplier"](spark, SF_DIR)
+        is_r = F.col("l_returnflag") == "R"
+        per_order = li.groupBy("l_orderkey").agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(is_r, F.col("l_suppkey"))).alias("n_r_supp"),
+            F.min(F.when(is_r, F.col("l_suppkey"))).alias("r_suppkey"),
+            F.count(F.when(is_r, F.lit(1))).alias("n_r_lines"),
+        )
+        return _finish(spark, per_order)
 
     def arm_two():
         return _finish(spark, _two_level_per_order(li))
